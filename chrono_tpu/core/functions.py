@@ -1,0 +1,160 @@
+"""1-D motion functions used by motors and actuators.
+
+Equivalent of the reference's ``ChFunction`` family
+(/root/reference/src/chrono/functions/ChFunction*.h) re-designed as jit-safe pytree
+callables: each function is a small dataclass whose parameters are traced arrays, so a
+motor profile can be differentiated through or swept under ``vmap``.
+
+All functions expose ``value(t)``, ``deriv(t)`` and ``deriv2(t)``; ``deriv`` defaults
+to forward-mode autodiff of ``value`` which is exact for every function here.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from chrono_tpu.utils.pytree import pytree_dataclass, static_field
+
+
+class MotionFunction:
+    """Base: scalar function of time, differentiable via JAX."""
+
+    def value(self, t):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def deriv(self, t):
+        return jax.jacfwd(self.value)(jnp.asarray(t, dtype=jnp.result_type(float)))
+
+    def deriv2(self, t):
+        return jax.jacfwd(self.deriv)(jnp.asarray(t, dtype=jnp.result_type(float)))
+
+    def __call__(self, t):
+        return self.value(t)
+
+
+@pytree_dataclass
+class FConst(MotionFunction):
+    """f(t) = c   (reference: ChFunctionConst)."""
+
+    c: Array
+
+    def value(self, t):
+        return self.c + 0.0 * t
+
+    def deriv(self, t):
+        return jnp.zeros_like(jnp.asarray(t, dtype=jnp.asarray(self.c).dtype))
+
+
+@pytree_dataclass
+class FRamp(MotionFunction):
+    """f(t) = y0 + slope·t   (reference: ChFunctionRamp)."""
+
+    y0: Array
+    slope: Array
+
+    def value(self, t):
+        return self.y0 + self.slope * t
+
+    def deriv(self, t):
+        return self.slope + 0.0 * t
+
+
+@pytree_dataclass
+class FSine(MotionFunction):
+    """f(t) = amp · sin(2π·freq·t + phase)   (reference: ChFunctionSine)."""
+
+    amp: Array
+    freq: Array
+    phase: Array = 0.0
+
+    def value(self, t):
+        w = 2.0 * jnp.pi * self.freq
+        return self.amp * jnp.sin(w * t + self.phase)
+
+    def deriv(self, t):
+        w = 2.0 * jnp.pi * self.freq
+        return self.amp * w * jnp.cos(w * t + self.phase)
+
+
+@pytree_dataclass
+class FPoly(MotionFunction):
+    """f(t) = Σ coeffs[k]·t^k   (reference: ChFunctionPoly)."""
+
+    coeffs: Array  # (K,) low-order first
+
+    def value(self, t):
+        return jnp.polyval(self.coeffs[::-1], jnp.asarray(t))
+
+
+@pytree_dataclass
+class FInterp(MotionFunction):
+    """Piecewise-linear interpolation of samples (reference: ChFunctionInterp)."""
+
+    ts: Array  # (K,) ascending
+    ys: Array  # (K,)
+
+    def value(self, t):
+        return jnp.interp(t, self.ts, self.ys)
+
+    def deriv(self, t):
+        # slope of the active segment
+        i = jnp.clip(jnp.searchsorted(self.ts, t) - 1, 0, self.ts.shape[0] - 2)
+        return (self.ys[i + 1] - self.ys[i]) / (self.ts[i + 1] - self.ts[i])
+
+
+@pytree_dataclass
+class FConstAcc(MotionFunction):
+    """Trapezoidal speed profile reaching ``end`` displacement over ``duration``
+    with acceleration ramps of fractional lengths aw1/aw2
+    (reference: ChFunctionConstAcc)."""
+
+    end: Array
+    duration: Array
+    aw1: float = static_field(default=0.3)
+    aw2: float = static_field(default=0.7)
+
+    def value(self, t):
+        T = self.duration
+        t = jnp.clip(t, 0.0, T)
+        t1, t2 = self.aw1 * T, self.aw2 * T
+        # peak velocity such that total displacement == end
+        vmax = self.end / (T - 0.5 * t1 - 0.5 * (T - t2))
+        u = jnp.where(
+            t < t1,
+            0.5 * vmax / t1 * t * t,
+            jnp.where(
+                t < t2,
+                0.5 * vmax * t1 + vmax * (t - t1),
+                0.5 * vmax * t1 + vmax * (t2 - t1)
+                + vmax * (t - t2) - 0.5 * vmax / (T - t2) * (t - t2) ** 2,
+            ),
+        )
+        return u
+
+
+@pytree_dataclass
+class FRepeat(MotionFunction):
+    """Periodic repetition of an inner function over window width ``width``."""
+
+    inner: MotionFunction
+    width: Array
+
+    def value(self, t):
+        return self.inner.value(jnp.mod(t, self.width))
+
+
+@pytree_dataclass
+class FSequence(MotionFunction):
+    """Sum of scaled functions: f = Σ w_k f_k (reference: ChFunctionOperator add)."""
+
+    fns: tuple = ()
+    weights: Array = 1.0
+
+    def value(self, t):
+        w = jnp.broadcast_to(jnp.asarray(self.weights), (len(self.fns),))
+        total = 0.0
+        for k, f in enumerate(self.fns):
+            total = total + w[k] * f.value(t)
+        return total
