@@ -1,0 +1,6 @@
+from chrono_tpu.physics.body import BodyState, BodyProps, make_body_state, kinetic_energy
+from chrono_tpu.physics.builder import SystemBuilder
+from chrono_tpu.physics.system import (
+    Model, SolverSettings, StepInfo,
+    step_euler_implicit_linearized, make_step_fn, simulate,
+)

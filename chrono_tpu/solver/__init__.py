@@ -1,0 +1,2 @@
+from chrono_tpu.solver import descriptor, direct, projection, vi
+from chrono_tpu.solver.vi import solve_apgd, solve_bb, solve_pjacobi, VISolution

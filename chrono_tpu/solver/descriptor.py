@@ -57,24 +57,24 @@ def schur_product(rows: ConstraintRows, props: BodyProps, gamma: Array) -> Array
     return apply_D(rows, dv, dw)
 
 
-def schur_rhs(rows: ConstraintRows, props: BodyProps, R_f: Array, R_tau: Array
-              ) -> Array:
-    """Right-hand side of the velocity-level VI:  ``r = D M⁻¹ R - b``.
+def schur_rhs(rows: ConstraintRows, v_free: Array, w_free: Array) -> Array:
+    """Right-hand side of the velocity-level VI:  ``r = D v_free - b``.
 
-    ``R = M v + h f`` is the free-momentum (world force / local torque split);
+    ``v_free = v + h M⁻¹ f`` is the unconstrained velocity after applied forces;
     ``b = rows.rhs`` carries stabilization and motor set-points.  The VI solved is
-    find γ: ``N γ + r ⊥ γ`` (cone), so at the solution ``D v⁺ = b``.
+    find γ ∈ K: ``(N γ + r)ᵀ (γ' - γ) ≥ 0 ∀ γ' ∈ K``, so at the solution
+    ``D v⁺ = b`` on the active set.
     """
-    dv, dw = apply_Minv(props, R_f, R_tau)
-    return apply_D(rows, dv, dw) - rows.rhs
+    return apply_D(rows, v_free, w_free) - rows.rhs
 
 
 def velocity_update(rows: ConstraintRows, props: BodyProps, gamma: Array,
-                    R_f: Array, R_tau: Array):
-    """Final velocities ``v⁺ = M⁻¹ (R + Dᵀ γ)`` → (v (N,3), w_local (N,3))."""
+                    v_free: Array, w_free: Array):
+    """Final velocities ``u⁺ = u_free + M⁻¹ Dᵀ γ`` → (v (N,3), w_local (N,3))."""
     n = props.inv_mass.shape[0]
     f, tau = apply_DT(rows, gamma, n)
-    return apply_Minv(props, R_f + f, R_tau + tau)
+    dv, dw = apply_Minv(props, f, tau)
+    return v_free + dv, w_free + dw
 
 
 def diag_N(rows: ConstraintRows, props: BodyProps) -> Array:

@@ -1,0 +1,251 @@
+"""Matrix-free cone-complementarity (VI) solvers.
+
+TPU-native counterparts of the reference's iterative VI solver family
+(/root/reference/src/chrono/solver/ChSolverAPGD.cpp, ChSolverBB.cpp,
+ChSolverPSOR.cpp): written as pure fixed-point loops under ``lax.while_loop`` so
+the entire Newton/contact solve stays inside one XLA program — no host round
+trips per iteration.  All operate on a generic SPD operator ``Nop`` (the Schur
+complement, see descriptor.py) and a projector onto the feasible cone.
+
+Problem: minimize ``q(γ) = ½ γᵀNγ + rᵀγ``  s.t. ``γ ∈ K``  (K = ℝ^mb × ∏ cones).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax import Array
+
+from chrono_tpu.utils.pytree import pytree_dataclass, static_field
+
+
+class VISolution(NamedTuple):
+    gamma: Array
+    iterations: Array   # () int32
+    residual: Array     # () float
+
+
+def _norm(x):
+    return jnp.sqrt(jnp.sum(x * x))
+
+
+def solve_apgd(
+    Nop: Callable[[Array], Array],
+    r: Array,
+    project: Callable[[Array], Array],
+    gamma0: Array,
+    max_iter: int = 100,
+    tol: float = 1e-6,
+) -> VISolution:
+    """Accelerated projected gradient descent (Nesterov) with adaptive Lipschitz
+    estimate, backtracking and gradient-based restart.
+
+    Functional re-design of the APGD scheme used by the reference
+    (ChSolverAPGD.cpp:30-180 — Mazhar/Heyn/Negrut variant): same algorithmic
+    ingredients, expressed as a single ``lax.while_loop`` whose body costs
+    1 + (backtracks) Schur products.
+    """
+    dtype = r.dtype
+    gamma = project(gamma0)
+    ones = jnp.ones_like(gamma)
+    dg0 = _norm(ones - gamma)
+    L0 = jnp.where(
+        dg0 > 0, _norm(Nop(ones) - Nop(gamma)) / jnp.maximum(dg0, 1e-30), 1.0
+    )
+    L0 = jnp.maximum(L0, 1e-10)
+
+    def q_val(g, Ng):
+        return 0.5 * jnp.dot(g, Ng) + jnp.dot(g, r)
+
+    class S(NamedTuple):
+        k: Array
+        gamma: Array
+        y: Array
+        theta: Array
+        L: Array
+        res: Array
+        g_best: Array
+        res_best: Array
+
+    def cond(s: S):
+        return (s.k < max_iter) & (s.res_best > tol)
+
+    def body(s: S):
+        Ny = Nop(s.y)
+        grad_y = Ny + r
+        qy = q_val(s.y, Ny)
+
+        # backtracking: find L s.t. q(g+) <= q(y) + grad·d + L/2 |d|^2
+        def bt_cond(c):
+            L, g_new, Ng_new, tries = c
+            d = g_new - s.y
+            ub = qy + jnp.dot(grad_y, d) + 0.5 * L * jnp.sum(d * d)
+            return (q_val(g_new, Ng_new) > ub + 1e-12) & (tries < 12)
+
+        def bt_body(c):
+            L, _, _, tries = c
+            L2 = 2.0 * L
+            g2 = project(s.y - grad_y / L2)
+            return (L2, g2, Nop(g2), tries + 1)
+
+        g1 = project(s.y - grad_y / s.L)
+        L, g_new, Ng_new, _ = lax.while_loop(
+            bt_cond, bt_body, (s.L, g1, Nop(g1), jnp.zeros((), jnp.int32))
+        )
+
+        # Nesterov momentum
+        th = s.theta
+        th_new = 0.5 * (-th * th + th * jnp.sqrt(th * th + 4.0))
+        beta = th * (1.0 - th) / (th * th + th_new)
+        y_new = g_new + beta * (g_new - s.gamma)
+
+        # restart on non-descent
+        restart = jnp.dot(grad_y, g_new - s.gamma) > 0
+        y_new = jnp.where(restart, g_new, y_new)
+        th_new = jnp.where(restart, 1.0, th_new)
+
+        # natural-map residual at g_new (uses Ng_new from backtracking)
+        res = _norm(g_new - project(g_new - (Ng_new + r))) / jnp.maximum(
+            jnp.asarray(1.0, dtype), _norm(g_new)
+        )
+        better = res < s.res_best
+        g_best = jnp.where(better, g_new, s.g_best)
+        res_best = jnp.where(better, res, s.res_best)
+
+        return S(s.k + 1, g_new, y_new, th_new, 0.9 * L, res, g_best, res_best)
+
+    init = S(
+        jnp.zeros((), jnp.int32), gamma, gamma,
+        jnp.ones((), dtype), L0.astype(dtype),
+        jnp.asarray(jnp.inf, dtype), gamma, jnp.asarray(jnp.inf, dtype),
+    )
+    out = lax.while_loop(cond, body, init)
+    return VISolution(out.g_best, out.k, out.res_best)
+
+
+def solve_bb(
+    Nop: Callable[[Array], Array],
+    r: Array,
+    project: Callable[[Array], Array],
+    gamma0: Array,
+    max_iter: int = 100,
+    tol: float = 1e-6,
+    history: int = 10,
+) -> VISolution:
+    """Projected Barzilai–Borwein spectral gradient with nonmonotone
+    (Grippo-style) line search — the reference's other workhorse VI solver
+    (ChSolverBB.cpp:33-110), re-expressed as a lax loop.
+    """
+    dtype = r.dtype
+    gamma = project(gamma0)
+
+    def q_and_grad(g):
+        Ng = Nop(g)
+        return 0.5 * jnp.dot(g, Ng) + jnp.dot(g, r), Ng + r
+
+    class S(NamedTuple):
+        k: Array
+        gamma: Array
+        grad: Array
+        alpha: Array
+        fhist: Array  # (history,) recent objective values
+        res: Array
+        g_best: Array
+        res_best: Array
+
+    q0, grad0 = q_and_grad(gamma)
+    fhist0 = jnp.full((history,), -jnp.inf, dtype).at[0].set(q0)
+
+    def cond(s: S):
+        return (s.k < max_iter) & (s.res_best > tol)
+
+    def body(s: S):
+        f_ref = jnp.max(s.fhist)
+
+        # projected step along spectral step length, halving until the
+        # nonmonotone Armijo condition holds
+        def ls_cond(c):
+            lam, g_new, q_new, tries = c
+            d = g_new - s.gamma
+            return (q_new > f_ref + 1e-4 * jnp.dot(s.grad, d)) & (tries < 10)
+
+        def ls_body(c):
+            lam, _, _, tries = c
+            lam2 = 0.5 * lam
+            g2 = project(s.gamma - lam2 * s.alpha * s.grad)
+            q2, _ = q_and_grad(g2)
+            return (lam2, g2, q2, tries + 1)
+
+        g1 = project(s.gamma - s.alpha * s.grad)
+        q1, _ = q_and_grad(g1)
+        lam, g_new, q_new, _ = lax.while_loop(
+            ls_cond, ls_body, (jnp.ones((), dtype), g1, q1, jnp.zeros((), jnp.int32))
+        )
+        _, grad_new = q_and_grad(g_new)
+
+        # BB1 spectral step from (s_k, y_k)
+        sk = g_new - s.gamma
+        yk = grad_new - s.grad
+        sy = jnp.dot(sk, yk)
+        ss = jnp.dot(sk, sk)
+        alpha_new = jnp.where(sy > 1e-30, ss / jnp.maximum(sy, 1e-30), s.alpha)
+        alpha_new = jnp.clip(alpha_new, 1e-12, 1e12)
+
+        fhist = jnp.roll(s.fhist, 1).at[0].set(q_new)
+        res = _norm(g_new - project(g_new - grad_new)) / jnp.maximum(
+            jnp.asarray(1.0, dtype), _norm(g_new)
+        )
+        better = res < s.res_best
+        return S(
+            s.k + 1, g_new, grad_new, alpha_new, fhist, res,
+            jnp.where(better, g_new, s.g_best),
+            jnp.where(better, res, s.res_best),
+        )
+
+    init = S(
+        jnp.zeros((), jnp.int32), gamma, grad0,
+        jnp.ones((), dtype), fhist0,
+        jnp.asarray(jnp.inf, dtype), gamma, jnp.asarray(jnp.inf, dtype),
+    )
+    out = lax.while_loop(cond, body, init)
+    return VISolution(out.g_best, out.k, out.res_best)
+
+
+def solve_pjacobi(
+    Nop: Callable[[Array], Array],
+    r: Array,
+    project: Callable[[Array], Array],
+    gamma0: Array,
+    diag: Array,
+    max_iter: int = 200,
+    tol: float = 1e-6,
+    omega: float = 0.3,
+) -> VISolution:
+    """Projected (under-relaxed) Jacobi iteration.
+
+    Data-parallel stand-in for the reference's PSOR (ChSolverPSOR.cpp):
+    Gauss–Seidel sweeps are inherently sequential, so on TPU we use the Jacobi
+    splitting with per-row diagonal scaling — same fixed point, fully parallel.
+    """
+    dtype = r.dtype
+    inv_d = 1.0 / jnp.maximum(diag, 1e-30)
+
+    def cond(c):
+        k, g, res = c
+        return (k < max_iter) & (res > tol)
+
+    def body(c):
+        k, g, _ = c
+        grad = Nop(g) + r
+        g_new = project(g - omega * inv_d * grad)
+        res = _norm(g_new - g) / jnp.maximum(jnp.asarray(1.0, dtype), _norm(g_new))
+        return (k + 1, g_new, res)
+
+    k, g, res = lax.while_loop(
+        cond, body,
+        (jnp.zeros((), jnp.int32), project(gamma0), jnp.asarray(jnp.inf, dtype)),
+    )
+    return VISolution(g, k, res)
