@@ -65,7 +65,7 @@ def schur_rhs(rows: ConstraintRows, v_free: Array, w_free: Array) -> Array:
     find γ ∈ K: ``(N γ + r)ᵀ (γ' - γ) ≥ 0 ∀ γ' ∈ K``, so at the solution
     ``D v⁺ = b`` on the active set.
     """
-    return apply_D(rows, v_free, w_free) - rows.rhs
+    return jnp.where(rows.active, apply_D(rows, v_free, w_free) - rows.rhs, 0.0)
 
 
 def velocity_update(rows: ConstraintRows, props: BodyProps, gamma: Array,
