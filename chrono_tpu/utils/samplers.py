@@ -1,0 +1,98 @@
+"""Particle samplers: grid, HCP, and Poisson-disk point generation.
+
+Capability match for the reference's sampler suite
+(/root/reference/src/chrono/utils/ChUtilsSamplers.h:103-531) used to initialize
+granular beds and SPH volumes.  Host-side numpy (runs once at scene build).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def grid_sample_box(lo, hi, spacing, jitter=0.0, seed=0) -> np.ndarray:
+    """Regular grid with optional random jitter, points at cell centers."""
+    lo = np.asarray(lo, float)
+    hi = np.asarray(hi, float)
+    counts = np.maximum(((hi - lo) / spacing).astype(int), 1)
+    axes = [lo[i] + spacing * (np.arange(counts[i]) + 0.5) for i in range(3)]
+    pts = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1).reshape(-1, 3)
+    if jitter > 0:
+        rng = np.random.default_rng(seed)
+        pts = pts + rng.uniform(-jitter, jitter, pts.shape) * spacing
+    return pts
+
+
+def hcp_sample_box(lo, hi, radius) -> np.ndarray:
+    """Hexagonal-close-packed sphere centers filling an axis-aligned box."""
+    lo = np.asarray(lo, float)
+    hi = np.asarray(hi, float)
+    d = 2.0 * radius
+    dx = d
+    dy = d * np.sqrt(3.0) / 2.0
+    dz = d * np.sqrt(6.0) / 3.0
+    pts = []
+    k = 0
+    z = lo[2] + radius
+    while z <= hi[2] - radius + 1e-12:
+        j = 0
+        y = lo[1] + radius + (dy / 3.0 if k % 2 else 0.0)
+        while y <= hi[1] - radius + 1e-12:
+            x0 = lo[0] + radius + (radius if (j + k) % 2 else 0.0)
+            xs = np.arange(x0, hi[0] - radius + 1e-12, dx)
+            row = np.stack([xs, np.full_like(xs, y), np.full_like(xs, z)],
+                           axis=-1)
+            pts.append(row)
+            y += dy
+            j += 1
+        z += dz
+        k += 1
+    return (np.concatenate(pts, axis=0) if pts
+            else np.zeros((0, 3)))
+
+
+def poisson_disk_sample_box(lo, hi, min_dist, seed=0, k_tries=30) -> np.ndarray:
+    """Bridson-style Poisson-disk sampling inside a box."""
+    rng = np.random.default_rng(seed)
+    lo = np.asarray(lo, float)
+    hi = np.asarray(hi, float)
+    cell = min_dist / np.sqrt(3.0)
+    dims = np.maximum(((hi - lo) / cell).astype(int) + 1, 1)
+    grid = -np.ones(dims, dtype=int)
+    pts = []
+    active = []
+
+    def gidx(p):
+        return tuple(((p - lo) / cell).astype(int).clip(0, dims - 1))
+
+    def ok(p):
+        if np.any(p < lo) or np.any(p > hi):
+            return False
+        gi = np.array(gidx(p))
+        sl = tuple(slice(max(0, gi[i] - 2), min(dims[i], gi[i] + 3))
+                   for i in range(3))
+        for idx in grid[sl].ravel():
+            if idx >= 0 and np.linalg.norm(pts[idx] - p) < min_dist:
+                return False
+        return True
+
+    p0 = rng.uniform(lo, hi)
+    pts.append(p0)
+    grid[gidx(p0)] = 0
+    active.append(0)
+    while active:
+        i = active[rng.integers(len(active))]
+        found = False
+        for _ in range(k_tries):
+            dir_ = rng.normal(size=3)
+            dir_ /= np.linalg.norm(dir_)
+            p = pts[i] + dir_ * rng.uniform(min_dist, 2 * min_dist)
+            if ok(p):
+                pts.append(p)
+                grid[gidx(p)] = len(pts) - 1
+                active.append(len(pts) - 1)
+                found = True
+                break
+        if not found:
+            active.remove(i)
+    return np.asarray(pts)

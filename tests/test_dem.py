@@ -1,0 +1,154 @@
+"""Granular DEM physical-behavior tests.
+
+Mirrors the reference's DEM test strategy (unit_tests/dem: ballistic, stacking,
+pyramid friction-dependence) with analytic fixtures sized for CPU test runs.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from chrono_tpu.dem import DEMSystem
+from chrono_tpu.dem.neighbors import NeighborList, migrate_history
+from chrono_tpu.utils.samplers import grid_sample_box, hcp_sample_box
+
+
+def make_system(radius=0.05, box=((0, 0, 0), (1, 1, 1)), **kw):
+    sys = DEMSystem(radius=radius, density=2500, box=box, **kw)
+    sys.set_material(youngs=5e6, poisson=0.3, restitution=0.4, mu_s=0.5)
+    sys.set_wall_material(youngs=5e6, poisson=0.3, restitution=0.4, mu_s=0.5)
+    return sys
+
+
+class TestDEMBasics:
+    def test_ballistic_single(self):
+        # one particle in free flight: parabola (no contacts at all)
+        sys = make_system(box=((0, 0, 0), (2, 2, 4)))
+        sys.create_particles(np.array([[1.0, 1.0, 3.0]]))
+        t = 0.3
+        sys.advance(t)
+        t_actual = float(sys.state.time)
+        # exact kick-drift (semi-implicit Euler) free-fall sum: z0 − g/2·t(t+h)
+        z_expect = 3.0 - 0.5 * 9.81 * t_actual * (t_actual + sys.dt)
+        np.testing.assert_allclose(sys.positions[0, 2], z_expect, rtol=1e-5)
+
+    def test_bounce_restitution(self):
+        # drop from h, restitution e: rebound apex ≈ e² h (Hertz damping is
+        # velocity-dependent so equality is approximate)
+        sys = make_system(radius=0.05, box=((0, 0, 0), (1, 1, 2)))
+        e = 0.6
+        sys.set_material(restitution=e)
+        sys.set_wall_material(restitution=e)
+        sys.create_particles(np.array([[0.5, 0.5, 0.55]]))
+        h0 = 0.55 - 0.05  # drop height above ground contact
+        apex = 0.0
+        bounced = False
+        for _ in range(160):
+            sys.advance(0.01)
+            z = sys.positions[0, 2]
+            vz = sys.velocities[0, 2]
+            if bounced:
+                apex = max(apex, z)
+            if not bounced and vz > 0.1:
+                bounced = True
+        h1 = apex - 0.05
+        ratio = h1 / h0
+        assert 0.7 * e**2 < ratio < 1.1 * e**2, f"rebound ratio {ratio}"
+
+    def test_two_particle_head_on(self):
+        # symmetric head-on: momentum conserved (zero), KE reduced by e²
+        sys = make_system(radius=0.05, box=((0, 0, 0), (2, 1, 1)))
+        sys.set_material(restitution=0.8, mu_s=0.0)
+        sys = sys  # gravity off:
+        sys._gravity = (0, 0, 0)
+        sys.create_particles(
+            np.array([[0.8, 0.5, 0.5], [1.2, 0.5, 0.5]]),
+            vel=np.array([[1.0, 0, 0], [-1.0, 0, 0]]))
+        sys.advance(0.25)
+        v = sys.velocities
+        np.testing.assert_allclose(v[0, 0] + v[1, 0], 0.0, atol=1e-4)
+        e_meas = -v[0, 0] / 1.0
+        assert 0.6 < e_meas <= 0.92, f"restitution {e_meas}"
+
+    def test_settles_on_floor(self):
+        sys = make_system(radius=0.05, box=((0, 0, 0), (0.5, 0.5, 1)))
+        pts = grid_sample_box((0.05, 0.05, 0.05), (0.45, 0.45, 0.45), 0.11,
+                              jitter=0.05, seed=1)
+        sys.create_particles(pts)
+        sys.advance(2.0)
+        z = sys.positions[:, 2]
+        # soft spheres (E=5e6) rest with ~1mm static Hertz overlap under load
+        assert z.min() > 0.047, "particle through the floor"
+        assert z.max() < 0.5, "particles should settle low"
+        ke = sys.kinetic_energy() / len(pts)
+        assert ke < 1e-3, f"not settled, KE/particle={ke}"
+
+    def test_column_stack_friction(self):
+        # two-sphere column stays stacked (no lateral drift) with friction
+        sys = make_system(radius=0.05, box=((0, 0, 0), (0.4, 0.4, 1)))
+        sys.create_particles(np.array([[0.2, 0.2, 0.0501],
+                                       [0.2, 0.2, 0.1502]]))
+        sys.advance(0.5)
+        p = sys.positions
+        np.testing.assert_allclose(p[:, 0], 0.2, atol=1e-3)
+        np.testing.assert_allclose(p[1, 2] - p[0, 2], 0.1, atol=2e-3)
+
+    def test_energy_decays_no_gain(self):
+        sys = make_system(radius=0.05, box=((0, 0, 0), (0.5, 0.5, 0.5)))
+        pts = hcp_sample_box((0.02, 0.02, 0.02), (0.48, 0.48, 0.3), 0.051)
+        rng = np.random.default_rng(3)
+        vel = rng.normal(0, 0.5, (len(pts), 3))
+        sys.create_particles(pts, vel=vel)
+        sys._gravity = (0, 0, 0)
+        sys.create_particles(pts, vel=vel)  # rebuild with gravity off
+        e0 = sys.kinetic_energy()
+        for _ in range(5):
+            sys.advance(0.05)
+            e1 = sys.kinetic_energy()
+            assert e1 < e0 * 1.01, "energy gained"
+            e0 = e1
+
+
+class TestNeighborMigration:
+    def test_history_carries_and_zeroes(self):
+        K = 4
+        old = NeighborList(
+            idx=jnp.asarray([[3, 7, -1, -1], [0, -1, -1, -1]]),
+            valid=jnp.asarray([[True, True, False, False],
+                               [True, False, False, False]]),
+            overflow=jnp.zeros((), jnp.int32))
+        hist = jnp.zeros((2, K, 3)).at[0, 0].set([1., 2., 3.]) \
+                                   .at[0, 1].set([4., 5., 6.]) \
+                                   .at[1, 0].set([7., 8., 9.])
+        new = NeighborList(
+            idx=jnp.asarray([[7, 2, 3, -1], [1, 0, -1, -1]]),
+            valid=jnp.asarray([[True, True, True, False],
+                               [True, True, False, False]]),
+            overflow=jnp.zeros((), jnp.int32))
+        out = np.asarray(migrate_history(old, hist, new))
+        np.testing.assert_allclose(out[0, 0], [4, 5, 6])   # partner 7 carried
+        np.testing.assert_allclose(out[0, 1], 0.0)         # new partner 2
+        np.testing.assert_allclose(out[0, 2], [1, 2, 3])   # partner 3 carried
+        np.testing.assert_allclose(out[1, 0], 0.0)         # new partner 1
+        np.testing.assert_allclose(out[1, 1], [7, 8, 9])   # partner 0 carried
+
+
+class TestSamplers:
+    def test_grid_density(self):
+        pts = grid_sample_box((0, 0, 0), (1, 1, 1), 0.1)
+        assert len(pts) == 1000
+
+    def test_hcp_spacing(self):
+        pts = hcp_sample_box((0, 0, 0), (0.5, 0.5, 0.5), 0.05)
+        assert len(pts) > 50
+        from scipy.spatial import cKDTree  # noqa — scipy is available with jax
+        d, _ = cKDTree(pts).query(pts, k=2)
+        assert d[:, 1].min() > 0.099  # no overlap
+
+    def test_poisson_min_dist(self):
+        from chrono_tpu.utils.samplers import poisson_disk_sample_box
+        pts = poisson_disk_sample_box((0, 0, 0), (0.5, 0.5, 0.5), 0.08, seed=2)
+        from scipy.spatial import cKDTree
+        d, _ = cKDTree(pts).query(pts, k=2)
+        assert d[:, 1].min() >= 0.08 * 0.999
+        assert len(pts) > 50
