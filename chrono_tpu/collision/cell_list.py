@@ -25,24 +25,60 @@ from chrono_tpu.utils.pytree import pytree_dataclass, static_field
 
 @pytree_dataclass
 class GridSpec:
-    """Static description of the uniform grid (compile-time constant)."""
+    """Static description of the uniform grid (compile-time constant).
+
+    ``periodic`` axes wrap both the cell neighborhood and (via
+    :func:`min_image`) pair displacements — the reference FSI's periodic BC
+    support (SphFluidDynamics.cu:190) without ghost particles.
+    """
 
     origin: tuple = static_field(default=(0.0, 0.0, 0.0))
     cell_size: float = static_field(default=1.0)
     dims: tuple = static_field(default=(8, 8, 8))  # (nx, ny, nz)
+    periodic: tuple = static_field(default=(False, False, False))
 
     @property
     def n_cells(self) -> int:
         nx, ny, nz = self.dims
         return nx * ny * nz
 
+    @property
+    def lengths(self) -> tuple:
+        return tuple(d * self.cell_size for d in self.dims)
 
-def cell_index(grid: GridSpec, pos: Array) -> Array:
-    """Linear cell id per position (clamped to the grid), (N,) int32."""
+
+def wrap_positions(grid: GridSpec, pos: Array) -> Array:
+    """Wrap positions into the domain along periodic axes."""
+    if not any(grid.periodic):
+        return pos
+    origin = jnp.asarray(grid.origin, pos.dtype)
+    L = jnp.asarray(grid.lengths, pos.dtype)
+    wrapped = origin + jnp.mod(pos - origin, L)
+    mask = jnp.asarray(grid.periodic)
+    return jnp.where(mask, wrapped, pos)
+
+
+def min_image(grid: GridSpec, d: Array) -> Array:
+    """Minimum-image displacement for periodic axes."""
+    if not any(grid.periodic):
+        return d
+    L = jnp.asarray(grid.lengths, d.dtype)
+    wrapped = d - L * jnp.round(d / L)
+    mask = jnp.asarray(grid.periodic)
+    return jnp.where(mask, wrapped, d)
+
+
+def cell_ijk(grid: GridSpec, pos: Array) -> Array:
     origin = jnp.asarray(grid.origin, pos.dtype)
     nx, ny, nz = grid.dims
     ijk = jnp.floor((pos - origin) / grid.cell_size).astype(jnp.int32)
-    ijk = jnp.clip(ijk, 0, jnp.asarray([nx - 1, ny - 1, nz - 1], jnp.int32))
+    return jnp.clip(ijk, 0, jnp.asarray([nx - 1, ny - 1, nz - 1], jnp.int32))
+
+
+def cell_index(grid: GridSpec, pos: Array) -> Array:
+    """Linear cell id per position (clamped to the grid), (N,) int32."""
+    ijk = cell_ijk(grid, pos)
+    nx, ny, nz = grid.dims
     return (ijk[..., 0] * ny + ijk[..., 1]) * nz + ijk[..., 2]
 
 
@@ -67,42 +103,44 @@ def build_cell_list(grid: GridSpec, pos: Array) -> CellList:
                     cell_ids_sorted=ids[order])
 
 
-def _neighbor_cell_offsets(grid: GridSpec):
-    """The 27 linear-id offsets of the 3×3×3 neighborhood."""
-    nx, ny, nz = grid.dims
-    offs = []
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            for dz in (-1, 0, 1):
-                offs.append((dx * ny + dy) * nz + dz)
-    return jnp.asarray(offs, jnp.int32)  # (27,)
+_OFFSETS_27 = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+               for dz in (-1, 0, 1)]
 
 
 def neighbor_candidates(
-    grid: GridSpec, cl: CellList, query_cells: Array, max_per_cell: int
+    grid: GridSpec, cl: CellList, query_ijk: Array, max_per_cell: int
 ) -> tuple[Array, Array]:
-    """For each query, particle indices in its 27-cell neighborhood.
+    """For each query cell (Q, 3 ijk), particle indices in its 3×3×3 neighborhood.
 
-    Returns ``(cand (Q, 27*max_per_cell) int32, valid (Q, 27*max_per_cell) bool)``
-    — padded with invalid slots when a cell holds more than ``max_per_cell``
-    particles (capacity overflow is detectable via :func:`cell_occupancy_max`).
-
-    Note: neighbor cells are found by LINEAR-id offset, so queries in boundary
-    cells may alias cells from the opposite face; callers must distance-filter
-    (they all do), and grids should include one empty guard layer when domains
-    touch the grid edge.
+    Proper 3-D neighbor indexing: out-of-range neighbor cells are masked
+    invalid on non-periodic axes and wrapped on periodic axes — no edge
+    aliasing.  Returns ``(cand (Q, 27·max_per_cell) int32, valid (…,) bool)``;
+    slots past ``max_per_cell`` per cell are dropped (overflow detectable via
+    :func:`cell_occupancy_max`).
     """
-    offs = _neighbor_cell_offsets(grid)  # (27,)
-    cells = query_cells[:, None] + offs[None, :]          # (Q, 27)
-    cells = jnp.clip(cells, 0, grid.n_cells - 1)
+    nx, ny, nz = grid.dims
+    for ax in range(3):
+        if grid.periodic[ax] and grid.dims[ax] < 3:
+            raise ValueError(
+                f"periodic axis {ax} needs >=3 cells (got {grid.dims[ax]}): "
+                "with fewer, the 3x3x3 neighborhood wraps onto the same cell "
+                "more than once and pairs get double-counted")
+    dims = jnp.asarray(grid.dims, jnp.int32)
+    periodic = jnp.asarray(grid.periodic)
+    offs = jnp.asarray(_OFFSETS_27, jnp.int32)             # (27, 3)
+    nb = query_ijk[:, None, :] + offs[None, :, :]          # (Q, 27, 3)
+    in_range = jnp.all((nb >= 0) & (nb < dims) | periodic[None, None, :],
+                       axis=-1)                            # (Q, 27)
+    nb = jnp.mod(nb, dims)                                 # wrap (no-op in range)
+    cells = (nb[..., 0] * ny + nb[..., 1]) * nz + nb[..., 2]
     start = jnp.searchsorted(cl.cell_ids_sorted, cells)    # (Q, 27)
     end = jnp.searchsorted(cl.cell_ids_sorted, cells, side="right")
     slots = jnp.arange(max_per_cell, dtype=jnp.int32)      # (K,)
     idx_sorted = start[..., None] + slots                  # (Q, 27, K)
-    valid = idx_sorted < end[..., None]
+    valid = (idx_sorted < end[..., None]) & in_range[..., None]
     idx_sorted = jnp.minimum(idx_sorted, cl.order.shape[0] - 1)
     cand = cl.order[idx_sorted]                            # (Q, 27, K)
-    Q = query_cells.shape[0]
+    Q = query_ijk.shape[0]
     return cand.reshape(Q, -1), valid.reshape(Q, -1)
 
 

@@ -23,7 +23,7 @@ from chrono_tpu.physics.body import BodyState
 from chrono_tpu.physics.constraints import ConstraintRows
 from chrono_tpu.collision import narrowphase as nphase
 from chrono_tpu.collision.cell_list import (
-    GridSpec, build_cell_list, cell_index, neighbor_candidates,
+    GridSpec, build_cell_list, cell_ijk, neighbor_candidates,
 )
 
 
@@ -98,8 +98,8 @@ def detect_contacts(coll: CollisionModel, state: BodyState) -> Contacts:
     S = sp.n
     centers = _sphere_world(sp, state)                     # (S,3)
     cl = build_cell_list(coll.grid, centers)
-    qcells = cell_index(coll.grid, centers)
-    cand, valid = neighbor_candidates(coll.grid, cl, qcells, coll.max_per_cell)
+    qijk = cell_ijk(coll.grid, centers)
+    cand, valid = neighbor_candidates(coll.grid, cl, qijk, coll.max_per_cell)
     C = cand.shape[1]
 
     # sphere-sphere candidate filtering

@@ -21,7 +21,8 @@ from jax import Array
 
 from chrono_tpu.utils.pytree import pytree_dataclass
 from chrono_tpu.collision.cell_list import (
-    GridSpec, build_cell_list, cell_index, neighbor_candidates, compact_rows,
+    GridSpec, build_cell_list, cell_ijk, neighbor_candidates, compact_rows,
+    min_image,
 )
 
 
@@ -39,15 +40,21 @@ def build_neighbor_list(grid: GridSpec, pos: Array, cutoff,
     """All j≠i with |x_j − x_i| < cutoff, up to K per particle."""
     n = pos.shape[0]
     cl = build_cell_list(grid, pos)
-    qcells = cell_index(grid, pos)
-    cand, cvalid = neighbor_candidates(grid, cl, qcells, max_per_cell)
+    qijk = cell_ijk(grid, pos)
+    cand, cvalid = neighbor_candidates(grid, cl, qijk, max_per_cell)
     i_idx = jnp.arange(n, dtype=jnp.int32)[:, None]
     j = cand
     ok = cvalid & (j != i_idx)
-    d = pos[:, None, :] - pos[jnp.maximum(j, 0)]
+    d = min_image(grid, pos[:, None, :] - pos[jnp.maximum(j, 0)])
     ok &= jnp.sum(d * d, axis=-1) < cutoff * cutoff
     idx, valid = compact_rows(j, ok, k_max)
     overflow = jnp.maximum(jnp.sum(ok, axis=1).max() - k_max, 0)
+    # capacity overflow is silent truncation upstream of `ok` — detect it too
+    from chrono_tpu.collision.cell_list import cell_index
+    counts = jnp.zeros((grid.n_cells,), jnp.int32).at[
+        cell_index(grid, pos)].add(1)
+    cell_over = jnp.maximum(counts.max() - max_per_cell, 0)
+    overflow = jnp.maximum(overflow, cell_over)
     return NeighborList(idx=idx, valid=valid, overflow=overflow.astype(jnp.int32))
 
 

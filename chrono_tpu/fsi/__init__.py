@@ -1,0 +1,1 @@
+from chrono_tpu.fsi import sph, bce

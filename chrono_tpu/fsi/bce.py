@@ -1,0 +1,165 @@
+"""BCE (boundary-condition-enforcing) marker generation and rigid-body coupling.
+
+Counterpart of the reference's BCE manager
+(/root/reference/src/chrono_fsi/sph/physics/SphBceManager.cu: marker state
+update from body kinematics :611, per-body force/torque reduction :307/:529)
+and the marker generators of ChFsiProblemSPH (AddRigidBody{Sphere,Box,...}):
+
+* generators lay multiple shells of markers (default 3 layers, matching
+  ChFsiParamsSPH.h:65) over walls and rigid-body surfaces, host-side numpy;
+* at runtime, marker kinematics follow their body (gather over body_id) and
+  fluid reactions reduce to per-body force/torque via ``segment_sum`` — the
+  TPU-native replacement for the CUDA per-body block reductions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from chrono_tpu.core import quaternion as Q
+
+
+# ---------------- host-side marker generators ----------------
+
+def box_wall_markers(lo, hi, spacing, layers=3, top_open=True) -> np.ndarray:
+    """Markers for the inner walls of a box container (layers shells outward)."""
+    lo = np.asarray(lo, float)
+    hi = np.asarray(hi, float)
+    pts = []
+    nx, ny, nz = [max(int(round((hi[i] - lo[i]) / spacing)) + 1, 2)
+                  for i in range(3)]
+    xs = np.linspace(lo[0], hi[0], nx)
+    ys = np.linspace(lo[1], hi[1], ny)
+    zs = np.linspace(lo[2], hi[2], nz)
+    for l in range(layers):
+        off = l * spacing
+        # floor / ceiling
+        g = np.stack(np.meshgrid(xs, ys, indexing="ij"), -1).reshape(-1, 2)
+        pts.append(np.c_[g, np.full(len(g), lo[2] - off)])
+        if not top_open:
+            pts.append(np.c_[g, np.full(len(g), hi[2] + off)])
+        # x walls
+        g = np.stack(np.meshgrid(ys, zs, indexing="ij"), -1).reshape(-1, 2)
+        pts.append(np.c_[np.full(len(g), lo[0] - off), g])
+        pts.append(np.c_[np.full(len(g), hi[0] + off), g])
+        # y walls
+        g = np.stack(np.meshgrid(xs, zs, indexing="ij"), -1).reshape(-1, 2)
+        pts.append(np.c_[g[:, 0], np.full(len(g), lo[1] - off), g[:, 1]])
+        pts.append(np.c_[g[:, 0], np.full(len(g), hi[1] + off), g[:, 1]])
+    pts = np.concatenate(pts, axis=0)
+    return np.unique(np.round(pts / (spacing * 1e-3)).astype(np.int64),
+                     axis=0) * (spacing * 1e-3)
+
+
+def sphere_body_markers(radius, spacing, layers=3) -> np.ndarray:
+    """Marker shells on/inside a sphere surface (body-local coords)."""
+    pts = []
+    for l in range(layers):
+        r = radius - l * spacing
+        if r <= spacing * 0.5:
+            break
+        n_theta = max(int(np.pi * r / spacing), 4)
+        for it in range(n_theta + 1):
+            th = np.pi * it / n_theta
+            n_phi = max(int(2 * np.pi * r * np.sin(th) / spacing), 1)
+            for ip in range(n_phi):
+                ph = 2 * np.pi * ip / n_phi
+                pts.append([r * np.sin(th) * np.cos(ph),
+                            r * np.sin(th) * np.sin(ph),
+                            r * np.cos(th)])
+    return np.asarray(pts)
+
+
+def box_body_markers(half, spacing, layers=3) -> np.ndarray:
+    """Marker shells on a box surface (body-local coords)."""
+    half = np.asarray(half, float)
+    pts = []
+    for l in range(layers):
+        h = half - l * spacing
+        if np.any(h <= 0):
+            break
+        ns = np.maximum((2 * h / spacing).astype(int) + 1, 2)
+        xs, ys, zs = [np.linspace(-h[i], h[i], ns[i]) for i in range(3)]
+        g = np.stack(np.meshgrid(xs, ys, indexing="ij"), -1).reshape(-1, 2)
+        pts.append(np.c_[g, np.full(len(g), -h[2])])
+        pts.append(np.c_[g, np.full(len(g), h[2])])
+        g = np.stack(np.meshgrid(ys, zs[1:-1], indexing="ij"), -1).reshape(-1, 2)
+        pts.append(np.c_[np.full(len(g), -h[0]), g])
+        pts.append(np.c_[np.full(len(g), h[0]), g])
+        g = np.stack(np.meshgrid(xs[1:-1], zs[1:-1], indexing="ij"), -1
+                     ).reshape(-1, 2)
+        pts.append(np.c_[g[:, 0], np.full(len(g), -h[1]), g[:, 1]])
+        pts.append(np.c_[g[:, 0], np.full(len(g), h[1]), g[:, 1]])
+    return np.concatenate(pts, axis=0)
+
+
+def cylinder_body_markers(radius, height, spacing, layers=3, axis="z"):
+    """Marker shells on a closed cylinder surface (body-local, axis z)."""
+    pts = []
+    for l in range(layers):
+        r = radius - l * spacing
+        if r <= spacing * 0.5:
+            break
+        zs = np.arange(-height / 2, height / 2 + spacing * 0.5, spacing)
+        n_phi = max(int(2 * np.pi * r / spacing), 4)
+        phis = 2 * np.pi * np.arange(n_phi) / n_phi
+        for z in zs:
+            pts.append(np.c_[r * np.cos(phis), r * np.sin(phis),
+                             np.full(n_phi, z)])
+        # caps
+        rr = np.arange(0, r, spacing)
+        for rc in rr:
+            n_p = max(int(2 * np.pi * rc / spacing), 1)
+            ph = 2 * np.pi * np.arange(n_p) / n_p
+            for zc in (-height / 2 - l * spacing, height / 2 + l * spacing):
+                pts.append(np.c_[rc * np.cos(ph), rc * np.sin(ph),
+                                 np.full(n_p, zc)])
+    return np.concatenate(pts, axis=0)
+
+
+# ---------------- runtime coupling ----------------
+
+def update_rigid_markers(pos, vel, kind, body_id, bce_local,
+                         body_x, body_q, body_v, body_w):
+    """Refresh RIGID_BCE marker positions/velocities from body states.
+
+    x_m = x_b + R(q_b) ξ_m ;  v_m = v_b + ω_b × (R ξ_m)
+    (the reference's UpdateBodyMarkerState_D, SphBceManager.cu:611).
+    """
+    from chrono_tpu.fsi.sph.state import RIGID_BCE
+
+    b = jnp.maximum(body_id, 0)
+    r_world = Q.qrotate(body_q[b], bce_local)
+    w_world = Q.qrotate(body_q[b], body_w[b])          # body ω is local
+    mpos = body_x[b] + r_world
+    mvel = body_v[b] + jnp.cross(w_world, r_world)
+    is_rigid = (kind == RIGID_BCE)[:, None]
+    return (jnp.where(is_rigid, mpos, pos),
+            jnp.where(is_rigid, mvel, vel))
+
+
+def rigid_body_forces(params, dv_dt, kind, body_id, pos, body_x, n_bodies):
+    """Reduce fluid reactions on RIGID_BCE markers → per-body force/torque.
+
+    f_m = m_marker · (dv/dt)_m ; τ about each body's COM; segment-sum over
+    body_id (the reference's CalcRigidForces_D / Rigid_Forces_Torques).
+    Returns (force (B,3) world, torque (B,3) world).
+    """
+    from chrono_tpu.fsi.sph.state import RIGID_BCE
+    from chrono_tpu.fsi.sph.wcsph import particle_mass
+
+    m = particle_mass(params)
+    is_rigid = kind == RIGID_BCE
+    f_m = jnp.where(is_rigid[:, None], m * dv_dt, 0.0)
+    b = jnp.maximum(body_id, 0)
+    r = pos - body_x[b]
+    tau_m = jnp.cross(r, f_m)
+    force = jnp.zeros((n_bodies, 3), pos.dtype).at[b].add(
+        jnp.where(is_rigid[:, None], f_m, 0.0))
+    torque = jnp.zeros((n_bodies, 3), pos.dtype).at[b].add(
+        jnp.where(is_rigid[:, None], tau_m, 0.0))
+    return force, torque

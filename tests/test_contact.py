@@ -15,7 +15,7 @@ from chrono_tpu.collision import (
 )
 from chrono_tpu.collision import narrowphase as nph
 from chrono_tpu.collision.cell_list import (
-    build_cell_list, cell_index, neighbor_candidates, compact_rows,
+    build_cell_list, cell_ijk, neighbor_candidates, compact_rows,
 )
 
 
@@ -94,7 +94,7 @@ class TestBroadphase:
         r = 0.3
         grid = GridSpec(origin=(0.0, 0.0, 0.0), cell_size=0.7, dims=(12, 12, 12))
         cl = build_cell_list(grid, pos)
-        qc = cell_index(grid, pos)
+        qc = cell_ijk(grid, pos)
         cand, valid = neighbor_candidates(grid, cl, qc, max_per_cell=8)
         i = np.broadcast_to(np.arange(n)[:, None], cand.shape)
         j = np.asarray(cand)
