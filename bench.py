@@ -21,8 +21,26 @@ import numpy as np
 BASELINE_PSTEPS = 2.0e8
 
 
+def _tpu_alive(timeout_s: int = 180) -> bool:
+    """Probe the TPU backend in a subprocess (a dead tunnel hangs forever)."""
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp;"
+            "print(float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     n_target = int(os.environ.get("BENCH_N", 1_000_000))
+    if os.environ.get("BENCH_FORCE_CPU") or not _tpu_alive():
+        n_target = min(n_target, int(os.environ.get("BENCH_N", 50_000)))
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     import jax
     import jax.numpy as jnp
 
