@@ -165,7 +165,10 @@ def wcsph_rhs(params: SPHParams, grid: GridSpec, pos, vel, rho, kind,
         dv = dv - jnp.sum(jnp.where(act[..., None], (m * Pi)[..., None] * gw,
                                     0.0), axis=1)
 
-    dv = dv + params.gravity[None, :]
+    # gravity on FLUID only: solid-marker dv_dt is the pure fluid reaction
+    # (pressure+viscous) used for the BCE body-force reduction — the body's
+    # own weight lives in the MBS, adding g here would double-count it
+    dv = jnp.where(is_fluid[:, None], dv + params.gravity[None, :], dv)
     drho = jnp.where(is_fluid, drho, 0.0)
     return drho, dv
 
