@@ -1,0 +1,196 @@
+"""Vehicle-layer tests: statics, acceleration, steering circle, braking, SCM.
+
+Mirrors the reference's full-vehicle benchmarks (btest_VEH_hmmwvDLC/m113Acc)
+with analytic expectations sized for CPU runs.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from chrono_tpu.physics import SolverSettings
+from chrono_tpu.vehicle import (
+    build_wheeled_vehicle, vehicle_step, flat_terrain, DriverInputs,
+    SpeedController, PathFollower, straight_path,
+    SCMParams, make_scm_state, scm_wheel_forces,
+)
+
+
+def make_vehicle():
+    return build_wheeled_vehicle(chassis_mass=2000.0, wheelbase=3.0,
+                                 track=1.8, cg_height=0.9,
+                                 wheel_radius=0.35, driven="AWD")
+
+
+def run_vehicle(vehicle, state, inputs_fn, t_end, h=1e-3):
+    terrain = flat_terrain(0.0)
+    settings = SolverSettings(solver="direct")
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def step_n(state, n):
+        def body(carry, k):
+            st, t = carry
+            inp = inputs_fn(t)
+            out = vehicle_step(vehicle, st, inp, terrain, t, h, settings)
+            return (out.state, t + h), None
+
+        (st, t), _ = jax.lax.scan(body, (state, jnp.asarray(0.0)),
+                                  jnp.arange(n))
+        return st
+
+    return step_n(state, int(t_end / h))
+
+
+class TestVehicleStatics:
+    def test_settles_level(self):
+        vehicle, state = make_vehicle()
+        zero = DriverInputs(steering=jnp.asarray(0.0),
+                            throttle=jnp.asarray(0.0),
+                            braking=jnp.asarray(0.2))
+        final = run_vehicle(vehicle, state, lambda t: zero, 1.0)
+        # chassis settles near its initial height, minimal pitch/roll
+        z = float(final.x[vehicle.chassis, 2])
+        assert 0.75 < z < 0.95, f"chassis height {z}"
+        from chrono_tpu.core import quaternion as Q
+        up = np.asarray(Q.qrotate(final.q[vehicle.chassis],
+                                  jnp.asarray([0.0, 0.0, 1.0])))
+        assert up[2] > 0.998, f"vehicle tilted: up={up}"
+        assert abs(float(final.v[vehicle.chassis, 0])) < 0.1
+
+    def test_wheel_loads_static(self):
+        vehicle, state = make_vehicle()
+        terrain = flat_terrain(0.0)
+        zero = DriverInputs(steering=jnp.asarray(0.0),
+                            throttle=jnp.asarray(0.0),
+                            braking=jnp.asarray(0.3))
+        final = run_vehicle(vehicle, state, lambda t: zero, 1.0)
+        out = vehicle_step(vehicle, final, zero, terrain, 1.0, 1e-3)
+        total_fz = float(jnp.sum(out.tire_fz))
+        # total weight: chassis + 4×(upright 30 + wheel 40) + 2×knuckle 20
+        m_tot = 2000 + 4 * (30 + 40) + 2 * 20
+        np.testing.assert_allclose(total_fz, m_tot * 9.81, rtol=0.05)
+
+
+class TestVehicleDynamics:
+    def test_accelerates_forward(self):
+        vehicle, state = make_vehicle()
+        inputs = DriverInputs(steering=jnp.asarray(0.0),
+                              throttle=jnp.asarray(0.8),
+                              braking=jnp.asarray(0.0))
+        final = run_vehicle(vehicle, state, lambda t: inputs, 3.0)
+        vx = float(final.v[vehicle.chassis, 0])
+        x = float(final.x[vehicle.chassis, 0])
+        assert vx > 5.0, f"vehicle too slow after 3s full throttle: {vx}"
+        assert vx < 30.0, f"implausibly fast: {vx}"
+        assert x > 8.0
+        # stays on course
+        assert abs(float(final.x[vehicle.chassis, 1])) < 0.5
+
+    def test_brakes_stop(self):
+        vehicle, state = make_vehicle()
+        accel = DriverInputs(steering=jnp.asarray(0.0),
+                             throttle=jnp.asarray(0.8),
+                             braking=jnp.asarray(0.0))
+        state = run_vehicle(vehicle, state, lambda t: accel, 2.5)
+        v0 = float(state.v[vehicle.chassis, 0])
+        brake = DriverInputs(steering=jnp.asarray(0.0),
+                             throttle=jnp.asarray(0.0),
+                             braking=jnp.asarray(1.0))
+        final = run_vehicle(vehicle, state, lambda t: brake, 2.5)
+        v1 = float(final.v[vehicle.chassis, 0])
+        assert v0 > 4.0 and v1 < 0.5, f"braking failed: {v0} -> {v1}"
+
+    def test_steady_state_turning(self):
+        # constant speed + constant steer → curvature ≈ tan(δ)/L (low speed)
+        vehicle, state = make_vehicle()
+        accel = DriverInputs(steering=jnp.asarray(0.0),
+                             throttle=jnp.asarray(0.35),
+                             braking=jnp.asarray(0.0))
+        state = run_vehicle(vehicle, state, lambda t: accel, 2.0)
+        steer = DriverInputs(steering=jnp.asarray(0.25),
+                             throttle=jnp.asarray(0.25),
+                             braking=jnp.asarray(0.0))
+        final = run_vehicle(vehicle, state, lambda t: steer, 4.0)
+        from chrono_tpu.core import quaternion as Q
+        # yaw rate vs speed → radius; compare to kinematic bicycle radius
+        wz = float(Q.qrotate(final.q[vehicle.chassis],
+                             final.w[vehicle.chassis])[2])
+        v = float(jnp.linalg.norm(final.v[vehicle.chassis, :2]))
+        assert v > 2.0
+        radius_meas = v / abs(wz)
+        delta = 0.25 * float(vehicle.max_steer_angle)
+        radius_kin = 3.0 / np.tan(delta)
+        assert 0.6 * radius_kin < radius_meas < 1.8 * radius_kin, \
+            f"turn radius {radius_meas:.1f} vs kinematic {radius_kin:.1f}"
+        # turning left (positive steer) → positive yaw rate
+        assert wz > 0
+
+
+class TestClosedLoop:
+    def test_speed_controller_tracks(self):
+        vehicle, state = make_vehicle()
+        terrain = flat_terrain(0.0)
+        h = 1e-3
+        target = 10.0
+
+        @jax.jit
+        def run(state):
+            ctrl = SpeedController(kp=jnp.asarray(0.6), ki=jnp.asarray(0.2),
+                                   kd=jnp.asarray(0.0))
+
+            def body(carry, k):
+                st, c, t = carry
+                speed = jnp.linalg.norm(st.v[vehicle.chassis, :2])
+                throttle, braking, c = c(target, speed, h)
+                inp = DriverInputs(steering=jnp.asarray(0.0),
+                                   throttle=throttle, braking=braking)
+                out = vehicle_step(vehicle, st, inp, terrain, t, h)
+                return (out.state, c, t + h), speed
+
+            (st, _, _), speeds = jax.lax.scan(
+                body, (state, ctrl, jnp.asarray(0.0)), jnp.arange(6000))
+            return st, speeds
+
+        final, speeds = run(state)
+        v_end = float(np.asarray(speeds)[-1])
+        np.testing.assert_allclose(v_end, target, atol=1.0)
+
+
+class TestSCM:
+    def test_static_sinkage(self):
+        # a loaded wheel pressed into soil: Bekker z = (p/(Kc/b+Kphi))^(1/n)
+        params = SCMParams(Kphi=jnp.asarray(5e5), Kc=jnp.asarray(0.0),
+                           n_exp=jnp.asarray(1.0))
+        scm = make_scm_state((-1, -1), (1, 1), 0.02)
+        wheel_x = jnp.asarray([[0.0, 0.0, 0.33]])  # r=0.35 → 2cm penetration
+        from chrono_tpu.core import quaternion as Q
+        out = scm_wheel_forces(
+            params, scm, wheel_x, Q.qidentity((1,)),
+            jnp.zeros((1, 3)), jnp.zeros((1, 3)),
+            wheel_radius=0.35, wheel_width=0.25)
+        fz = float(out.force[0, 2])
+        assert fz > 0, "no vertical soil reaction"
+        # plastic imprint recorded
+        assert float(out.new_state.sinkage.max()) > 0.015
+        # deeper press → larger force (monotonic)
+        out2 = scm_wheel_forces(
+            params, scm, wheel_x.at[0, 2].set(0.31), Q.qidentity((1,)),
+            jnp.zeros((1, 3)), jnp.zeros((1, 3)),
+            wheel_radius=0.35, wheel_width=0.25)
+        assert float(out2.force[0, 2]) > 2 * fz
+
+    def test_erosion_relaxes_slopes(self):
+        from chrono_tpu.vehicle import scm_erosion_step
+        scm = make_scm_state((-1, -1), (1, 1), 0.05)
+        # dig a sharp hole
+        scm = scm.replace(sinkage=scm.sinkage.at[20, 20].set(0.5))
+        for _ in range(20):
+            scm = scm_erosion_step(scm, max_slope=0.5)
+        s = np.asarray(scm.sinkage)
+        assert s[20, 20] < 0.45          # hole partially filled
+        assert s[19, 20] > 0.001         # neighbors received material
+        # material conserved
+        np.testing.assert_allclose(s.sum(), 0.5, rtol=1e-3)
