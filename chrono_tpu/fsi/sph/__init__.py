@@ -7,3 +7,7 @@ from chrono_tpu.fsi.sph.system import (
     suggest_sph_dt,
 )
 from chrono_tpu.fsi.sph import kernels, wcsph
+from chrono_tpu.fsi.sph.crm import (
+    CRMParams, CRMState, make_crm_state, crm_step, make_crm_advance_fn,
+    drucker_prager_return, lithostatic_init,
+)

@@ -1,0 +1,114 @@
+"""CRM granular-continuum tests: plasticity projection identities + column
+behavior (short column stands, tall column collapses — the granular analogue
+of the reference's CRM terrain validation)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from chrono_tpu.collision.cell_list import GridSpec
+from chrono_tpu.fsi.sph import (
+    SPHParams, make_sph_state, suggest_sph_dt,
+    CRMParams, make_crm_state, make_crm_advance_fn, drucker_prager_return,
+    lithostatic_init,
+)
+from chrono_tpu.utils.samplers import grid_sample_box
+
+
+class TestDruckerPrager:
+    def test_inside_cone_unchanged(self):
+        p = CRMParams(friction_angle=jnp.asarray(0.6))
+        # hydrostatic compression, tiny shear: inside the cone
+        s = jnp.asarray([[[-1000.0, 10.0, 0.0],
+                          [10.0, -1000.0, 0.0],
+                          [0.0, 0.0, -1000.0]]])
+        out = drucker_prager_return(s, p)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(s), rtol=1e-5)
+
+    def test_over_yield_scaled(self):
+        p = CRMParams(friction_angle=jnp.asarray(0.6),
+                      cohesion=jnp.asarray(0.0))
+        s = jnp.asarray([[[-100.0, 500.0, 0.0],
+                          [500.0, -100.0, 0.0],
+                          [0.0, 0.0, -100.0]]])
+        out = np.asarray(drucker_prager_return(s, p))[0]
+        # pressure preserved, deviator shrunk onto the cone
+        np.testing.assert_allclose(np.trace(out), -300.0, rtol=1e-4)
+        dev = out + 100.0 * np.eye(3)
+        J2 = 0.5 * np.sum(dev * dev)
+        alpha = 0.6 / np.sqrt(9 + 3 * 0.36)
+        np.testing.assert_allclose(np.sqrt(J2), alpha * 100.0, rtol=1e-3)
+
+    def test_tension_cutoff(self):
+        p = CRMParams(friction_angle=jnp.asarray(0.6),
+                      cohesion=jnp.asarray(0.0))
+        s = jnp.asarray([[np.eye(3) * 500.0]])[0]  # pure tension
+        out = np.asarray(drucker_prager_return(s, p))[0]
+        np.testing.assert_allclose(out, 0.0, atol=1e-3)
+
+
+def column_setup(aspect, d0=0.01, width=0.08, cohesion=0.0):
+    """A granular column of given height/width aspect on a floor."""
+    H = aspect * width
+    params = SPHParams(
+        d0=jnp.asarray(d0), h=jnp.asarray(1.2 * d0),
+        rho0=jnp.asarray(1600.0), mu=jnp.asarray(0.0),
+        c_s=jnp.asarray(30.0), gravity=jnp.asarray([0.0, 0.0, -9.81]),
+        dt=jnp.asarray(5e-5), alpha_visc=jnp.asarray(0.1),
+        max_neighbors=96, max_per_cell=80, rebuild_every=4,
+    )
+    crm = CRMParams(youngs=jnp.asarray(2e6), poisson=jnp.asarray(0.3),
+                    friction_angle=jnp.asarray(0.7),
+                    cohesion=jnp.asarray(cohesion))
+    L = 0.5   # domain length in x
+    col = grid_sample_box((0.01, 0.0, 0.0), (0.01 + width, width, H), d0)
+    floor = grid_sample_box((-0.0, 0.0, -3 * d0), (L, width, 0.0), d0)
+    # side walls at x=0 keep collapse one-directional? keep open both sides
+    state0 = make_sph_state(params, col, boundary_pts=floor)
+    nyc = 3
+    cell = width / nyc * 3
+    grid = GridSpec(origin=(-0.05, 0.0, -5 * d0), cell_size=2.5 * 1.2 * d0,
+                    dims=(int(np.ceil((L + 0.1) / (2.5 * 1.2 * d0))),
+                          max(nyc, int(np.ceil(width / (2.5 * 1.2 * d0)))),
+                          int(np.ceil((2 * H + 6 * d0) / (2.5 * 1.2 * d0))) + 1),
+                    periodic=(False, True, False))
+    # periodic y needs exact length: rebuild with cell = width/n
+    n_y = max(int(round(width / (2.5 * 1.2 * d0))), 3)
+    cs = width / n_y
+    grid = GridSpec(origin=(-0.05, 0.0, -5 * d0), cell_size=cs,
+                    dims=(int(np.ceil((L + 0.1) / cs)), n_y,
+                          int(np.ceil((2 * H + 6 * d0) / cs)) + 1),
+                    periodic=(False, True, False))
+    st = lithostatic_init(make_crm_state(state0), params, crm, H)
+    return params, crm, grid, st, H, width
+
+
+class TestColumn:
+    def test_short_column_stands(self):
+        # a cohesive squat column is statically stable (cohesionless material
+        # always slumps its sharp edges to the repose angle, so use c > ρgH)
+        params, crm, grid, state, H, width = column_setup(aspect=0.5,
+                                                          cohesion=800.0)
+        adv = make_crm_advance_fn(params, crm, grid)
+        n = int(0.25 / (float(params.dt) * params.rebuild_every))
+        state, ov = adv(state, n)
+        assert int(ov) == 0
+        g = np.asarray(state.kind) == 0
+        x = np.asarray(state.pos)[g]
+        # a squat frictional column barely spreads: runout < 1.6 x half-width
+        assert x[:, 0].max() < 0.01 + width * 1.9, f"xmax={x[:,0].max():.3f}"
+        # height mostly retained
+        assert x[:, 2].max() > 0.6 * H
+        assert np.abs(np.asarray(state.vel)[g]).max() < 0.5
+
+    def test_tall_column_collapses(self):
+        params, crm, grid, state, H, width = column_setup(aspect=3.0)
+        adv = make_crm_advance_fn(params, crm, grid)
+        n = int(0.35 / (float(params.dt) * params.rebuild_every))
+        state, ov = adv(state, n)
+        g = np.asarray(state.kind) == 0
+        x = np.asarray(state.pos)[g]
+        # tall column must flow out significantly but remain a finite pile
+        assert x[:, 0].max() > 0.01 + width * 2.0, "tall column failed to flow"
+        assert x[:, 2].max() < 0.8 * H, "tall column failed to collapse"
+        assert np.isfinite(x).all()
