@@ -1,0 +1,2 @@
+from chrono_tpu.models.hmmwv import create_hmmwv
+from chrono_tpu.models.rover import create_rover, set_wheel_speeds, rover_step_scm, Rover
