@@ -18,6 +18,11 @@ import jax
 
 _T = TypeVar("_T")
 
+#: class-name → class registry of all pytree dataclasses (the factory the
+#: archive layer uses to reconstruct polymorphic objects — the role of the
+#: reference's CH_FACTORY_REGISTER, core/ChClassFactory.h)
+REGISTRY: dict[str, type] = {}
+
 
 def static_field(**kwargs):
     """A dataclass field excluded from the pytree leaves (compile-time constant)."""
@@ -53,4 +58,5 @@ def pytree_dataclass(cls: type[_T]) -> type[_T]:
         return dataclasses.replace(self, **changes)
 
     cls.replace = _replace
+    REGISTRY[cls.__name__] = cls
     return cls
