@@ -1,0 +1,1 @@
+from chrono_tpu.ops import pallas
