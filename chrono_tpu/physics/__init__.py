@@ -4,3 +4,6 @@ from chrono_tpu.physics.system import (
     Model, SolverSettings, StepInfo,
     step_euler_implicit_linearized, make_step_fn, simulate,
 )
+from chrono_tpu.physics.explicit import (
+    step_euler_explicit, step_heun, step_rk4, EXPLICIT_STEPPERS,
+)
