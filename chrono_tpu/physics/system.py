@@ -140,6 +140,9 @@ def _solve(rows: ConstraintRows, model: Model, v_free, w_free,
     elif settings.solver == "bb":
         sol = vi_solvers.solve_bb(Nop, r, project, g0,
                                   settings.max_iter, settings.tol)
+    elif settings.solver == "admm":
+        sol = vi_solvers.solve_admm(Nop, r, project, g0,
+                                    settings.max_iter, settings.tol)
     elif settings.solver == "pjacobi":
         sol = vi_solvers.solve_pjacobi(
             Nop, r, project, g0, desc.diag_N(rows, model.props),

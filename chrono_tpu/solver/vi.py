@@ -249,3 +249,72 @@ def solve_pjacobi(
         (jnp.zeros((), jnp.int32), project(gamma0), jnp.asarray(jnp.inf, dtype)),
     )
     return VISolution(g, k, res)
+
+
+def solve_admm(
+    Nop: Callable[[Array], Array],
+    r: Array,
+    project: Callable[[Array], Array],
+    gamma0: Array,
+    max_iter: int = 60,
+    tol: float = 1e-6,
+    rho: float = 1.0,
+    inner_cg: int = 8,
+) -> VISolution:
+    """ADMM with cone-splitting (the reference's ChSolverADMM role).
+
+    Split γ = z with z ∈ K; augmented Lagrangian with penalty ρ:
+      γ-update  (N + ρI) γ = ρ(z − u) − r     (few matrix-free CG iterations)
+      z-update  z = Π(γ + u)
+      u-update  u += γ − z
+    Robust on ill-conditioned mixed bilateral+cone systems where plain
+    projected gradients crawl.
+    """
+    dtype = r.dtype
+    z = project(gamma0)
+    u = jnp.zeros_like(z)
+
+    def Aop(x):
+        return Nop(x) + rho * x
+
+    def cg(b, x0):
+        # fixed-iteration CG on (N + ρI) x = b
+        def body(k, carry):
+            x, p, res, rs = carry
+            Ap = Aop(p)
+            alpha = rs / jnp.maximum(jnp.dot(p, Ap), 1e-30)
+            x = x + alpha * p
+            res = res - alpha * Ap
+            rs_new = jnp.dot(res, res)
+            beta = rs_new / jnp.maximum(rs, 1e-30)
+            p = res + beta * p
+            return (x, p, res, rs_new)
+
+        res0 = b - Aop(x0)
+        out = lax.fori_loop(0, inner_cg, body,
+                            (x0, res0, res0, jnp.dot(res0, res0)))
+        return out[0]
+
+    class S(NamedTuple):
+        k: Array
+        gamma: Array
+        z: Array
+        u: Array
+        res: Array
+
+    def cond(s: S):
+        return (s.k < max_iter) & (s.res > tol)
+
+    def body(s: S):
+        gamma = cg(rho * (s.z - s.u) - r, s.gamma)
+        z_new = project(gamma + s.u)
+        u_new = s.u + gamma - z_new
+        # primal + dual residuals
+        res = (_norm(gamma - z_new) + rho * _norm(z_new - s.z)) / jnp.maximum(
+            jnp.asarray(1.0, dtype), _norm(z_new))
+        return S(s.k + 1, gamma, z_new, u_new, res)
+
+    out = lax.while_loop(
+        cond, body,
+        S(jnp.zeros((), jnp.int32), z, z, u, jnp.asarray(jnp.inf, dtype)))
+    return VISolution(out.z, out.k, out.res)

@@ -1,4 +1,7 @@
-from chrono_tpu.vehicle.tire import TMeasyParams, FialaParams, tmeasy_forces, fiala_forces
+from chrono_tpu.vehicle.tire import (
+    TMeasyParams, FialaParams, Pac89Params,
+    tmeasy_forces, fiala_forces, pac89_forces,
+)
 from chrono_tpu.vehicle.terrain import (
     flat_terrain, Heightmap, SCMParams, SCMState, make_scm_state,
     scm_wheel_forces, scm_erosion_step,

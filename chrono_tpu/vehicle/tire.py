@@ -216,3 +216,69 @@ def fiala_forces(p: FialaParams, wheel_x, wheel_q, wheel_v, wheel_w_local,
         in_contact, p.rolling_resistance * fzc * r_eff * jnp.tanh(2.0 * omega),
         zero)
     return force, t_spin, fzc
+
+
+@pytree_dataclass
+class Pac89Params:
+    """Magic Formula (Pacejka '89-style) coefficient set.
+
+    Counterpart of the reference's ChPac89Tire: F = D sin(C arctan(B s − E(B s
+    − arctan B s))) for longitudinal (slip ratio κ) and lateral (slip angle α)
+    forces, with load-proportional peak D = μ Fz.
+    """
+
+    radius: Array = 0.35
+    cz: Array = 250000.0
+    dz: Array = 3000.0
+    mu: Array = 1.0            # peak friction scale (D = mu·Fz)
+    Bx: Array = 10.0           # longitudinal stiffness factor
+    Cx: Array = 1.65           # shape
+    Ex: Array = 0.6            # curvature
+    By: Array = 8.0
+    Cy: Array = 1.3
+    Ey: Array = -1.0
+    rolling_resistance: Array = 0.015
+
+
+def _magic(s, B, C, D, E):
+    Bs = B * s
+    return D * jnp.sin(C * jnp.arctan(Bs - E * (Bs - jnp.arctan(Bs))))
+
+
+def pac89_forces(p: Pac89Params, wheel_x, wheel_q, wheel_v, wheel_w_local,
+                 terrain_height_fn):
+    """Magic Formula tire forces (uncombined, like the reference Pac89)."""
+    z_terrain = terrain_height_fn(wheel_x[..., :2])
+    R = Q.q_to_matrix(wheel_q)
+    e_spin = R[..., :, 1]
+    up = jnp.asarray([0.0, 0.0, 1.0], wheel_x.dtype)
+    e_lon = jnp.cross(e_spin, up)
+    e_lon = e_lon / jnp.maximum(
+        jnp.linalg.norm(e_lon, axis=-1, keepdims=True), 1e-9)
+    e_lat = jnp.cross(up, e_lon)
+
+    pen = (p.radius + z_terrain) - wheel_x[..., 2]
+    fz = jnp.maximum(p.cz * pen - p.dz * wheel_v[..., 2], 0.0)
+    in_contact = pen > 0
+
+    v_lon = jnp.sum(wheel_v * e_lon, axis=-1)
+    v_lat = jnp.sum(wheel_v * e_lat, axis=-1)
+    omega = wheel_w_local[..., 1]
+    r_eff = p.radius - pen / 3.0
+    v_ref = jnp.maximum(jnp.abs(v_lon), 1.0)
+    kappa = (omega * r_eff - v_lon) / v_ref
+    alpha = jnp.arctan2(-v_lat, v_ref)
+
+    fx = _magic(kappa, p.Bx, p.Cx, p.mu * fz, p.Ex)
+    fy = _magic(alpha, p.By, p.Cy, p.mu * fz, p.Ey)
+
+    zero = jnp.zeros_like(fz)
+    fx = jnp.where(in_contact, fx, zero)
+    fy = jnp.where(in_contact, fy, zero)
+    fzc = jnp.where(in_contact, fz, zero)
+    force = (fx[..., None] * e_lon + fy[..., None] * e_lat
+             + fzc[..., None] * up)
+    t_spin = -fx * r_eff - jnp.where(
+        in_contact, p.rolling_resistance * fzc * r_eff * jnp.tanh(2.0 * omega),
+        zero)
+    return force, t_spin, fzc

@@ -81,7 +81,7 @@ class TestPendulum:
         T_meas = 2 * i_min * h
         np.testing.assert_allclose(T_meas, T_expect, rtol=0.05)
 
-    @pytest.mark.parametrize("solver", ["direct", "apgd", "bb", "pjacobi"])
+    @pytest.mark.parametrize("solver", ["direct", "apgd", "bb", "pjacobi", "admm"])
     def test_solvers_agree(self, solver):
         b, g, rod = build_pendulum()
         model, state = b.finalize()

@@ -194,3 +194,46 @@ class TestSCM:
         assert s[19, 20] > 0.001         # neighbors received material
         # material conserved
         np.testing.assert_allclose(s.sum(), 0.5, rtol=1e-3)
+
+
+class TestTireModels:
+    """Slip-curve sanity for all three handling tire models."""
+
+    def _eval(self, forces_fn, params, sx):
+        from chrono_tpu.core import quaternion as Q
+        from chrono_tpu.vehicle import flat_terrain
+        import jax.numpy as jnp
+        terrain = flat_terrain(0.0)
+        v = 10.0
+        r = float(params.radius)
+        fz_target = 4000.0
+        pen = fz_target / float(params.cz)
+        wheel_x = jnp.asarray([[0.0, 0.0, r - pen]])
+        omega = (v + sx * v) / (r - pen / 3.0)
+        f, ts, fz = forces_fn(
+            params, wheel_x, Q.qidentity((1,)),
+            jnp.asarray([[v, 0.0, 0.0]]), jnp.asarray([[0.0, omega, 0.0]]),
+            terrain)
+        return float(f[0, 0]), float(fz[0])
+
+    @pytest.mark.parametrize("model", ["tmeasy", "fiala", "pac89"])
+    def test_slip_curve_monotone_then_saturating(self, model):
+        from chrono_tpu.vehicle import (
+            TMeasyParams, FialaParams, Pac89Params,
+            tmeasy_forces, fiala_forces, pac89_forces,
+        )
+        fn, params = {
+            "tmeasy": (tmeasy_forces, TMeasyParams()),
+            "fiala": (fiala_forces, FialaParams()),
+            "pac89": (pac89_forces, Pac89Params()),
+        }[model]
+        fx0, fz = self._eval(fn, params, 0.0)
+        fx_small, _ = self._eval(fn, params, 0.02)
+        fx_big, _ = self._eval(fn, params, 0.5)
+        assert fz > 3000.0
+        assert abs(fx0) < 0.05 * fz, f"{model}: force at zero slip {fx0}"
+        assert fx_small > 0.01 * fz, f"{model}: no driving force at 2% slip"
+        assert fx_big > fx_small * 0.8, f"{model}: collapsed at large slip"
+        # braking slip symmetric in sign
+        fx_neg, _ = self._eval(fn, params, -0.02)
+        assert fx_neg < -0.01 * fz
