@@ -49,10 +49,24 @@ class SphereBCs:
 
 
 @pytree_dataclass
+class ConeBCs:
+    """B z-axis cones (apex up or down); particles kept INSIDE the cone.
+
+    Surface: r_xy = slope · (z − apex_z) for z on the open side; ``slope`` =
+    tan(half-angle).  The reference's cone BC (ChDemBoundaryConditions.cuh).
+    """
+
+    apex: Array     # (B, 3) apex point
+    slope: Array    # (B,) tan(half-angle), >0 opens upward (+z)
+    vel: Array      # (B, 3)
+
+
+@pytree_dataclass
 class DEMBoundaries:
     planes: Optional[PlaneBCs] = None
     cylinders: Optional[CylinderBCs] = None
     spheres: Optional[SphereBCs] = None
+    cones: Optional[ConeBCs] = None
 
 
 class BCContact(NamedTuple):
@@ -85,6 +99,31 @@ def sphere_bc_contacts(bc: SphereBCs, pos: Array, radius) -> BCContact:
     r = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
     gap = (r - bc.radius[None, :]) - radius               # outside: r > R
     n = d / r[..., None]
+    v = jnp.broadcast_to(bc.vel[None], n.shape)
+    return BCContact(gap, n, v)
+
+
+def cone_contacts(bc: ConeBCs, pos: Array, radius) -> BCContact:
+    """Distance of each particle to the cone surface (inside = positive gap).
+
+    For a z-cone opening along +z with slope m: a point at height h = z−apex_z
+    and cylinder radius ρ is inside when ρ < m·h; the normal to the surface
+    tilts inward by the half-angle.
+    """
+    d = pos[:, None, :] - bc.apex[None, :, :]           # (N, B, 3)
+    h = d[..., 2] * jnp.sign(bc.slope)[None, :]          # along opening dir
+    m = jnp.abs(bc.slope)[None, :]
+    rho = jnp.sqrt(d[..., 0] ** 2 + d[..., 1] ** 2 + 1e-12)
+    # signed distance from the surface (inside positive), exact for a cone:
+    # dist = (m·h − ρ) / √(1+m²)
+    dist = (m * h - rho) / jnp.sqrt(1.0 + m * m)
+    gap = dist - radius
+    # inward normal: radially inward + axial component toward the opening
+    n_r = -d[..., :2] / rho[..., None]
+    denom = jnp.sqrt(1.0 + m * m)
+    n = jnp.concatenate(
+        [n_r / denom[..., None],
+         (m / denom * jnp.sign(bc.slope)[None, :])[..., None]], axis=-1)
     v = jnp.broadcast_to(bc.vel[None], n.shape)
     return BCContact(gap, n, v)
 

@@ -26,6 +26,7 @@ from jax import Array
 from chrono_tpu.dem.params import DEMParams, hertz_coefficients
 from chrono_tpu.dem.bc import (
     DEMBoundaries, plane_contacts, cylinder_contacts, sphere_bc_contacts,
+    cone_contacts,
 )
 
 
@@ -127,6 +128,8 @@ def wall_forces(params: DEMParams, bcs: DEMBoundaries, pos, vel, omega,
         parts.append(cylinder_contacts(bcs.cylinders, pos, r))
     if bcs.spheres is not None:
         parts.append(sphere_bc_contacts(bcs.spheres, pos, r))
+    if bcs.cones is not None:
+        parts.append(cone_contacts(bcs.cones, pos, r))
     if not parts:
         z = jnp.zeros_like(pos)
         return z, z, bc_tan_disp, jnp.zeros((0, 3), pos.dtype)

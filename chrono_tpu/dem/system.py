@@ -50,7 +50,7 @@ class DEMState:
 
 def _n_walls(bcs: DEMBoundaries) -> int:
     n = 0
-    for part in (bcs.planes, bcs.cylinders, bcs.spheres):
+    for part in (bcs.planes, bcs.cylinders, bcs.spheres, bcs.cones):
         if part is not None:
             n += jax.tree_util.tree_leaves(part)[0].shape[0]
     return n
@@ -183,7 +183,8 @@ class DEMSystem:
                             friction_mode=friction_mode,
                             rolling_mode=rolling_mode)
         self._dt = dt
-        self._extra_bcs = dict(planes=None, cylinders=None, spheres=None)
+        self._extra_bcs = dict(planes=None, cylinders=None, spheres=None,
+                               cones=None)
         self.state: Optional[DEMState] = None
         self._advance = None
 
@@ -193,9 +194,10 @@ class DEMSystem:
     def set_wall_material(self, **kw):
         self._wall_mat.update(kw)
 
-    def set_boundaries(self, planes=None, cylinders=None, spheres=None):
+    def set_boundaries(self, planes=None, cylinders=None, spheres=None,
+                       cones=None):
         self._extra_bcs = dict(planes=planes, cylinders=cylinders,
-                               spheres=spheres)
+                               spheres=spheres, cones=cones)
 
     def _build(self):
         dt = self._dt
@@ -228,7 +230,8 @@ class DEMSystem:
                 lambda a, b: jnp.concatenate([a, b]), box_bc, ep)
         bcs = DEMBoundaries(planes=planes,
                             cylinders=self._extra_bcs["cylinders"],
-                            spheres=self._extra_bcs["spheres"])
+                            spheres=self._extra_bcs["spheres"],
+                            cones=self._extra_bcs["cones"])
         self.params, self.bcs, self.grid = params, bcs, grid
         self._advance = make_advance_fn(params, bcs, grid)
 

@@ -152,3 +152,26 @@ class TestSamplers:
         d, _ = cKDTree(pts).query(pts, k=2)
         assert d[:, 1].min() >= 0.08 * 0.999
         assert len(pts) > 50
+
+
+class TestConeBC:
+    def test_funnel_holds_particle(self):
+        """A particle dropped into an upward-opening cone funnel settles on
+        the cone wall (the reference's cone BC behavior)."""
+        from chrono_tpu.dem import DEMSystem, ConeBCs
+        sys = make_system(radius=0.05, box=((-1, -1, 0), (1, 1, 2)))
+        sys.set_boundaries(cones=ConeBCs(
+            apex=jnp.asarray([[0.0, 0.0, 0.2]]),
+            slope=jnp.asarray([1.0]),        # 45° half-angle, opens +z
+            vel=jnp.zeros((1, 3))))
+        # drop off-axis so it slides down the cone wall toward the apex
+        sys.create_particles(np.array([[0.5, 0.0, 1.5]]))
+        sys.advance(2.0)
+        p = sys.positions[0]
+        # settled deep in the funnel, near (not through) the apex region
+        r_xy = np.hypot(p[0], p[1])
+        h = p[2] - 0.2
+        # on the wall: distance to surface ≈ radius
+        dist = (h - r_xy) / np.sqrt(2.0)
+        np.testing.assert_allclose(dist, 0.05, atol=0.01)
+        assert np.abs(sys.velocities[0]).max() < 0.1
