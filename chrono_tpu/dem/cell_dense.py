@@ -141,12 +141,69 @@ def cell_dense_forces(params: DEMParams, grid: GridSpec, field: CellField):
     return force, torque
 
 
+def field_to_planes(field: CellField):
+    """CellField → (10, C, NC) feature planes for the Pallas kernel.
+
+    Plane order: pos xyz, vel xyz, omega xyz, mask (see
+    chrono_tpu.ops.pallas.dem_cell_kernel).
+    """
+    nx, ny, nz, C = field.mask.shape
+    nc = nx * ny * nz
+
+    def t(a):  # (nx,ny,nz,C,3) -> (3, C, NC)
+        return a.reshape(nc, C, 3).transpose(2, 1, 0)
+
+    mask = field.mask.reshape(nc, C).T[None].astype(jnp.float32)  # (1, C, NC)
+    return jnp.concatenate([t(field.pos), t(field.vel), t(field.omega), mask],
+                           axis=0)
+
+
+def pallas_static_coefs(params: DEMParams) -> dict:
+    """Concrete (python-float) Hertz coefficients for the Pallas kernel.
+
+    Must be called OUTSIDE any traced region (the kernel bakes them in as
+    compile-time constants — the same role as the reference's unified-memory
+    GranParams, ChDemSMC.cuh)."""
+    kn, gn, kt, gt = hertz_coefficients(params.material, 0.5 * params.mass,
+                                        0.5 * params.radius)
+    return dict(radius=float(params.radius), kn=float(kn), gn=float(gn),
+                kt=float(kt), gt=float(gt), mu=float(params.material.mu_s),
+                dt=float(params.dt),
+                friction=params.friction_mode != "frictionless")
+
+
+def pallas_cell_forces(params: DEMParams, grid: GridSpec, field: CellField,
+                       edge_table, B: int = 256, interpret: bool = False,
+                       coefs: dict = None):
+    """Drop-in replacement for :func:`cell_dense_forces` running the Pallas
+    kernel (frictionless / single-step friction)."""
+    from chrono_tpu.ops.pallas.dem_cell_kernel import dem_cell_forces_pallas
+
+    if coefs is None:
+        coefs = pallas_static_coefs(params)
+    nx, ny, nz, C = field.mask.shape
+    nc = nx * ny * nz
+    feat = field_to_planes(field)
+    out = dem_cell_forces_pallas(
+        feat, edge_table, grid_dims=(nx, ny, nz), C=C, B=B,
+        interpret=interpret, **coefs)                         # (6, C, NC)
+
+    def back(a):  # (3, C, NC) -> (nx,ny,nz,C,3)
+        return a.transpose(2, 1, 0).reshape(nx, ny, nz, C, 3)
+
+    return back(out[0:3]), back(out[3:6])
+
+
 def make_cell_dense_advance(params: DEMParams, bcs, grid: GridSpec,
-                            capacity: int = 8):
+                            capacity: int = 8, backend: str = "xla",
+                            pallas_block: int = 256,
+                            pallas_interpret: bool = False):
     """Jitted advance using the cell-dense backend (frictionless/single-step).
 
     One cycle = re-bin + ``rebuild_every`` substeps (re-binning is just a sort,
     so it can afford to run every cycle with a small skin).
+    ``backend``: "xla" (27-roll dense blocks) or "pallas" (explicit TPU kernel,
+    chrono_tpu.ops.pallas.dem_cell_kernel).
     """
     from chrono_tpu.dem.forces import wall_forces
     from chrono_tpu.dem.system import _n_walls
@@ -155,13 +212,24 @@ def make_cell_dense_advance(params: DEMParams, bcs, grid: GridSpec,
         params = params.replace(friction_mode="single_step")
 
     nb = _n_walls(bcs)
+    if backend == "pallas":
+        from chrono_tpu.ops.pallas.dem_cell_kernel import edge_ok_table
+        edge_table = edge_ok_table(grid.dims, tuple(grid.periodic))
+        coefs = pallas_static_coefs(params)   # concrete, outside the trace
+    elif backend != "xla":
+        raise ValueError(f"unknown cell-dense backend {backend!r}")
 
     def one_cycle(carry, _):
         pos, vel, omega = carry
         field = to_cells(grid, capacity, pos, vel, omega)
 
         def substep(f, __):
-            frc, trq = cell_dense_forces(params, grid, f)
+            if backend == "pallas":
+                frc, trq = pallas_cell_forces(params, grid, f, edge_table,
+                                              pallas_block, pallas_interpret,
+                                              coefs)
+            else:
+                frc, trq = cell_dense_forces(params, grid, f)
             f_w, tau_w, _, _ = wall_forces(
                 params, bcs,
                 f.pos.reshape(-1, 3), f.vel.reshape(-1, 3),

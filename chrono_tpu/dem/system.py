@@ -42,6 +42,8 @@ class DEMState:
     tan_disp: Array     # (N, K, 3) pair friction history
     bc_tan_disp: Array  # (N, B, 3) wall friction history
     time: Array         # ()
+    acc_old: Array = None    # (N,3) previous accelerations (Chung only)
+    alpha_old: Array = None
 
     @property
     def n(self) -> int:
@@ -71,6 +73,10 @@ def make_dem_state(params: DEMParams, bcs: DEMBoundaries, pos, vel=None,
         tan_disp=jnp.zeros((n, K, 3), dtype),
         bc_tan_disp=jnp.zeros((n, _n_walls(bcs), 3), dtype),
         time=jnp.zeros((), dtype),
+        acc_old=(jnp.zeros((n, 3), dtype)
+                 if params.integrator == "chung" else None),
+        alpha_old=(jnp.zeros((n, 3), dtype)
+                   if params.integrator == "chung" else None),
     )
 
 
@@ -117,12 +123,33 @@ def dem_substep(params: DEMParams, bcs: DEMBoundaries,
         vel = state.vel + h * acc
         omega = state.omega + h * alpha
         pos = state.pos + h * vel
+    elif params.integrator == "extended_taylor":
+        # 2nd-order Taylor position, Euler velocity (the reference's
+        # EXTENDED_TAYLOR, ChDemSMC.cuh:1312 "falls through to Euler" for v)
+        pos = state.pos + h * state.vel + 0.5 * h * h * acc
+        vel = state.vel + h * acc
+        omega = state.omega + h * alpha
+    elif params.integrator == "chung":
+        # Chung–Lee 2nd-order two-step scheme (ChDemSMC.cuh:1261-1272):
+        # v += h(3/2 a − 1/2 a_old); x += h v_old + h²(28/27 a + (1/2−28/27) a_old)
+        gam, gam_h = 1.5, -0.5
+        beta = 28.0 / 27.0
+        beta_h = 0.5 - beta
+        a_old = state.acc_old
+        al_old = state.alpha_old
+        vel = state.vel + h * (gam * acc + gam_h * a_old)
+        omega = state.omega + h * (gam * alpha + gam_h * al_old)
+        pos = state.pos + h * state.vel + h * h * (beta * acc
+                                                   + beta_h * a_old)
     else:
         raise ValueError(f"unknown integrator {params.integrator!r}")
 
-    return state.replace(pos=pos, vel=vel, omega=omega,
-                         tan_disp=xi_pp, bc_tan_disp=xi_w,
-                         time=state.time + h)
+    new = state.replace(pos=pos, vel=vel, omega=omega,
+                        tan_disp=xi_pp, bc_tan_disp=xi_w,
+                        time=state.time + h)
+    if params.integrator == "chung":
+        new = new.replace(acc_old=acc, alpha_old=alpha)
+    return new
 
 
 def make_advance_fn(params: DEMParams, bcs: DEMBoundaries, grid: GridSpec):

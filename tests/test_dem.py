@@ -175,3 +175,39 @@ class TestConeBC:
         dist = (h - r_xy) / np.sqrt(2.0)
         np.testing.assert_allclose(dist, 0.05, atol=0.01)
         assert np.abs(sys.velocities[0]).max() < 0.1
+
+
+class TestIntegrators:
+    """All four reference integrator types (ChDemDefines.h:42) agree on a
+    smooth trajectory and stay stable through a bounce."""
+
+    @pytest.mark.parametrize("integrator", [
+        "forward_euler", "centered_difference", "extended_taylor", "chung"])
+    def test_bounce_stable_and_consistent(self, integrator):
+        sys = make_system(radius=0.05, box=((0, 0, 0), (1, 1, 2)),
+                          integrator=integrator)
+        sys.create_particles(np.array([[0.5, 0.5, 0.4]]))
+        sys.advance(1.5)
+        z = float(sys.positions[0, 2])
+        assert np.isfinite(z)
+        # settled on the floor: center ≈ radius (small Hertz compression)
+        assert 0.03 < z < 0.08, f"{integrator}: z={z}"
+
+    def test_chung_matches_euler_free_flight(self):
+        out = {}
+        for integ in ("forward_euler", "chung", "extended_taylor"):
+            sys = make_system(box=((0, 0, 0), (2, 2, 4)), integrator=integ)
+            sys.create_particles(np.array([[1.0, 1.0, 3.0]]))
+            sys.advance(0.3)
+            out[integ] = float(sys.positions[0, 2])
+            out["t_actual"] = float(sys.state.time)
+            out["dt"] = float(sys.dt)
+        # constant-acceleration flight: 2nd-order schemes agree with the
+        # exact parabola up to advance() cycle rounding of the end time and
+        # the Chung startup (a_old = 0) offset, both O(h)
+        t = out["t_actual"]
+        h = out["dt"]
+        z_exact = 3.0 - 0.5 * 9.81 * t * t
+        tol = 2.0 * 9.81 * t * h
+        assert abs(out["chung"] - z_exact) < tol
+        assert abs(out["extended_taylor"] - z_exact) < tol

@@ -1,5 +1,5 @@
-"""Pallas cell-dense DEM kernel: parity vs the jnp reference implementation
-(interpret mode on CPU; compiled mode is exercised on real TPU hardware)."""
+"""Pallas cell-dense DEM kernel: parity vs the jnp (27-roll) implementation
+(interpret mode on CPU; compiled mode is exercised on real TPU by bench.py)."""
 
 import numpy as np
 import jax
@@ -7,49 +7,89 @@ import jax.numpy as jnp
 import pytest
 
 from chrono_tpu.collision.cell_list import GridSpec
-from chrono_tpu.dem.params import DEMParams, DEMMaterial, hertz_coefficients
-from chrono_tpu.dem.cell_dense import to_cells, cell_dense_forces
-from chrono_tpu.ops.pallas.dem_cell_kernel import (
-    dem_cell_forces_pallas, edge_ok_table,
+from chrono_tpu.dem.params import DEMParams, DEMMaterial
+from chrono_tpu.dem.cell_dense import (
+    to_cells, cell_dense_forces, pallas_cell_forces, field_to_planes,
+    make_cell_dense_advance,
 )
+from chrono_tpu.ops.pallas.dem_cell_kernel import edge_ok_table
 
 
-class TestPallasDEMKernel:
-    def test_parity_with_jnp(self):
-        rng = np.random.default_rng(5)
-        radius = 0.05
-        grid = GridSpec(origin=(0.0, 0.0, 0.0), cell_size=0.13,
-                        dims=(4, 4, 4))
-        n = 120
-        pos = rng.uniform(0.05, 0.47, (n, 3)).astype(np.float32)
-        vel = rng.normal(0, 0.1, (n, 3)).astype(np.float32)
+def _scene(friction_mode, n=120, seed=5):
+    rng = np.random.default_rng(seed)
+    radius = 0.05
+    grid = GridSpec(origin=(0.0, 0.0, 0.0), cell_size=0.13, dims=(4, 4, 4))
+    pos = rng.uniform(0.05, 0.47, (n, 3)).astype(np.float32)
+    vel = rng.normal(0, 0.1, (n, 3)).astype(np.float32)
+    omega = rng.normal(0, 0.5, (n, 3)).astype(np.float32)
+    params = DEMParams(
+        radius=jnp.asarray(radius), mass=jnp.asarray(1.0),
+        material=DEMMaterial(), wall_material=DEMMaterial(),
+        gravity=jnp.zeros(3), dt=jnp.asarray(1e-5),
+        friction_mode=friction_mode,
+    )
+    field = to_cells(grid, 8, jnp.asarray(pos), jnp.asarray(vel),
+                     jnp.asarray(omega))
+    assert int(field.overflow) == 0
+    return params, grid, field
 
-        params = DEMParams(
-            radius=jnp.asarray(radius), mass=jnp.asarray(1.0),
-            material=DEMMaterial(), wall_material=DEMMaterial(),
-            gravity=jnp.zeros(3), dt=jnp.asarray(1e-5),
-            friction_mode="frictionless",
-        )
-        C = 8
-        field = to_cells(grid, C, jnp.asarray(pos), jnp.asarray(vel),
-                         jnp.zeros((n, 3)))
-        assert int(field.overflow) == 0
 
-        # jnp reference
-        f_ref, _ = cell_dense_forces(params, grid, field)
+@pytest.mark.parametrize("friction_mode", ["frictionless", "single_step"])
+def test_parity_with_jnp(friction_mode):
+    params, grid, field = _scene(friction_mode)
+    f_ref, t_ref = cell_dense_forces(params, grid, field)
+    edge = edge_ok_table(grid.dims)
+    f_pal, t_pal = pallas_cell_forces(params, grid, field, edge, B=16,
+                                      interpret=True)
+    # fp32 roundoff scales with the field magnitude (forces reach ~1e4 here);
+    # frictionless torque is identically zero analytically, so its noise
+    # floor scales with r·|F| (cross-product cancellation error)
+    f_scale = float(jnp.abs(f_ref).max())
+    np.testing.assert_allclose(np.asarray(f_pal), np.asarray(f_ref),
+                               rtol=1e-4, atol=1e-5 * f_scale)
+    t_atol = 1e-5 * max(float(jnp.abs(t_ref).max()),
+                        float(params.radius) * f_scale)
+    np.testing.assert_allclose(np.asarray(t_pal), np.asarray(t_ref),
+                               rtol=1e-4, atol=t_atol)
+    assert float(jnp.abs(f_ref).max()) > 0
 
-        # pallas kernel
-        kn, gn, _, _ = hertz_coefficients(params.material, 0.5 * params.mass,
-                                          0.5 * params.radius)
-        edge = edge_ok_table(grid.dims)
-        f_pal = dem_cell_forces_pallas(
-            field.pos.reshape(-1, 3), field.vel.reshape(-1, 3),
-            field.mask.reshape(-1, C), edge,
-            float(radius), float(kn), float(gn),
-            grid_dims=grid.dims, C=C, B=16, interpret=True)
 
-        np.testing.assert_allclose(
-            np.asarray(f_pal).reshape(f_ref.shape), np.asarray(f_ref),
-            rtol=1e-4, atol=1e-4)
-        # forces are actually nonzero somewhere (particles do touch)
-        assert float(jnp.abs(f_ref).max()) > 0
+def test_block_padding_irrelevant():
+    """NC not divisible by B: the lane padding must not change results."""
+    params, grid, field = _scene("frictionless")
+    edge = edge_ok_table(grid.dims)
+    f16, _ = pallas_cell_forces(params, grid, field, edge, B=16,
+                                interpret=True)
+    f64, _ = pallas_cell_forces(params, grid, field, edge, B=64,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(f16), np.asarray(f64),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_advance_backend_parity():
+    """Full advance cycles: pallas backend tracks the XLA backend."""
+    from chrono_tpu.dem.bc import DEMBoundaries, box_boundaries
+
+    rng = np.random.default_rng(3)
+    radius = 0.05
+    grid = GridSpec(origin=(0.0, 0.0, 0.0), cell_size=0.13, dims=(4, 4, 4))
+    n = 100
+    pos = rng.uniform(0.07, 0.45, (n, 3)).astype(np.float32)
+    params = DEMParams(
+        radius=jnp.asarray(radius), mass=jnp.asarray(1.0),
+        material=DEMMaterial(), wall_material=DEMMaterial(),
+        gravity=jnp.asarray([0.0, 0.0, -9.81]), dt=jnp.asarray(2e-5),
+        friction_mode="single_step", rebuild_every=4,
+    )
+    bcs = DEMBoundaries(planes=box_boundaries((0, 0, 0), (0.52, 0.52, 0.52)))
+    adv_x = make_cell_dense_advance(params, bcs, grid, backend="xla")
+    adv_p = make_cell_dense_advance(params, bcs, grid, backend="pallas",
+                                    pallas_block=16, pallas_interpret=True)
+    z = jnp.zeros((n, 3))
+    px, vx, ox, ovx = adv_x(jnp.asarray(pos), z, z, 3)
+    pp, vp, op_, ovp = adv_p(jnp.asarray(pos), z, z, 3)
+    assert int(ovx) == 0 and int(ovp) == 0
+    np.testing.assert_allclose(np.asarray(pp), np.asarray(px),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vp), np.asarray(vx),
+                               rtol=1e-3, atol=1e-4)
