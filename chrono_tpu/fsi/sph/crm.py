@@ -20,7 +20,7 @@ from jax import Array
 
 from chrono_tpu.utils.pytree import pytree_dataclass, static_field
 from chrono_tpu.collision.cell_list import GridSpec, min_image
-from chrono_tpu.fsi.sph.state import SPHParams, FLUID
+from chrono_tpu.fsi.sph.state import SPHParams, FLUID, FROZEN
 from chrono_tpu.fsi.sph.kernels import KERNELS, grad_w
 from chrono_tpu.fsi.sph.wcsph import particle_mass
 
@@ -129,13 +129,17 @@ def make_crm_state(sph_state, dtype=jnp.float32) -> CRMState:
     )
 
 
-def crm_step(params: SPHParams, crm: CRMParams, grid: GridSpec,
-             state: CRMState) -> CRMState:
-    """Explicit elastoplastic step (kick-drift, like the CFD symplectic path)."""
+def crm_forces(params: SPHParams, crm: CRMParams, grid: GridSpec,
+               state: CRMState):
+    """Acceleration of every marker (granular: full dynamics; solid: the
+    granular reaction used for the BCE force reduction).
+
+    Granular = FLUID or FROZEN markers (frozen ones contribute stress/density
+    as neighbors but are not integrated — the active-domain mechanism).
+    """
     _, dw_fn, _ = KERNELS[params.kernel]
     m = particle_mass(params)
-    h = params.dt
-    is_gran = state.kind == FLUID
+    is_gran = (state.kind == FLUID) | (state.kind == FROZEN)
 
     j = jnp.maximum(state.nbr.idx, 0)
     valid = state.nbr.valid
@@ -170,16 +174,49 @@ def crm_step(params: SPHParams, crm: CRMParams, grid: GridSpec,
                                 0.0), axis=1)
 
     # short-range boundary penalty (Monaghan-style): mirrored stress alone
-    # cannot support stress-free material falling onto a wall
+    # cannot support stress-free material falling onto a wall.  Mixed pairs
+    # only: granular i gets pushed away from solid j, and solid i collects the
+    # equal-and-opposite reaction from granular j (for the BCE reduction).
+    # Near-critical normal damping (approach-only) kills the elastic bounce a
+    # bare penalty would give a body dropped onto the bed.
     r0 = params.d0
-    close = valid & ~is_gran_j & (r < r0)
+    mixed = is_gran[:, None] != is_gran_j
+    close = valid & mixed & (r < r0)
     overlap = jnp.where(close, (r0 - r) / r0, 0.0)
     k_bc = params.c_s**2 / r0                       # acceleration scale
-    dv = dv + jnp.sum((k_bc * overlap)[..., None] * d / r[..., None], axis=1)
+    nhat = d / r[..., None]
+    vn_rel = jnp.sum(v_ij * nhat, axis=-1)          # <0 ⇒ approaching
+    c_bc = 3.0 * jnp.sqrt(k_bc / r0)                # over-critical [1/s]
+    # full damping on approach, 30 % on separation (granular contact has
+    # near-zero restitution; a small separation term is viscous, not sticky)
+    damp = jnp.where(close,
+                     -c_bc * vn_rel * jnp.where(vn_rel < 0, 1.0, 0.3), 0.0)
+    dv = dv + jnp.sum((k_bc * overlap + damp)[..., None] * nhat, axis=1)
+    return dv
 
+
+def crm_step(params: SPHParams, crm: CRMParams, grid: GridSpec,
+             state: CRMState) -> CRMState:
+    """Explicit elastoplastic step (kick-drift, like the CFD symplectic path)."""
+    _, dw_fn, _ = KERNELS[params.kernel]
+    m = particle_mass(params)
+    h = params.dt
+    integrate = state.kind == FLUID                    # active granular only
+    is_gran = integrate | (state.kind == FROZEN)
+
+    j = jnp.maximum(state.nbr.idx, 0)
+    valid = state.nbr.valid
+    d = min_image(grid, state.pos[:, None, :] - state.pos[j])
+    r2 = jnp.sum(d * d, axis=-1)
+    r = jnp.sqrt(r2 + 1e-12)
+    gw = grad_w(dw_fn, d, r, params.h)
+
+    sig = _unpack_stress(state.tau_d, state.tau_o)     # (N,3,3)
+
+    dv = crm_forces(params, crm, grid, state)
     dv = dv + jnp.asarray(params.gravity)[None, :]
 
-    vel = jnp.where(is_gran[:, None], state.vel + h * dv, state.vel)
+    vel = jnp.where(integrate[:, None], state.vel + h * dv, state.vel)
 
     # --- stress update at the new velocities (stable pairing, cf. wcsph) ---
     gradv = velocity_gradient(params, grid, state.pos, vel, state.rho,
@@ -195,15 +232,15 @@ def crm_step(params: SPHParams, crm: CRMParams, grid: GridSpec,
                - jnp.einsum("nab,nbc->nac", sig, Wspin))
     sig_new = sig + h * sig_dot
     sig_new = drucker_prager_return(sig_new, crm)
-    sig_new = jnp.where(is_gran[:, None, None], sig_new, sig)
+    sig_new = jnp.where(integrate[:, None, None], sig_new, sig)
 
     # --- continuity & transport ---
     v_ij_new = vel[:, None, :] - vel[j]
     drho = jnp.sum(jnp.where(valid, m * jnp.sum(v_ij_new * gw, axis=-1), 0.0),
                    axis=1)
-    rho = jnp.where(is_gran, state.rho + h * drho, state.rho)
+    rho = jnp.where(integrate, state.rho + h * drho, state.rho)
     rho = jnp.clip(rho, 0.5 * params.rho0, 2.0 * params.rho0)
-    pos = jnp.where(is_gran[:, None], state.pos + h * vel, state.pos)
+    pos = jnp.where(integrate[:, None], state.pos + h * vel, state.pos)
 
     tau_d, tau_o = _pack_stress(sig_new)
     return state.replace(pos=pos, vel=vel, rho=rho, tau_d=tau_d, tau_o=tau_o,

@@ -19,7 +19,11 @@ from chrono_tpu.dem.neighbors import NeighborList
 FLUID = 0
 BOUNDARY = 1     # fixed BCE (walls)
 RIGID_BCE = 2    # markers attached to rigid bodies
-FLEX_BCE = 3     # markers attached to FEA nodes (future)
+FLEX_BCE = 3     # markers attached to FEA nodes
+FROZEN = 4       # fluid/granular marker OUTSIDE the active domain: still a
+                 # neighbor (carries density/stress) but not integrated —
+                 # the reference's activityIdentifier=0 state
+                 # (SphFluidDynamics.cu:171 UpdateActivityD)
 
 
 @pytree_dataclass

@@ -47,6 +47,8 @@ class SystemBuilder:
         self._load_motors = {}
         self._tsda = []
         self._rsda = []
+        self._shaft_cons = {}   # kind -> list of dicts
+        self._shaft_elems = []  # clutch/spring/torque elements
         self.gravity = np.array([0.0, 0.0, -9.81])
 
     # ---------------- bodies ----------------
@@ -64,6 +66,52 @@ class SystemBuilder:
 
     def add_ground(self, name="ground") -> int:
         return self.add_body(fixed=True, name=name)
+
+    # ---------------- shafts (1-D drivetrain) ----------------
+
+    def add_shaft(self, inertia=1.0, speed=0.0, name=None) -> int:
+        """1-DOF rotational inertia (reference ChShaft): a body whose only
+        live DOF is spin about its local z axis."""
+        idx = self.add_body(mass=0.0, inertia=(1.0, 1.0, float(inertia)),
+                            omega_local=(0.0, 0.0, float(speed)), name=name)
+        self._bodies[idx]["shaft"] = True
+        return idx
+
+    def add_shaft_gear(self, shaft_a, shaft_b, ratio):
+        """ω_a = ratio · ω_b (ChShaftsGear)."""
+        self._shaft_cons.setdefault("gear", []).append(
+            dict(a=shaft_a, b=shaft_b, ratio=float(ratio)))
+
+    def add_shaft_planetary(self, carrier, sun, ring, ratio):
+        """Willis equation with ring/sun ratio ψ = z_ring/z_sun:
+        (1+ψ) ω_c − ω_s − ψ ω_r = 0 (ChShaftsPlanetary)."""
+        psi = float(ratio)
+        self._shaft_cons.setdefault("planetary", []).append(
+            dict(c=carrier, s=sun, r=ring,
+                 cc=1.0 + psi, cs=-1.0, cr=-psi))
+
+    def add_shaft_body(self, shaft, body, axis_local=(0, 0, 1)):
+        """Lock a shaft's spin to a body's angular velocity about a
+        body-local axis (ChShaftsBody)."""
+        self._shaft_cons.setdefault("shaft_body", []).append(
+            dict(a=shaft, b=body, axis=_as3(axis_local)))
+
+    def add_shaft_clutch(self, shaft_a, shaft_b, torque_max, c_slip=50.0,
+                         engagement=1.0):
+        self._shaft_elems.append(dict(a=shaft_a, b=shaft_b, kind=0,
+                                      k=float(c_slip), c=float(torque_max),
+                                      rest=float(engagement)))
+
+    def add_shaft_torsion_spring(self, shaft_a, shaft_b, k, c=0.0,
+                                 rest_angle=0.0):
+        self._shaft_elems.append(dict(a=shaft_a, b=shaft_b, kind=1,
+                                      k=float(k), c=float(c),
+                                      rest=float(rest_angle)))
+
+    def add_shaft_torque(self, shaft_a, shaft_b, torque):
+        """Constant applied torque pair (+τ on a, −τ on b)."""
+        self._shaft_elems.append(dict(a=shaft_a, b=shaft_b, kind=2,
+                                      k=float(torque), c=0.0, rest=0.0))
 
     def set_gravity(self, g):
         self.gravity = _as3(g)
@@ -214,6 +262,15 @@ class SystemBuilder:
         inertia = arr("inertia")
         inv_inertia = jnp.where(
             inv_mass[:, None] > 0, 1.0 / jnp.maximum(inertia, 1e-30), 0.0)
+        # shafts: translationally fixed, but spin about local z stays live
+        shaft_mask = np.asarray([b.get("shaft", False) for b in self._bodies])
+        if shaft_mask.any():
+            iz = 1.0 / np.maximum(
+                np.asarray([b["inertia"][2] for b in self._bodies]), 1e-30)
+            shaft_inv = np.zeros((nb, 3))
+            shaft_inv[:, 2] = iz
+            inv_inertia = jnp.where(jnp.asarray(shaft_mask)[:, None],
+                                    jnp.asarray(shaft_inv, dt), inv_inertia)
         props = BodyProps(inv_mass=inv_mass, inertia=inertia,
                           inv_inertia=inv_inertia)
         state = BodyState(x=arr("pos"), q=arr("rot"), v=arr("vel"),
@@ -281,10 +338,49 @@ class SystemBuilder:
                 t_act=jnp.asarray([s["ta"] for s in self._rsda], dt),
             )
 
+        shaft_cons = {}
+        if self._shaft_cons:
+            from chrono_tpu.physics import shafts as sh
+
+            for kind, items in self._shaft_cons.items():
+                if kind == "gear":
+                    shaft_cons[kind] = sh.ShaftGearData(
+                        shaft_a=jnp.asarray([i["a"] for i in items], jnp.int32),
+                        shaft_b=jnp.asarray([i["b"] for i in items], jnp.int32),
+                        ratio=jnp.asarray([i["ratio"] for i in items], dt))
+                elif kind == "planetary":
+                    shaft_cons[kind] = sh.ShaftPlanetaryData(
+                        carrier=jnp.asarray([i["c"] for i in items], jnp.int32),
+                        sun=jnp.asarray([i["s"] for i in items], jnp.int32),
+                        ring=jnp.asarray([i["r"] for i in items], jnp.int32),
+                        c_carrier=jnp.asarray([i["cc"] for i in items], dt),
+                        c_sun=jnp.asarray([i["cs"] for i in items], dt),
+                        c_ring=jnp.asarray([i["cr"] for i in items], dt))
+                elif kind == "shaft_body":
+                    shaft_cons[kind] = sh.ShaftBodyData(
+                        shaft=jnp.asarray([i["a"] for i in items], jnp.int32),
+                        body=jnp.asarray([i["b"] for i in items], jnp.int32),
+                        axis_local=jnp.asarray(
+                            np.stack([i["axis"] for i in items]), dt))
+
+        shaft_elems = None
+        if self._shaft_elems:
+            from chrono_tpu.physics.shafts import ShaftTorqueElements
+
+            e = self._shaft_elems
+            shaft_elems = ShaftTorqueElements(
+                shaft_a=jnp.asarray([i["a"] for i in e], jnp.int32),
+                shaft_b=jnp.asarray([i["b"] for i in e], jnp.int32),
+                kind=jnp.asarray([i["kind"] for i in e], jnp.int32),
+                k=jnp.asarray([i["k"] for i in e], dt),
+                c=jnp.asarray([i["c"] for i in e], dt),
+                rest=jnp.asarray([i["rest"] for i in e], dt))
+
         model = Model(
             props=props, gravity=jnp.asarray(self.gravity, dt),
             joints=joints, motors=motors, load_motors=load_motors,
             tsda=tsda, rsda=rsda,
+            shaft_constraints=shaft_cons, shaft_elements=shaft_elems,
         )
         return model, state
 

@@ -30,21 +30,28 @@ from chrono_tpu.core import quaternion as Q
 
 @pytree_dataclass
 class ConstraintRows:
-    """M scalar constraint rows, each coupling bodies ``body_a`` and ``body_b``.
+    """M scalar constraint rows, each coupling up to THREE bodies.
 
     The velocity-level constraint is
-        ``Ja_v·v_a + Ja_w·w_a + Jb_v·v_b + Jb_w·w_b = rhs``
+        ``Ja_v·v_a + Ja_w·w_a + Jb_v·v_b + Jb_w·w_b + Jc_w·w_c = rhs``
     with ``v`` world linear velocity and ``w`` body-local angular velocity.
     ``rhs`` already contains Baumgarte/contact stabilization ``-C/h`` and motor
     velocity set-points ``-Ct``.
+
+    The third slot exists for the drivetrain constraints that genuinely couple
+    three 1-DOF variables (the reference's ChShaftsPlanetary,
+    /root/reference/src/chrono/physics/ChShaftsPlanetary.h); ordinary joint /
+    contact rows leave it at body 0 with zero Jacobians.
     """
 
     body_a: Array  # (M,) int32
     body_b: Array  # (M,) int32
+    body_c: Array  # (M,) int32 (0 + zero Jacobian when unused)
     Ja_v: Array    # (M, 3)
     Ja_w: Array    # (M, 3)
     Jb_v: Array    # (M, 3)
     Jb_w: Array    # (M, 3)
+    Jc_w: Array    # (M, 3) third slot is rotational-only (shaft coupling)
     rhs: Array     # (M,)
     active: Array  # (M,) bool
 
@@ -53,12 +60,24 @@ class ConstraintRows:
         return self.body_a.shape[0]
 
     @staticmethod
+    def two_body(body_a, body_b, Ja_v, Ja_w, Jb_v, Jb_w, rhs, active
+                 ) -> "ConstraintRows":
+        """Standard two-body rows (third slot inert)."""
+        return ConstraintRows(
+            body_a=body_a, body_b=body_b,
+            body_c=jnp.zeros_like(body_a),
+            Ja_v=Ja_v, Ja_w=Ja_w, Jb_v=Jb_v, Jb_w=Jb_w,
+            Jc_w=jnp.zeros_like(Ja_w),
+            rhs=rhs, active=active,
+        )
+
+    @staticmethod
     def empty(dtype=jnp.float32) -> "ConstraintRows":
         z3 = jnp.zeros((0, 3), dtype)
+        zi = jnp.zeros((0,), jnp.int32)
         return ConstraintRows(
-            body_a=jnp.zeros((0,), jnp.int32),
-            body_b=jnp.zeros((0,), jnp.int32),
-            Ja_v=z3, Ja_w=z3, Jb_v=z3, Jb_w=z3,
+            body_a=zi, body_b=zi, body_c=zi,
+            Ja_v=z3, Ja_w=z3, Jb_v=z3, Jb_w=z3, Jc_w=z3,
             rhs=jnp.zeros((0,), dtype),
             active=jnp.zeros((0,), bool),
         )
@@ -112,7 +131,7 @@ def lower_gap_function(
         nj = body_a.shape[0]
         flat = lambda a: a.reshape(nj * n_rows, -1)
         rep = lambda a: jnp.repeat(a, n_rows)
-        return ConstraintRows(
+        return ConstraintRows.two_body(
             body_a=rep(body_a),
             body_b=rep(body_b),
             Ja_v=flat(J[..., 0:3]),

@@ -113,7 +113,7 @@ def motor_rows(kind: str, data: MotorData, state_x, state_q, t, h,
     else:
         raise ValueError(f"unknown motor kind {kind!r}")
 
-    return ConstraintRows(
+    return ConstraintRows.two_body(
         body_a=a, body_b=b,
         Ja_v=Ja_v, Ja_w=Ja_w, Jb_v=Jb_v, Jb_w=Jb_w,
         rhs=rhs, active=jnp.ones((M,), bool),

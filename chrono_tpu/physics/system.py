@@ -59,6 +59,8 @@ class Model:
     load_motors: dict                   # {kind: MotorData} torque/force motors
     tsda: Optional[fe.TSDAData]
     rsda: Optional[fe.RSDAData]
+    shaft_constraints: dict = None      # {kind: Shaft*Data} (physics.shafts)
+    shaft_elements: object = None       # ShaftTorqueElements
 
     @property
     def n_bodies(self) -> int:
@@ -102,6 +104,9 @@ def applied_forces(model: Model, state: BodyState, t, f_ext=None, tau_ext=None):
             .at[data.body_a].add(Q.qrotate_inv(state.q[data.body_a], ta))
             .at[data.body_b].add(Q.qrotate_inv(state.q[data.body_b], tb))
         )
+    if model.shaft_elements is not None:
+        from chrono_tpu.physics.shafts import shaft_torques
+        tau = tau + shaft_torques(model.shaft_elements, state.q, state.w, n)
     return f, tau
 
 
@@ -116,6 +121,10 @@ def bilateral_rows(model: Model, state: BodyState, t, h,
         motor_rows(kind, data, state.x, state.q, t, h, settings.stab_factor)
         for kind, data in model.motors.items()
     ]
+    if model.shaft_constraints:
+        from chrono_tpu.physics.shafts import SHAFT_ROW_GENERATORS
+        parts += [SHAFT_ROW_GENERATORS[kind](data, state.x.dtype)
+                  for kind, data in model.shaft_constraints.items()]
     return concat_rows(parts)
 
 

@@ -30,6 +30,7 @@ def apply_DT(rows: ConstraintRows, gamma: Array, n_bodies: int):
     tau = jnp.zeros((n_bodies, 3), gamma.dtype)
     f = f.at[rows.body_a].add(rows.Ja_v * g).at[rows.body_b].add(rows.Jb_v * g)
     tau = tau.at[rows.body_a].add(rows.Ja_w * g).at[rows.body_b].add(rows.Jb_w * g)
+    tau = tau.at[rows.body_c].add(rows.Jc_w * g)
     return f, tau
 
 
@@ -45,6 +46,7 @@ def apply_D(rows: ConstraintRows, v: Array, w: Array) -> Array:
         + jnp.sum(rows.Ja_w * w[rows.body_a], axis=-1)
         + jnp.sum(rows.Jb_v * v[rows.body_b], axis=-1)
         + jnp.sum(rows.Jb_w * w[rows.body_b], axis=-1)
+        + jnp.sum(rows.Jc_w * w[rows.body_c], axis=-1)
     )
     return jnp.where(rows.active, out, 0.0)
 
@@ -91,6 +93,7 @@ def diag_N(rows: ConstraintRows, props: BodyProps) -> Array:
         + jnp.sum(rows.Ja_w**2 * iia, axis=-1)
         + jnp.sum(rows.Jb_v**2 * imb, axis=-1)
         + jnp.sum(rows.Jb_w**2 * iib, axis=-1)
+        + jnp.sum(rows.Jc_w**2 * props.inv_inertia[rows.body_c], axis=-1)
     )
     return jnp.where(rows.active, d, 1.0)
 
@@ -110,4 +113,5 @@ def dense_D(rows: ConstraintRows, n_bodies: int) -> Array:
     D = D.at[r, rows.body_a, 3:6].add(jnp.where(mask, rows.Ja_w, 0.0))
     D = D.at[r, rows.body_b, 0:3].add(jnp.where(mask, rows.Jb_v, 0.0))
     D = D.at[r, rows.body_b, 3:6].add(jnp.where(mask, rows.Jb_w, 0.0))
+    D = D.at[r, rows.body_c, 3:6].add(jnp.where(mask, rows.Jc_w, 0.0))
     return D.reshape(m, n_bodies * 6)
