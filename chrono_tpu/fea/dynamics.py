@@ -21,7 +21,25 @@ import jax
 import jax.numpy as jnp
 from jax import lax, Array
 
-from chrono_tpu.fea.cable import CableMesh, internal_forces, mass_matrix
+from chrono_tpu.fea.cable import CableMesh
+
+
+def _mesh_ops(mesh):
+    """Dispatch element kernels by mesh type (cable / shell share the
+    (Nn, 6) node layout, so the whole Newton/HHT machinery is generic)."""
+    from chrono_tpu.fea import cable, shell
+
+    if isinstance(mesh, shell.ShellMesh):
+        return shell.internal_forces, shell.mass_matrix
+    return cable.internal_forces, cable.mass_matrix
+
+
+def internal_forces(mesh, q):
+    return _mesh_ops(mesh)[0](mesh, q)
+
+
+def mass_matrix(mesh, n_nodes):
+    return _mesh_ops(mesh)[1](mesh, n_nodes)
 
 
 class FEAStepOut(NamedTuple):

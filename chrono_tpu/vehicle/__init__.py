@@ -1,6 +1,6 @@
 from chrono_tpu.vehicle.tire import (
-    TMeasyParams, FialaParams, Pac89Params,
-    tmeasy_forces, fiala_forces, pac89_forces,
+    TMeasyParams, FialaParams, Pac89Params, Pac02Params,
+    tmeasy_forces, fiala_forces, pac89_forces, pac02_forces,
 )
 from chrono_tpu.vehicle.terrain import (
     flat_terrain, Heightmap, SCMParams, SCMState, make_scm_state,

@@ -1,0 +1,182 @@
+"""Geometric suspension templates (double wishbone, MacPherson).
+
+TPU-native counterpart of the reference's linkage suspension templates
+(/root/reference/src/chrono_vehicle/wheeled_vehicle/suspension/
+ChDoubleWishbone.h:54, ChMacPhersonStrut.h): each corner is assembled from
+real control-arm bodies and joints on the generic ``SystemBuilder`` — so
+camber/caster/scrub kinematics emerge from the geometry, unlike the reduced
+vertical-travel corner of chrono_tpu.vehicle.wheeled.  The hardpoint scheme
+mirrors the reference's (ChDoubleWishbone::ChVector3d getLocation(PointId)).
+
+Per corner (left side shown; right side is y-mirrored):
+    chassis ─revolute─ UCA ─spherical─ upright ─revolute(y)─ wheel
+    chassis ─revolute─ LCA ─spherical─ upright
+    chassis/rack ─distance (tie rod)─ upright
+    chassis ─TSDA (spring-damper)─ LCA
+DOF per corner = 2 (travel + wheel spin) + steer via the tie-rod anchor.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from chrono_tpu.physics.builder import SystemBuilder
+
+
+@dataclass
+class WishboneHardpoints:
+    """Hardpoints in the corner frame: x forward, y left (outboard), z up;
+    origin at the wheel center's ground projection.  Defaults are a generic
+    SLA (short-long-arm) road-vehicle geometry (HMMWV-class scale)."""
+
+    spindle: tuple = (0.0, 0.0, 0.35)            # wheel center
+    uca_front: tuple = (0.15, -0.4, 0.55)        # UCA chassis pivots
+    uca_rear: tuple = (-0.15, -0.4, 0.55)
+    uca_ball: tuple = (0.0, -0.12, 0.60)         # UCA ball joint on upright
+    lca_front: tuple = (0.2, -0.45, 0.18)
+    lca_rear: tuple = (-0.2, -0.45, 0.18)
+    lca_ball: tuple = (0.0, -0.08, 0.12)
+    spring_chassis: tuple = (0.0, -0.35, 0.8)
+    spring_lca: tuple = (0.0, -0.2, 0.16)
+    tierod_chassis: tuple = (0.25, -0.4, 0.35)   # inner (rack) point
+    tierod_upright: tuple = (0.22, -0.1, 0.35)   # outer point on upright
+
+    masses: dict = field(default_factory=lambda: dict(
+        uca=6.0, lca=8.0, upright=20.0, wheel=40.0))
+    inertias: dict = field(default_factory=lambda: dict(
+        uca=(0.03, 0.03, 0.05), lca=(0.05, 0.05, 0.08),
+        upright=(0.3, 0.3, 0.3), wheel=(1.5, 2.5, 1.5)))
+    spring_k: float = 120e3
+    spring_c: float = 8e3
+    spring_free_len: float = None   # None → preloaded at assembly length
+
+
+@dataclass
+class CornerBodies:
+    uca: int
+    lca: int
+    upright: int
+    wheel: int
+
+
+def add_double_wishbone_corner(bld: SystemBuilder, chassis: int,
+                               origin, hp: WishboneHardpoints,
+                               side: int = +1,
+                               steered_rack_body: int = None) -> CornerBodies:
+    """Assemble one double-wishbone corner.
+
+    ``origin``: world position of the corner frame origin on the chassis;
+    ``side``: +1 left (+y outboard), −1 right (hardpoint y negated —
+    hardpoints are authored with y toward the chassis, negative);
+    ``steered_rack_body``: body carrying the tie-rod inner point (steering
+    rack); defaults to the chassis (unsteered corner).
+    """
+    o = np.asarray(origin, float)
+
+    def P(p):
+        p = np.asarray(p, float)
+        return o + np.array([p[0], side * p[1], p[2]])
+
+    m, I = hp.masses, hp.inertias
+
+    uca_mid = 0.5 * (np.asarray(hp.uca_front) + np.asarray(hp.uca_rear))
+    uca = bld.add_body(mass=m["uca"], inertia=I["uca"],
+                       pos=P(0.5 * (uca_mid + np.asarray(hp.uca_ball))))
+    lca_mid = 0.5 * (np.asarray(hp.lca_front) + np.asarray(hp.lca_rear))
+    lca = bld.add_body(mass=m["lca"], inertia=I["lca"],
+                       pos=P(0.5 * (lca_mid + np.asarray(hp.lca_ball))))
+    upright = bld.add_body(mass=m["upright"], inertia=I["upright"],
+                           pos=P(hp.spindle))
+    wheel = bld.add_body(mass=m["wheel"], inertia=I["wheel"],
+                         pos=P(hp.spindle))
+
+    # control-arm chassis revolutes: axis through the two chassis pivots
+    for arm, pf, pr, ball in ((uca, hp.uca_front, hp.uca_rear, hp.uca_ball),
+                              (lca, hp.lca_front, hp.lca_rear, hp.lca_ball)):
+        axis = P(pf) - P(pr)
+        axis = axis / np.linalg.norm(axis)
+        bld.add_joint("revolute", arm, chassis,
+                      world_pos=0.5 * (P(pf) + P(pr)), world_axis=axis)
+        bld.add_joint("spherical", arm, upright, world_pos=P(ball))
+
+    # tie rod: distance constraint rack/chassis → upright steer arm
+    rack = chassis if steered_rack_body is None else steered_rack_body
+    bld.add_distance(upright, rack, P(hp.tierod_upright),
+                     P(hp.tierod_chassis))
+
+    # spring-damper
+    bld.add_tsda(chassis, lca, P(hp.spring_chassis), P(hp.spring_lca),
+                 k=hp.spring_k, c=hp.spring_c,
+                 rest_length=hp.spring_free_len)
+
+    # wheel spin revolute about the corner lateral (y) axis
+    bld.add_joint("revolute", wheel, upright, world_pos=P(hp.spindle),
+                  world_axis=(0, 1, 0))
+    return CornerBodies(uca=uca, lca=lca, upright=upright, wheel=wheel)
+
+
+def add_macpherson_corner(bld: SystemBuilder, chassis: int, origin,
+                          hp: WishboneHardpoints, side: int = +1,
+                          steered_rack_body: int = None) -> CornerBodies:
+    """MacPherson strut corner (ChMacPhersonStrut.h): the UCA is replaced by
+    a strut — prismatic guide from the chassis top mount to the upright —
+    with the spring-damper along it; the LCA and tie rod are as in the
+    wishbone template."""
+    o = np.asarray(origin, float)
+
+    def P(p):
+        p = np.asarray(p, float)
+        return o + np.array([p[0], side * p[1], p[2]])
+
+    m, I = hp.masses, hp.inertias
+    lca_mid = 0.5 * (np.asarray(hp.lca_front) + np.asarray(hp.lca_rear))
+    lca = bld.add_body(mass=m["lca"], inertia=I["lca"],
+                       pos=P(0.5 * (lca_mid + np.asarray(hp.lca_ball))))
+    upright = bld.add_body(mass=m["upright"], inertia=I["upright"],
+                           pos=P(hp.spindle))
+    wheel = bld.add_body(mass=m["wheel"], inertia=I["wheel"],
+                         pos=P(hp.spindle))
+
+    axis = P(hp.lca_front) - P(hp.lca_rear)
+    axis = axis / np.linalg.norm(axis)
+    bld.add_joint("revolute", lca, chassis,
+                  world_pos=0.5 * (P(hp.lca_front) + P(hp.lca_rear)),
+                  world_axis=axis)
+    bld.add_joint("spherical", lca, upright, world_pos=P(hp.lca_ball))
+
+    # strut rod: its own body (like the reference's m_strut), universal top
+    # mount to the chassis, cylindrical slider to the upright — 2 corner DOF
+    strut_axis = P(hp.spring_chassis) - P(hp.lca_ball)
+    strut_len = np.linalg.norm(strut_axis)
+    strut_axis = strut_axis / strut_len
+    strut = bld.add_body(mass=3.0, inertia=(0.02, 0.02, 0.01),
+                         pos=P(hp.spring_chassis) - 0.25 * strut_len
+                         * strut_axis)
+    bld.add_joint("universal", strut, chassis,
+                  world_pos=P(hp.spring_chassis), world_axis=strut_axis)
+    bld.add_joint("cylindrical", upright, strut,
+                  world_pos=P(hp.lca_ball) + 0.3 * strut_len * strut_axis,
+                  world_axis=strut_axis)
+    bld.add_tsda(chassis, upright, P(hp.spring_chassis), P(hp.spindle),
+                 k=hp.spring_k, c=hp.spring_c,
+                 rest_length=hp.spring_free_len)
+
+    rack = chassis if steered_rack_body is None else steered_rack_body
+    bld.add_distance(upright, rack, P(hp.tierod_upright),
+                     P(hp.tierod_chassis))
+    bld.add_joint("revolute", wheel, upright, world_pos=P(hp.spindle),
+                  world_axis=(0, 1, 0))
+    return CornerBodies(lca=lca, uca=-1, upright=upright, wheel=wheel)
+
+
+def wheel_camber(q_wheel, side: int = +1) -> float:
+    """Camber angle from a wheel quaternion: inclination of the spin (local
+    y) axis from the horizontal, positive = top of wheel tilts outboard."""
+    from chrono_tpu.core import quaternion as Q
+    import jax.numpy as jnp
+
+    ey = Q.qrotate(q_wheel, jnp.asarray([0.0, 1.0, 0.0]))
+    # angle of the axis out of the horizontal plane, signed by side
+    return side * jnp.arctan2(-ey[..., 2] * side, jnp.abs(ey[..., 1]))

