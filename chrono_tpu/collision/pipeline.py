@@ -225,7 +225,7 @@ def contact_rows(contacts: Contacts, state: BodyState, h,
             (-1,) + xs[0].shape[1:])
 
     act = contacts.active
-    return ConstraintRows(
+    return ConstraintRows.two_body(
         body_a=interleave([a, a, a]),
         body_b=interleave([b, b, b]),
         Ja_v=interleave([n_rows[0], t1_rows[0], t2_rows[0]]),

@@ -86,13 +86,19 @@ def _compact(pos, vel, extra, valid, capacity, fill=1e30):
     return pos, vel, extra, valid
 
 
-def make_exchange(spec: SlabSpec, axis: str = "dp"):
+def make_exchange(spec: SlabSpec, axis: str = "dp",
+                  n_halo_extra_cols: int = 0):
     """Build the per-device migrate+halo exchange (call INSIDE shard_map).
 
     Returns ``exchange(pos, vel, extra, valid) -> (pos, vel, extra, valid,
-    halo_pos, halo_vel, halo_valid, overflow)``; ``extra`` is an arbitrary
-    per-particle (C, F) payload that migrates with its particle (spin,
-    friction history, stress, ...).  Halos carry only pos/vel.
+    halo_pos, halo_vel, halo_extra, halo_valid, halo_idx, overflow)``;
+    ``extra`` is an arbitrary per-particle (C, F) payload that migrates with
+    its particle (spin, friction history, global id, ...).  Halos carry
+    pos/vel plus the first ``n_halo_extra_cols`` extra columns (e.g. spin +
+    global id, needed for full-fidelity friction across slab faces).
+    ``halo_idx`` (2, H) records which owned rows were exported per face so
+    the caller can REFRESH halo state between substeps without re-packing
+    (slot assignment must stay fixed while a neighbor list is alive).
     """
     D = spec.n_slabs
     C = spec.capacity
@@ -148,99 +154,177 @@ def make_exchange(spec: SlabSpec, axis: str = "dp"):
         near_lo = valid2 & (pos2[:, 0] < lo + spec.cutoff)
         near_hi = valid2 & (pos2[:, 0] >= hi - spec.cutoff)
 
-        def packh(mask):
+        def packh_idx(mask):
             idx = jnp.nonzero(mask, size=H, fill_value=C)[0]
             ok = idx < C
             idx = jnp.minimum(idx, C - 1)
-            return pos2[idx], vel2[idx], ok & mask[idx]
+            return idx, ok & mask[idx]
 
-        hlp, hlv, hlm = packh(near_lo)   # → left neighbor's right halo
-        hrp, hrv, hrm = packh(near_hi)   # → right neighbor's left halo
+        idx_lo, ok_lo = packh_idx(near_lo)   # → left neighbor's right halo
+        idx_hi, ok_hi = packh_idx(near_hi)   # → right neighbor's left halo
         halo_overflow = (jnp.maximum(jnp.sum(near_lo), jnp.sum(near_hi))
                          > H).astype(jnp.int32)
 
-        h_from_left_p = lax.ppermute(hrp, axis, right_perm)
-        h_from_left_v = lax.ppermute(hrv, axis, right_perm)
-        h_from_left_m = lax.ppermute(hrm, axis, right_perm)
-        h_from_right_p = lax.ppermute(hlp, axis, left_perm)
-        h_from_right_v = lax.ppermute(hlv, axis, left_perm)
-        h_from_right_m = lax.ppermute(hlm, axis, left_perm)
+        hx = extra2[:, :n_halo_extra_cols] if n_halo_extra_cols else \
+            jnp.zeros((C, 0), pos.dtype)
+
+        h_from_left_p = lax.ppermute(pos2[idx_hi], axis, right_perm)
+        h_from_left_v = lax.ppermute(vel2[idx_hi], axis, right_perm)
+        h_from_left_x = lax.ppermute(hx[idx_hi], axis, right_perm)
+        h_from_left_m = lax.ppermute(ok_hi, axis, right_perm)
+        h_from_right_p = lax.ppermute(pos2[idx_lo], axis, left_perm)
+        h_from_right_v = lax.ppermute(vel2[idx_lo], axis, left_perm)
+        h_from_right_x = lax.ppermute(hx[idx_lo], axis, left_perm)
+        h_from_right_m = lax.ppermute(ok_lo, axis, left_perm)
 
         halo_pos = jnp.concatenate([h_from_left_p, h_from_right_p])
         halo_vel = jnp.concatenate([h_from_left_v, h_from_right_v])
+        halo_extra = jnp.concatenate([h_from_left_x, h_from_right_x])
         halo_valid = jnp.concatenate([h_from_left_m, h_from_right_m])
         halo_pos = jnp.where(halo_valid[:, None], halo_pos, 1e30)
+        halo_idx = jnp.stack([idx_lo, idx_hi])
 
         overflow = jnp.maximum(jnp.maximum(mig_overflow, own_overflow),
                                halo_overflow)
         if squeeze:
             return (pos2[None], vel2[None], extra2[None], valid2[None],
-                    halo_pos[None], halo_vel[None], halo_valid[None],
-                    overflow[None])
+                    halo_pos[None], halo_vel[None], halo_extra[None],
+                    halo_valid[None], halo_idx[None], overflow[None])
         return (pos2, vel2, extra2, valid2,
-                halo_pos, halo_vel, halo_valid, overflow)
+                halo_pos, halo_vel, halo_extra, halo_valid, halo_idx,
+                overflow)
 
     return exchange
 
 
+def refresh_halos(spec: SlabSpec, axis, halo_idx, pos, vel, omega):
+    """Re-export the SAME owned rows chosen at cycle start (halo slot
+    assignment must not change while a neighbor list is alive) with their
+    current state — the per-substep halo refresh that removes the frozen-halo
+    O(h·substeps) boundary error.  Call inside shard_map."""
+    D = spec.n_slabs
+    right_perm = [(i, i + 1) for i in range(D - 1)]
+    left_perm = [(i + 1, i) for i in range(D - 1)]
+    idx_lo, idx_hi = halo_idx[0], halo_idx[1]
+
+    def send(arr):
+        from_left = lax.ppermute(arr[idx_hi], axis, right_perm)
+        from_right = lax.ppermute(arr[idx_lo], axis, left_perm)
+        return jnp.concatenate([from_left, from_right])
+
+    return send(pos), send(vel), send(omega)
+
+
+def migrate_history_by_gid(old_partner_gid, old_tan, new_partner_gid):
+    """Re-key pair friction history onto a new neighbor list by GLOBAL ids
+    (the sharded counterpart of dem/neighbors.migrate_history — ids stay
+    meaningful across slab migration/compaction while local slots do not).
+
+    old_partner_gid (C, K) int32 (−1 = none), old_tan (C, K, 3),
+    new_partner_gid (C, K) → (C, K, 3).
+    """
+    eq = (new_partner_gid[:, :, None] == old_partner_gid[:, None, :]) \
+        & (new_partner_gid[:, :, None] >= 0)
+    return jnp.einsum("nko,nof->nkf", eq.astype(old_tan.dtype), old_tan)
+
+
 def make_sharded_dem_advance(spec: SlabSpec, mesh: Mesh, dem_params,
                              boundaries, grid, axis: str = "dp"):
-    """Sharded DEM advance: each cycle = exchange → local neighbor rebuild →
-    ``rebuild_every`` local force/integrate substeps.
+    """Sharded DEM advance at FULL physics fidelity: each cycle = exchange
+    (migration + halo export) → local neighbor rebuild → history re-key by
+    global particle id → ``rebuild_every`` substeps with per-substep halo
+    refresh.
 
-    A frictionless/single-step variant (pair history does not survive
-    migration compaction yet — multi-step history needs identity-stable slot
-    migration, planned in the domains roadmap).
+    Multi-step friction is fully supported: pair tangential history (and wall
+    history) rides the migration payload keyed by stable global ids, and
+    halos carry spin + id so cross-face contacts see the same kinematics as
+    the single-device path (parity-tested in tests/test_domains.py).
     """
     from chrono_tpu.dem.neighbors import build_neighbor_list
     from chrono_tpu.dem.forces import particle_forces, wall_forces
-    from chrono_tpu.dem.params import DEMParams
+    from chrono_tpu.dem.system import _n_walls
 
-    if dem_params.friction_mode == "multi_step":
-        dem_params = dem_params.replace(friction_mode="single_step")
-
-    exchange = make_exchange(spec, axis)
+    exchange = make_exchange(spec, axis, n_halo_extra_cols=4)
     C = spec.capacity
     Hn = 2 * spec.halo_capacity
+    K = dem_params.max_neighbors
+    B = _n_walls(boundaries)
     cutoff = 2.0 * float(dem_params.radius) * (1.0 + dem_params.skin)
+    # extra payload layout (per owned particle):
+    # [omega(3) | gid(1) | tan(K·3) | partner_gid(K) | bc_tan(B·3)]
+    OFF_TAN = 4
+    OFF_PID = 4 + 3 * K
+    OFF_BC = OFF_PID + K
+    F = OFF_BC + 3 * B
 
-    def device_cycle(pos, vel, omega, valid):
-        out = exchange(pos, vel, omega, valid)
-        pos, vel, omega, valid, hpos, hvel, hvalid, overflow = (
-            jax.tree_util.tree_map(lambda a: a[0], out))
+    def device_cycle(pos, vel, extra, valid):
+        out = exchange(pos, vel, extra, valid)
+        (pos, vel, extra, valid, hpos, hvel, hextra, hvalid, halo_idx,
+         overflow) = jax.tree_util.tree_map(lambda a: a[0], out)
+
         all_pos = jnp.concatenate([pos, hpos])
         all_vel = jnp.concatenate([vel, hvel])
-        all_omega = jnp.concatenate([omega, jnp.zeros_like(hvel)])
+        all_omega = jnp.concatenate([extra[:, 0:3], hextra[:, 0:3]])
         all_valid = jnp.concatenate([valid, hvalid])
+        all_gid = jnp.concatenate([extra[:, 3], hextra[:, 3]]) \
+            .astype(jnp.int32)
+        all_gid = jnp.where(all_valid, all_gid, -1)
 
         nbr = build_neighbor_list(grid, all_pos, cutoff,
                                   dem_params.max_per_cell,
                                   dem_params.max_neighbors)
-        K = dem_params.max_neighbors
-        tan0 = jnp.zeros((C + Hn, K, 3), pos.dtype)
-        from chrono_tpu.dem.system import _n_walls
-        bc0 = jnp.zeros((C + Hn, _n_walls(boundaries), 3), pos.dtype)
+        pair_valid = nbr.valid & all_valid[:, None] \
+            & all_valid[jnp.maximum(nbr.idx, 0)]
+        new_partner = jnp.where(pair_valid,
+                                all_gid[jnp.maximum(nbr.idx, 0)], -1)
+
+        # re-key friction history by global id (slots moved in compaction)
+        old_tan = extra[:, OFF_TAN:OFF_PID].reshape(C, K, 3)
+        old_pid = extra[:, OFF_PID:OFF_BC].astype(jnp.int32)
+        tan_own = migrate_history_by_gid(old_pid, old_tan, new_partner[:C])
+        tan_all0 = jnp.concatenate([tan_own, jnp.zeros((Hn, K, 3),
+                                                       pos.dtype)])
+        bc_own = extra[:, OFF_BC:].reshape(C, B, 3)
+        bc_all0 = jnp.concatenate([bc_own, jnp.zeros((Hn, B, 3), pos.dtype)])
+
+        own_row = jnp.arange(C + Hn) < C
+        halo_ok = hvalid
 
         def substep(carry, _):
-            ap, av, ao = carry
-            f_pp, tau_pp, _ = particle_forces(
-                dem_params, ap, av, ao, nbr.idx,
-                nbr.valid & all_valid[:, None], tan0)
-            f_w, tau_w, _, _ = wall_forces(
-                dem_params, boundaries, ap, av, ao, bc0)
-            acc = (f_pp + f_w) / dem_params.mass + dem_params.gravity
+            ap, av, ao, tan, bc = carry
+            f_pp, tau_pp, tan = particle_forces(
+                dem_params, ap, av, ao, nbr.idx, pair_valid, tan)
+            f_w, tau_w, bc, _ = wall_forces(
+                dem_params, boundaries, ap, av, ao, bc)
+            acc = f_pp / dem_params.mass + dem_params.gravity
+            acc = acc + f_w / dem_params.mass
             alpha = (tau_pp + tau_w) / dem_params.inertia
-            own = jnp.arange(ap.shape[0]) < C
-            upd = own & all_valid
+            upd = own_row & all_valid
             av = jnp.where(upd[:, None], av + dem_params.dt * acc, av)
             ao = jnp.where(upd[:, None], ao + dem_params.dt * alpha, ao)
             ap = jnp.where(upd[:, None], ap + dem_params.dt * av, ap)
-            return (ap, av, ao), None
+            # refresh halos with the neighbors' CURRENT state (same rows as
+            # chosen at cycle start, so the neighbor list stays valid)
+            hp, hv, ho = refresh_halos(spec, axis, halo_idx,
+                                       ap[:C], av[:C], ao[:C])
+            hp = jnp.where(halo_ok[:, None], hp, 1e30)
+            ap = jnp.concatenate([ap[:C], hp])
+            av = jnp.concatenate([av[:C], hv])
+            ao = jnp.concatenate([ao[:C], ho])
+            return (ap, av, ao, tan, bc), None
 
-        (all_pos, all_vel, all_omega), _ = lax.scan(
-            substep, (all_pos, all_vel, all_omega), None,
+        (all_pos, all_vel, all_omega, tan_all, bc_all), _ = lax.scan(
+            substep, (all_pos, all_vel, all_omega, tan_all0, bc_all0), None,
             length=dem_params.rebuild_every)
-        return (all_pos[None, :C], all_vel[None, :C], all_omega[None, :C],
+
+        extra2 = jnp.concatenate([
+            all_omega[:C],
+            extra[:, 3:4],
+            tan_all[:C].reshape(C, 3 * K),
+            new_partner[:C].astype(pos.dtype),
+            bc_all[:C].reshape(C, 3 * B),
+        ], axis=1)
+        return (all_pos[None, :C], all_vel[None, :C], extra2[None],
                 valid[None], overflow[None, None])
 
     sharded = shard_map(
@@ -249,15 +333,28 @@ def make_sharded_dem_advance(spec: SlabSpec, mesh: Mesh, dem_params,
         out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
     )
 
+    def init_extra(omega):
+        """(D, C, F) initial payload from (D, C, 3) spin (ids enumerated)."""
+        D = spec.n_slabs
+        gid = (jnp.arange(D)[:, None] * C
+               + jnp.arange(C)[None, :]).astype(jnp.float32)
+        z_tan = jnp.zeros((D, C, 3 * K), omega.dtype)
+        z_pid = jnp.full((D, C, K), -1.0, omega.dtype)
+        z_bc = jnp.zeros((D, C, 3 * B), omega.dtype)
+        return jnp.concatenate([omega, gid[..., None], z_tan, z_pid, z_bc],
+                               axis=2)
+
     @functools.partial(jax.jit, static_argnums=4)
     def advance(pos, vel, omega, valid, n_cycles: int):
-        def body(carry, _):
-            p, v, o, m = carry
-            p, v, o, m, ov = sharded(p, v, o, m)
-            return (p, v, o, m), ov.max()
+        extra = omega if omega.shape[-1] == F else init_extra(omega)
 
-        (p, v, o, m), ovs = lax.scan(body, (pos, vel, omega, valid), None,
+        def body(carry, _):
+            p, v, x, m = carry
+            p, v, x, m, ov = sharded(p, v, x, m)
+            return (p, v, x, m), ov.max()
+
+        (p, v, x, m), ovs = lax.scan(body, (pos, vel, extra, valid), None,
                                      length=n_cycles)
-        return p, v, o, m, ovs.max()
+        return p, v, x[:, :, 0:3], m, ovs.max()
 
     return advance

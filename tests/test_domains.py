@@ -16,11 +16,11 @@ from chrono_tpu.parallel.domains import (
 
 
 def _wrap_exchange(spec, mesh):
-    ex = make_exchange(spec)
+    ex = make_exchange(spec, n_halo_extra_cols=3)
     return shard_map(
         ex, mesh=mesh,
         in_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
-        out_specs=(P("dp"),) * 4 + (P("dp"),) * 3 + (P("dp"),),
+        out_specs=(P("dp"),) * 10,
     )
 
 
@@ -38,7 +38,7 @@ class TestExchange:
         extra[0, 0] = [7.0, 8.0, 9.0]
         valid[0, 0] = True
         fn = _wrap_exchange(spec, mesh)
-        p2, v2, e2, m2, hp, hv, hm, ov = fn(
+        p2, v2, e2, m2, hp, hv, hx, hm, hidx, ov = fn(
             jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(extra),
             jnp.asarray(valid))
         m2 = np.asarray(m2)
@@ -62,7 +62,7 @@ class TestExchange:
         pos[1, 2] = [1.5, 0.5, 0.5]     # interior — no halo export
         valid[1, :3] = True
         fn = _wrap_exchange(spec, mesh)
-        p2, v2, e2, m2, hp, hv, hm, ov = fn(
+        p2, v2, e2, m2, hp, hv, hx, hm, hidx, ov = fn(
             jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(extra),
             jnp.asarray(valid))
         hm = np.asarray(hm)
@@ -120,3 +120,48 @@ class TestShardedDEM:
             return a[np.lexsort((a[:, 2], a[:, 1], a[:, 0]))]
 
         np.testing.assert_allclose(canon(got), canon(ref), atol=2e-4)
+
+    def test_parity_multistep_friction(self):
+        """FULL-fidelity parity: multi-step friction history survives
+        migration (gid re-keying) and halos refresh per substep — the
+        sharded trajectory matches the single-device one."""
+        from chrono_tpu.dem import DEMSystem
+
+        D = 4
+        radius = 0.05
+        box = ((0.0, 0.0, 0.0), (4.0, 0.5, 0.5))
+        rng = np.random.default_rng(2)
+        pts = []
+        for x in np.arange(0.85, 3.2, 0.11):
+            pts.append([x, 0.25, 0.06])
+            pts.append([x + 0.02, 0.25, 0.17])   # second layer → shear
+        pts = np.asarray(pts)
+        pts = pts + rng.normal(0, 1e-3, pts.shape)
+
+        sys_ = DEMSystem(radius=radius, density=2500, box=box,
+                         friction_mode="multi_step", rebuild_every=4,
+                         max_neighbors=8)
+        sys_.set_material(youngs=5e6, restitution=0.4, mu_s=0.5)
+        sys_.set_wall_material(youngs=5e6, restitution=0.4, mu_s=0.5)
+        sys_.create_particles(pts)
+        n_cycles = 30
+        ref_state, _ = sys_._advance(sys_.state, n_cycles)
+        ref = np.asarray(ref_state.pos)
+
+        mesh = make_mesh(D)
+        spec = SlabSpec(x0=0.0, width=1.0, n_slabs=D, capacity=64,
+                        halo_capacity=16, migrate_capacity=8,
+                        cutoff=2 * radius * 1.3)
+        sp = distribute(spec, pts, np.zeros_like(pts))
+        omega = jnp.zeros_like(sp.pos)
+        adv = make_sharded_dem_advance(spec, mesh, sys_.params, sys_.bcs,
+                                       sys_.grid)
+        p, v, o, m, ov = adv(sp.pos, sp.vel, omega, sp.valid, n_cycles)
+        assert int(ov) == 0
+        got = np.asarray(p)[np.asarray(m)]
+        assert got.shape[0] == len(pts)
+
+        def canon(a):
+            return a[np.lexsort((a[:, 2], a[:, 1], a[:, 0]))]
+
+        np.testing.assert_allclose(canon(got), canon(ref), atol=5e-5)
