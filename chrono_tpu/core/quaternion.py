@@ -135,11 +135,15 @@ def qexp_half(w: Array, eps: float = 1e-12) -> Array:
     Stable at ``|w| → 0`` (sinc expansion); used by the symplectic orientation
     update ``q⁺ = q ⊗ qexp_half(h ω_l)``.
     """
-    angle = jnp.linalg.norm(w, axis=-1, keepdims=True)
+    # differentiation-safe norm: sqrt has a NaN gradient at exactly 0, which
+    # poisons any autodiff through the exp map (e.g. constraint-reaction
+    # gradients in the implicit steppers) even when multiplied by zero
+    angle2 = jnp.sum(w * w, axis=-1, keepdims=True)
+    angle = jnp.sqrt(angle2 + 1e-24)
     half = 0.5 * angle
     # sin(half)/angle with series fallback: 0.5 - angle^2/48 as angle→0
-    small = angle < 1e-6
-    sinc = jnp.where(small, 0.5 - angle * angle / 48.0,
+    small = angle2 < 1e-12
+    sinc = jnp.where(small, 0.5 - angle2 / 48.0,
                      jnp.sin(half) / jnp.maximum(angle, eps))
     return jnp.concatenate([jnp.cos(half), w * sinc], axis=-1)
 

@@ -47,6 +47,8 @@ class SPHParams:
     xsph_eps: Array = 0.5        # XSPH shifting strength
     kernel: str = static_field(default="cubic")
     viscosity_model: str = static_field(default="laminar")  # laminar|artificial
+    boundary_model: str = static_field(default="adami")     # adami|holmes
+    shifting: str = static_field(default="xsph")            # xsph|ppst|none
     max_neighbors: int = static_field(default=64)
     max_per_cell: int = static_field(default=32)
     rebuild_every: int = static_field(default=4)

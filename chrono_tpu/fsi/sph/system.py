@@ -46,11 +46,22 @@ def sph_substep(params: SPHParams, grid: GridSpec, state: SPHState,
         return wcsph.wcsph_rhs(params, grid, pos, vel, rho, state.kind,
                                state.nbr.idx, state.nbr.valid, body_acc)
 
+    def transport_velocity(pos, vel, rho):
+        """Shifting-corrected transport velocity per params.shifting."""
+        if params.shifting == "xsph":
+            return wcsph.xsph_velocity(params, grid, pos, vel, rho,
+                                       state.kind, state.nbr.idx,
+                                       state.nbr.valid)
+        if params.shifting == "ppst":
+            dr = wcsph.ppst_shift(params, grid, pos, vel, rho, state.kind,
+                                  state.nbr.idx, state.nbr.valid)
+            return vel + dr / h
+        return vel
+
     if params.integrator == "euler":
         drho, dv = rhs(state.pos, state.vel, state.rho)
         vel = jnp.where(is_fluid, state.vel + h * dv, state.vel)
-        vt = wcsph.xsph_velocity(params, grid, state.pos, vel, state.rho,
-                                 state.kind, state.nbr.idx, state.nbr.valid)
+        vt = transport_velocity(state.pos, vel, state.rho)
         pos = jnp.where(is_fluid, state.pos + h * vt, state.pos)
         rho = state.rho + h * drho
     elif params.integrator == "symplectic":
@@ -61,8 +72,7 @@ def sph_substep(params: SPHParams, grid: GridSpec, state: SPHState,
         drho = wcsph.continuity_rhs(params, grid, state.pos, vel, state.rho,
                                     state.kind, state.nbr.idx, state.nbr.valid)
         rho = state.rho + h * drho
-        vt = wcsph.xsph_velocity(params, grid, state.pos, vel, rho,
-                                 state.kind, state.nbr.idx, state.nbr.valid)
+        vt = transport_velocity(state.pos, vel, rho)
         pos = jnp.where(is_fluid, state.pos + h * vt, state.pos)
     elif params.integrator == "rk2":
         drho1, dv1 = rhs(state.pos, state.vel, state.rho)
@@ -72,8 +82,7 @@ def sph_substep(params: SPHParams, grid: GridSpec, state: SPHState,
         drho2, dv2 = rhs(pos_m, vel_m, rho_m)
         vel = jnp.where(is_fluid, state.vel + h * dv2, state.vel)
         rho = state.rho + h * drho2
-        vt = wcsph.xsph_velocity(params, grid, state.pos, vel, rho,
-                                 state.kind, state.nbr.idx, state.nbr.valid)
+        vt = transport_velocity(state.pos, vel, rho)
         pos = jnp.where(is_fluid, state.pos + h * vt, state.pos)
     else:
         raise ValueError(f"unknown integrator {params.integrator!r}")
@@ -83,13 +92,37 @@ def sph_substep(params: SPHParams, grid: GridSpec, state: SPHState,
     return state.replace(pos=pos, vel=vel, rho=rho, time=state.time + h)
 
 
-def make_sph_advance_fn(params: SPHParams, grid: GridSpec):
-    """Jitted ``advance(state, n_cycles)``; one cycle = rebuild + R substeps."""
+def runtime_dt(params: SPHParams, state: SPHState, safety=0.25):
+    """Per-cycle adaptive step from the CURRENT velocity field (the runtime
+    part of the reference's computeTimeStep, SphFluidDynamics.cu:93-110:
+    Courant advective + acoustic + viscous bounds).  Traced — no host sync."""
+    is_fluid = state.kind == FLUID
+    vmax = jnp.max(jnp.where(is_fluid,
+                             jnp.sqrt(jnp.sum(state.vel**2, axis=-1)), 0.0))
+    dt_acoustic = params.h / (params.c_s + vmax)
+    dt_adv = params.h / jnp.maximum(vmax, 1e-9)
+    dt_visc = 0.125 * params.h**2 * params.rho0 / jnp.maximum(params.mu,
+                                                              1e-12)
+    return safety * jnp.minimum(jnp.minimum(dt_acoustic, dt_adv), dt_visc)
+
+
+def make_sph_advance_fn(params: SPHParams, grid: GridSpec,
+                        adaptive_dt: bool = False):
+    """Jitted ``advance(state, n_cycles)``; one cycle = rebuild + R substeps.
+
+    ``adaptive_dt``: recompute dt each cycle from the Courant/viscous bounds
+    (capped at the configured params.dt).
+    """
 
     def one_cycle(state, _):
         state = rebuild_sph_neighbors(params, grid, state)
+        p = params
+        if adaptive_dt:
+            p = params.replace(dt=jnp.minimum(params.dt,
+                                              runtime_dt(params, state)))
+
         def inner(st, __):
-            return sph_substep(params, grid, st), None
+            return sph_substep(p, grid, st), None
         state, _ = lax.scan(inner, state, None,
                             length=params.rebuild_every)
         return state, state.nbr.overflow
@@ -104,9 +137,12 @@ def make_sph_advance_fn(params: SPHParams, grid: GridSpec):
 
 def make_sph_state(params: SPHParams, fluid_pts, boundary_pts=None,
                    rigid_pts=None, rigid_body_ids=None, rigid_local=None,
-                   fluid_vel=None, dtype=jnp.float32) -> SPHState:
-    """Assemble the marker population: fluid + fixed walls + rigid BCE."""
+                   fluid_vel=None, flex_pts=None, dtype=jnp.float32
+                   ) -> SPHState:
+    """Assemble the marker population: fluid + fixed walls + rigid BCE
+    (+ FLEX_BCE markers, appended LAST — the flex coupling relies on that)."""
     from chrono_tpu.dem.neighbors import NeighborList
+    from chrono_tpu.fsi.sph.state import FLEX_BCE
 
     chunks, kinds, bodies, locals_ = [], [], [], []
     fluid_pts = np.asarray(fluid_pts, float)
@@ -126,6 +162,12 @@ def make_sph_state(params: SPHParams, fluid_pts, boundary_pts=None,
         kinds.append(np.full(len(rigid_pts), RIGID_BCE))
         bodies.append(np.asarray(rigid_body_ids, int))
         locals_.append(np.asarray(rigid_local, float))
+    if flex_pts is not None and len(flex_pts):
+        flex_pts = np.asarray(flex_pts, float)
+        chunks.append(flex_pts)
+        kinds.append(np.full(len(flex_pts), FLEX_BCE))
+        bodies.append(np.full(len(flex_pts), -1))
+        locals_.append(np.zeros((len(flex_pts), 3)))
     pos = np.concatenate(chunks)
     n = len(pos)
     K = params.max_neighbors

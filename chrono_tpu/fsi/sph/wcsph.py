@@ -59,6 +59,12 @@ def adami_bc(params: SPHParams, grid: GridSpec, pos, vel, rho, kind,
     acc_w = -g[None, :] if body_acc is None else body_acc - g[None, :]
     # hydrostatic correction: ρ_f (g − a_w)·(x_w − x_f) = −ρ_f acc_w·d ... d = x_w − x_f
     hydro = jnp.sum((-acc_w[:, None, :]) * d, axis=-1) * rho[j]
+    if params.boundary_model == "holmes":
+        # Holmes et al. wall treatment (reference SphForceWCSPH.cu:819):
+        # plain Shepard pressure extrapolation, no acceleration/hydrostatic
+        # term — appropriate for confined flows where the wall-normal body
+        # force is negligible
+        hydro = jnp.zeros_like(hydro)
     p_solid = jnp.sum(Wf * (p_own[j] + hydro), axis=1) / denom
     p_solid = jnp.where(has_fluid, p_solid, 0.0)
 
@@ -193,6 +199,34 @@ def xsph_velocity(params: SPHParams, grid: GridSpec, pos, vel, rho, kind,
                   (m / rho_avg * Wij)[..., None] * (vel[j] - vel[:, None, :]),
                   0.0), axis=1)
     return jnp.where(is_fluid[:, None], vel + params.xsph_eps * corr, vel)
+
+
+def ppst_shift(params: SPHParams, grid: GridSpec, pos, vel, rho, kind,
+               nbr_idx, nbr_valid):
+    """PPST particle shifting (Lind et al.; reference shifting method PPST,
+    ChFsiDefinitionsSPH.h:51): δr = −D ∇C with concentration C = Σ (m/ρ) W
+    and D = A h |v| dt; shifts are capped at 0.1 d0 and suppressed for
+    surface-deficient particles (their one-sided ∇C would eject them)."""
+    w_fn, dw_fn, _ = KERNELS[params.kernel]
+    m = particle_mass(params)
+    is_fluid = kind == FLUID
+    j = jnp.maximum(nbr_idx, 0)
+    d = min_image(grid, pos[:, None, :] - pos[j])
+    r = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
+    gw = grad_w(dw_fn, d, r, params.h)
+    vol = m / jnp.maximum(rho[j], 1e-9)
+    gradC = jnp.sum(jnp.where(nbr_valid[..., None], vol[..., None] * gw,
+                              0.0), axis=1)
+    C = jnp.sum(jnp.where(nbr_valid, vol * w_fn(r, params.h), 0.0), axis=1) \
+        + m / jnp.maximum(rho, 1e-9) * w_fn(jnp.zeros_like(rho), params.h)
+    interior = C > 0.9 * jnp.max(jnp.where(is_fluid, C, 0.0))
+    speed = jnp.sqrt(jnp.sum(vel * vel, axis=-1))
+    D = 2.0 * params.h * speed * params.dt
+    shift = -D[:, None] * gradC
+    cap = 0.1 * params.d0
+    mag = jnp.sqrt(jnp.sum(shift * shift, axis=-1, keepdims=True) + 1e-20)
+    shift = shift * jnp.minimum(1.0, cap / mag)
+    return jnp.where((is_fluid & interior)[:, None], shift, 0.0)
 
 
 def summation_density(params: SPHParams, grid: GridSpec, pos, kind,

@@ -65,8 +65,8 @@ def build_vehicle(bld: SystemBuilder, pos0, wheelbase=1.2, track=0.7,
     return chassis, corners
 
 
-def main(n_intervals=12, outer_per_interval=40):
-    d0 = 0.04
+def main(n_intervals=10, outer_per_interval=30):
+    d0 = 0.05
     params = SPHParams(
         d0=jnp.asarray(d0), h=jnp.asarray(1.2 * d0),
         rho0=jnp.asarray(1700.0), mu=jnp.asarray(0.0),
@@ -76,8 +76,8 @@ def main(n_intervals=12, outer_per_interval=40):
     crm = CRMParams(youngs=jnp.asarray(3e6), poisson=jnp.asarray(0.3),
                     friction_angle=jnp.asarray(0.8))
 
-    bed = (2.4, 1.4)
-    depth = 0.16
+    bed = (2.0, 1.2)
+    depth = 0.15
     r_wheel, w_wheel = 0.16, 0.12
     sink0 = 0.02
     z_chassis = depth + r_wheel + 0.5 * d0 - sink0 + 0.15
@@ -121,9 +121,14 @@ def main(n_intervals=12, outer_per_interval=40):
             tau = tau.at[w, 1].add(torque)
         return f, tau
 
+    # at this compact demo scale the four activity boxes cover most of the
+    # bed, so compaction saves nothing — the active path (tested in
+    # tests/test_crm_terrain.py) pays off on long beds; size the buffer
+    # generously or disable via CLI
+    use_active = "--active" in sys.argv
     active = ActiveDomainSpec(box=jnp.asarray([0.35, 0.25, 0.4]),
                               margin=jnp.asarray([0.12, 0.12, 0.12]),
-                              capacity=8192)
+                              capacity=16384) if use_active else None
     adv = make_crm_fsi_advance_fn(model, params, crm, grid,
                                   n_substeps=params.rebuild_every,
                                   wheel_bodies=wheels, active=active,

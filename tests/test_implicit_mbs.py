@@ -1,0 +1,112 @@
+"""MBS-level HHT-α + Newton with step rejection.
+
+Oracle: the reference's stiff-system contract (ChTimestepperHHT.cpp — stable
+integration of stiff force elements at steps far beyond the explicit/DVI
+stability bound, with position-level constraint satisfaction)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from chrono_tpu.physics.builder import SystemBuilder
+from chrono_tpu.physics.system import (
+    SolverSettings, step_euler_implicit_linearized,
+)
+from chrono_tpu.physics.implicit import make_hht_mbs_step
+from chrono_tpu.physics.joints import joint_violation
+
+
+def _stiff_spring_system(k=1e7):
+    """1 kg block hanging on a very stiff vertical TSDA (ω ≈ 3162 rad/s)."""
+    bld = SystemBuilder()
+    bld.set_gravity((0, 0, -9.81))
+    gnd = bld.add_ground()
+    block = bld.add_body(mass=1.0, inertia=(0.1, 0.1, 0.1), pos=(0, 0, -1.0))
+    bld.add_tsda(gnd, block, (0, 0, 0), (0, 0, -1.0), k=k, c=200.0)
+    return bld.finalize() + ((gnd, block),)
+
+
+def test_hht_stable_10x_beyond_explicit():
+    """h = 1e-3 is ~3x the stiff period — the semi-implicit DVI force
+    handling blows up while HHT integrates to the correct static sag."""
+    k = 1e7
+    model, state0, _ = _stiff_spring_system(k)
+    h = 1e-3
+
+    # DVI/explicit-force path diverges at this step
+    dvi = jax.jit(lambda s, t: step_euler_implicit_linearized(
+        model, s, t, h, SolverSettings(solver="direct"))[0])
+    st = state0
+    t = 0.0
+    for _ in range(50):
+        st = dvi(st, t)
+        t += h
+    assert (not np.isfinite(np.asarray(st.x)).all()
+            or abs(float(st.x[1, 2]) + 1.0) > 0.1), \
+        "explicit path unexpectedly stable — test is not probing stiffness"
+
+    # HHT at the same h: stable, converges to the static extension mg/k
+    step = make_hht_mbs_step(model, alpha=-0.2, newton_iters=10, tol=1e-4)
+    step = jax.jit(step)
+    st = state0
+    acc = jnp.zeros((model.n_bodies, 6))
+    t = 0.0
+    moved = 0.0
+    for _ in range(300):
+        out = step(st, acc, t, h)
+        st, acc = out.state, out.acc
+        t += float(out.h_used)
+        moved = max(moved, abs(float(st.v[1, 2])))
+    z = float(st.x[1, 2])
+    sag = 9.81 / k
+    assert moved > 1e-4, "block never moved — stepper inert"
+    np.testing.assert_allclose(z, -1.0 - sag, atol=5e-5)
+    assert abs(float(st.v[1, 2])) < 1e-3
+
+
+def test_hht_pendulum_matches_dvi():
+    """Smooth pendulum: HHT at 4x the DVI step reproduces the DVI trajectory
+    (2nd order vs 1st order), and keeps C(x) at position-level zero."""
+    bld = SystemBuilder()
+    bld.set_gravity((0, 0, -9.81))
+    gnd = bld.add_ground()
+    pend = bld.add_body(mass=1.0, inertia=(0.04, 0.1, 0.1), pos=(2, 0, 0))
+    bld.add_joint("revolute", pend, gnd, world_pos=(0, 0, 0),
+                  world_axis=(0, 1, 0))
+    model, state0 = bld.finalize()
+
+    h_dvi = 5e-4
+    dvi = jax.jit(lambda s, t: step_euler_implicit_linearized(
+        model, s, t, h_dvi, SolverSettings(solver="direct"))[0])
+    st = state0
+    t = 0.0
+    for _ in range(1000):
+        st = dvi(st, t)
+        t += h_dvi
+    ref = np.asarray(st.x[pend])
+
+    step = jax.jit(make_hht_mbs_step(model, alpha=-0.1, newton_iters=8,
+                                     tol=1e-4))
+    st2 = state0
+    acc = jnp.zeros((model.n_bodies, 6))
+    t2 = 0.0
+    for _ in range(250):
+        out = step(st2, acc, t2, 4 * h_dvi)
+        st2, acc = out.state, out.acc
+        t2 += float(out.h_used)
+    got = np.asarray(st2.x[pend])
+    assert abs(t2 - t) < 1e-6   # fp32 h accumulation
+    np.testing.assert_allclose(got, ref, atol=5e-3)
+    # position-level constraint satisfaction (index-3 enforcement)
+    for kind, data in model.joints.items():
+        C = joint_violation(kind, data, st2.x, st2.q)
+        assert float(jnp.abs(C).max()) < 1e-5
+
+
+def test_step_rejection_reduces_h():
+    """A hopeless tolerance forces rejection: h_used < h requested."""
+    model, state0, _ = _stiff_spring_system(k=1e9)
+    step = jax.jit(make_hht_mbs_step(model, newton_iters=2, tol=1e-12,
+                                     max_halvings=3))
+    out = step(state0, jnp.zeros((model.n_bodies, 6)), 0.0, 1e-2)
+    assert float(out.h_used) < 1e-2

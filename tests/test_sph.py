@@ -165,3 +165,58 @@ class TestPoiseuille:
         err = np.abs(vx - v_interp) / v_max
         assert err.mean() < 0.05, f"mean rel velocity err {err.mean():.4f}"
         assert abs(vx.max() / v_max - 1.0) < 0.1
+
+
+class TestSPHVariants:
+    """Holmes wall BC, PPST shifting, adaptive dt (reference option menu:
+    SphForceWCSPH.cu:819, ChFsiDefinitionsSPH.h:51, SphFluidDynamics.cu:93)."""
+
+    def _column(self, **overrides):
+        d0 = 0.02
+        base = dict(
+            d0=jnp.asarray(d0), h=jnp.asarray(1.2 * d0),
+            rho0=jnp.asarray(1000.0), mu=jnp.asarray(0.05),
+            c_s=jnp.asarray(20.0), gravity=jnp.asarray([0.0, 0.0, -9.81]),
+            dt=jnp.asarray(1e-4), viscosity_model="laminar",
+            max_neighbors=96, max_per_cell=80, rebuild_every=4,
+            integrator="symplectic",
+        )
+        base.update(overrides)
+        params = SPHParams(**base)
+        W, H = 6 * d0, 0.2
+        fluid = grid_sample_box((0, 0, 0), (W, W, H), d0)
+        floor = grid_sample_box((0, 0, -3 * d0), (W, W, 0), d0)
+        from chrono_tpu.collision.cell_list import GridSpec
+        cell = W / 3
+        grid = GridSpec(origin=(0, 0, -4 * d0), cell_size=cell,
+                        dims=(3, 3, int(np.ceil((H + 8 * d0) / cell)) + 1),
+                        periodic=(True, True, False))
+        return params, grid, make_sph_state(params, fluid,
+                                            boundary_pts=floor)
+
+    @pytest.mark.parametrize("variant", [
+        dict(boundary_model="holmes"),
+        dict(shifting="ppst"),
+        dict(shifting="none"),
+    ])
+    def test_column_stays_settled(self, variant):
+        params, grid, state = self._column(**variant)
+        adv = make_sph_advance_fn(params, grid)
+        state, ovf = adv(state, 60)
+        assert int(ovf) == 0
+        v = np.asarray(state.vel)[np.asarray(state.kind) == FLUID]
+        assert np.isfinite(v).all()
+        assert np.abs(v).max() < 0.5 * np.sqrt(9.81 * 0.2)
+
+    def test_adaptive_dt_advances_and_matches_bounds(self):
+        params, grid, state = self._column()
+        from chrono_tpu.fsi.sph.system import runtime_dt
+        dt0 = float(runtime_dt(params, state))
+        # at rest the bound is the acoustic CFL
+        np.testing.assert_allclose(dt0, 0.25 * 0.024 / 20.0, rtol=1e-3)
+        adv = make_sph_advance_fn(params, grid, adaptive_dt=True)
+        state2, ovf = adv(state, 30)
+        assert int(ovf) == 0
+        assert float(state2.time) > 0     # time advanced with traced dt
+        v = np.asarray(state2.vel)
+        assert np.isfinite(v).all()
