@@ -1,0 +1,196 @@
+"""MPR (Minkowski Portal Refinement) narrowphase for general convex pairs.
+
+TPU-native counterpart of the reference's in-house MPR
+(/root/reference/src/chrono/collision/multicore/ChNarrowphaseMPR.cpp:584-640):
+contact between ANY two convex shapes defined purely by support functions.
+Where the reference's per-pair CUDA/CPU routine loops until convergence with
+data-dependent control flow, this version runs a FIXED number of portal
+refinements (a ``lax.fori_loop``) — the standard compiler-friendly trade: a
+few extra iterations for zero divergence — and is ``vmap``-ed over pair
+batches.
+
+Shapes supported (reference ConvexShape menu): sphere, box, capsule,
+cylinder (z-axis), and fixed-capacity convex hulls.  Each is a support
+function ``s(dir) -> point`` in world frame; Minkowski-difference support is
+``sA(d) − sB(−d)``.
+
+Returned contact: ``(gap, normal, point)`` matching the analytic narrowphase
+conventions (gap < 0 ⇒ penetration, normal A→B).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax, Array
+
+from chrono_tpu.core import quaternion as Q
+
+# shape type codes
+SPHERE, BOX, CAPSULE, CYLINDER, HULL = 0, 1, 2, 3, 4
+
+
+class ConvexShape(NamedTuple):
+    """One convex shape: type + pose + sized parameters.
+
+    data layout by type:
+      SPHERE:   data[0] = radius
+      BOX:      data[0:3] = half extents
+      CAPSULE:  data[0] = radius, data[1] = half length (z axis)
+      CYLINDER: data[0] = radius, data[1] = half length (z axis)
+      HULL:     verts (V, 3) local vertices (pad by repeating any vertex)
+    """
+
+    kind: Array      # () int32
+    pos: Array       # (3,)
+    rot: Array       # (4,)
+    data: Array      # (3,)
+    verts: Array     # (V, 3) — zeros for non-hull shapes
+
+
+def make_shape(kind, pos, rot=None, data=(0.0, 0.0, 0.0), verts=None,
+               n_verts: int = 8) -> ConvexShape:
+    import numpy as np
+
+    rot = jnp.asarray([1.0, 0, 0, 0]) if rot is None else jnp.asarray(rot)
+    if verts is None:
+        v = jnp.zeros((n_verts, 3))
+    else:
+        verts = np.asarray(verts, np.float32)
+        v = jnp.asarray(np.concatenate(
+            [verts, np.repeat(verts[-1:], n_verts - len(verts), axis=0)])
+            if len(verts) < n_verts else verts[:n_verts])
+    return ConvexShape(kind=jnp.asarray(kind, jnp.int32),
+                       pos=jnp.asarray(pos, jnp.float32), rot=rot,
+                       data=jnp.asarray(data, jnp.float32), verts=v)
+
+
+def support(shape: ConvexShape, d_world: Array, eps: float = 1e-12) -> Array:
+    """Farthest point of the shape along ``d_world`` (world frame)."""
+    d = Q.qrotate_inv(shape.rot, d_world)            # direction in local
+    dn = d / jnp.sqrt(jnp.sum(d * d) + eps)
+
+    r = shape.data[0]
+    sph = dn * r
+
+    box = jnp.sign(d) * shape.data
+    # capsule: sphere swept segment along z
+    hz = shape.data[1]
+    cap = dn * r + jnp.array([0.0, 0.0, 1.0]) * jnp.sign(d[2]) * hz
+    # cylinder: disc edge + flat cap
+    dxy = jnp.sqrt(d[0] ** 2 + d[1] ** 2 + eps)
+    cyl = jnp.stack([r * d[0] / dxy, r * d[1] / dxy, jnp.sign(d[2]) * hz])
+    # hull: argmax vertex
+    dots = shape.verts @ d
+    hull = shape.verts[jnp.argmax(dots)]
+
+    local = lax.switch(shape.kind, [
+        lambda: sph, lambda: box, lambda: cap, lambda: cyl, lambda: hull])
+    return shape.pos + Q.qrotate(shape.rot, local)
+
+
+def _mink_support(a: ConvexShape, b: ConvexShape, d: Array):
+    """Support of the Minkowski difference A − B along d, plus the witness
+    point on A (for contact-point recovery)."""
+    pa = support(a, d)
+    pb = support(b, -d)
+    return pa - pb, pa
+
+
+def mpr_contact(a: ConvexShape, b: ConvexShape, n_iters: int = 24,
+                eps: float = 1e-10):
+    """Penetration query via MPR with fixed refinement count.
+
+    Returns (gap, normal (A→B, world), point): gap < 0 with valid
+    normal/point when penetrating; for separated pairs gap is a positive
+    LOWER BOUND estimate along the final portal normal (MPR is a boolean +
+    penetration method; use analytic paths for exact positive distances).
+    """
+    # v0: interior ray origin (difference of centers)
+    c_a = a.pos
+    c_b = b.pos
+    v0 = c_a - c_b
+    v0 = jnp.where(jnp.sum(v0 * v0) < 1e-12,
+                   jnp.array([1e-5, 0.0, 0.0]), v0)
+
+    # initial portal: three supports around the origin ray
+    d1 = -v0
+    v1, w1 = _mink_support(a, b, d1)
+    d2 = jnp.cross(v1, v0)
+    d2 = jnp.where(jnp.sum(d2 * d2) < 1e-12,
+                   jnp.array([0.0, 1e-5, 0.0]), d2)
+    v2, w2 = _mink_support(a, b, d2)
+    d3 = jnp.cross(v1 - v0, v2 - v0)
+    # orient toward the origin side
+    d3 = jnp.where(jnp.dot(d3, v0) > 0, -d3, d3)
+    v3, w3 = _mink_support(a, b, d3)
+
+    def refine(_, carry):
+        v1, v2, v3, w1, w2, w3, n_prev = carry
+        # portal normal (away from v0); once the portal collapses toward the
+        # contact point the triangle degenerates — keep the previous normal
+        n_raw = jnp.cross(v2 - v1, v3 - v1)
+        nn = jnp.sqrt(jnp.sum(n_raw * n_raw))
+        scale2 = jnp.sum((v2 - v1) ** 2) + jnp.sum((v3 - v1) ** 2) + eps
+        degenerate = nn < 1e-5 * scale2
+        n = jnp.where(degenerate, n_prev, n_raw / jnp.maximum(nn, eps))
+        n = jnp.where(jnp.dot(n, v1 - v0) < 0, -n, n)
+        v4, w4 = _mink_support(a, b, n)
+        # converged portals must stop mutating — replacing a vertex with a
+        # near-duplicate support degenerates the triangle and poisons the
+        # final normal
+        progress = jnp.dot(n, v4 - v1)
+        scale = jnp.sqrt(jnp.sum(v1 * v1) + 1.0)
+        done = progress < 1e-6 * scale
+        # replace the portal vertex "facing away" from the new support plane
+        # keep the triangle that still straddles the origin ray: standard MPR
+        # choice via signs of scalar triple products with v0 and v4
+        t1 = jnp.dot(jnp.cross(v4, v1), v0)
+        t2 = jnp.dot(jnp.cross(v4, v2), v0)
+        t3 = jnp.dot(jnp.cross(v4, v3), v0)
+        # select which vertex to replace (branch-free double select)
+        rep1 = (t1 >= 0) & (t2 < 0) & ~done
+        rep2 = (t2 >= 0) & (t3 < 0) & ~done
+
+        def pick(cond, new, old):
+            return jnp.where(cond, new, old)
+
+        nv1 = pick(rep1, v4, v1)
+        nw1 = pick(rep1, w4, w1)
+        nv2 = pick(~rep1 & rep2, v4, v2)
+        nw2 = pick(~rep1 & rep2, w4, w2)
+        nv3 = pick(~rep1 & ~rep2 & ~done, v4, v3)
+        nw3 = pick(~rep1 & ~rep2 & ~done, w4, w3)
+        return (nv1, nv2, nv3, nw1, nw2, nw3, n)
+
+    n0 = v0 / jnp.sqrt(jnp.sum(v0 * v0) + eps)
+    v1, v2, v3, w1, w2, w3, n = lax.fori_loop(
+        0, n_iters, refine, (v1, v2, v3, w1, w2, w3, n0))
+
+    # signed distance of the origin along the final (carried) portal normal
+    depth = jnp.dot(n, v1)        # >0 ⇒ origin inside along this direction
+    gap = -depth
+    # witness: project the origin onto the portal plane, take its barycentric
+    # coordinates, apply to the A-side witnesses (standard MPR recovery)
+    P = n * depth                 # origin projected onto the portal plane
+    e1 = v2 - v1
+    e2 = v3 - v1
+    dP = P - v1
+    g11 = jnp.dot(e1, e1)
+    g12 = jnp.dot(e1, e2)
+    g22 = jnp.dot(e2, e2)
+    det = jnp.maximum(g11 * g22 - g12 * g12, 1e-12)
+    u = (g22 * jnp.dot(e1, dP) - g12 * jnp.dot(e2, dP)) / det
+    v = (g11 * jnp.dot(e2, dP) - g12 * jnp.dot(e1, dP)) / det
+    bary = jnp.clip(jnp.stack([1.0 - u - v, u, v]), 0.0, 1.0)
+    bary = bary / jnp.maximum(jnp.sum(bary), 1e-9)
+    point = bary[0] * w1 + bary[1] * w2 + bary[2] * w3
+    # the portal normal (away from v0 = c_A − c_B) already points A→B
+    return gap, n, point
+
+
+mpr_contact_batch = jax.vmap(
+    functools.partial(mpr_contact), in_axes=(0, 0))

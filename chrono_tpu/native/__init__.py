@@ -63,6 +63,12 @@ def get_lib():
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_float]
     lib.mesh_weld_vertices.restype = ctypes.c_int64
+    lib.mesh_surface_markers.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.c_float, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+    lib.mesh_surface_markers.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -133,3 +139,47 @@ def weld_vertices(verts, faces, tol=1e-6):
     n_out = lib.mesh_weld_vertices(_fptr(verts), len(verts), _iptr(faces),
                                    len(faces), ctypes.c_float(tol))
     return verts[:n_out].copy(), faces
+
+
+def surface_markers(verts, faces, spacing, layers=3):
+    """BCE markers over a triangle surface (native; numpy fallback).
+
+    ``layers`` sheets are offset INTO the solid along the inward face normal
+    (OBJ outward-normal convention) — the reference's mesh-BCE construction
+    (ChFsiProblemSPH AddRigidBodyMesh).  Returns (M, 3) float32.
+    """
+    lib = get_lib()
+    verts = np.ascontiguousarray(verts, np.float32)
+    faces = np.ascontiguousarray(faces, np.int32)
+    if lib is not None and hasattr(lib, "mesh_surface_markers"):
+        cap = 4 * len(faces) * max(1, layers)
+        while True:
+            out = np.empty((cap, 3), np.float32)
+            n = lib.mesh_surface_markers(_fptr(verts), len(verts),
+                                         _iptr(faces), len(faces),
+                                         ctypes.c_float(spacing),
+                                         ctypes.c_int32(layers),
+                                         _fptr(out), cap)
+            if n <= cap:
+                return out[:n].copy()
+            cap = int(n) + 16
+    # numpy fallback: same barycentric grid per triangle
+    pts = []
+    for f in faces:
+        a, b, c = verts[f[0]], verts[f[1]], verts[f[2]]
+        e1, e2 = b - a, c - a
+        nrm = np.cross(e1, e2)
+        nl = np.linalg.norm(nrm)
+        if nl < 1e-12:
+            continue
+        nrm /= nl
+        nu = max(1, int(np.ceil(np.linalg.norm(e1) / spacing)))
+        nv = max(1, int(np.ceil(np.linalg.norm(e2) / spacing)))
+        uu, vv = np.meshgrid((np.arange(nu) + 0.5) / nu,
+                             (np.arange(nv) + 0.5) / nv, indexing="ij")
+        keep = (uu + vv) <= 1.0
+        base = a + uu[keep][:, None] * e1 + vv[keep][:, None] * e2
+        for L in range(layers):
+            pts.append(base - spacing * L * nrm)
+    return (np.concatenate(pts).astype(np.float32) if pts
+            else np.zeros((0, 3), np.float32))

@@ -178,4 +178,54 @@ int64_t mesh_weld_vertices(float* verts, int64_t n, int32_t* faces,
   return n_out;
 }
 
+// Sample BCE markers over the triangle surface at `spacing`, with `layers`
+// sheets offset into the solid along the inward face normal (the role of the
+// reference's ChFsiProblemSPH mesh-BCE construction, ChFsiProblemSPH.cpp).
+// Writes up to `cap` xyz triplets into `out`; returns the number generated
+// (callers re-invoke with a larger buffer if the return exceeds `cap`).
+int64_t mesh_surface_markers(const float* verts, int64_t n_verts,
+                             const int32_t* faces, int64_t n_faces,
+                             float spacing, int32_t layers,
+                             float* out, int64_t cap) {
+  (void)n_verts;
+  int64_t count = 0;
+  for (int64_t f = 0; f < n_faces; ++f) {
+    const float* a = verts + 3 * faces[3 * f + 0];
+    const float* b = verts + 3 * faces[3 * f + 1];
+    const float* c = verts + 3 * faces[3 * f + 2];
+    float e1[3] = {b[0] - a[0], b[1] - a[1], b[2] - a[2]};
+    float e2[3] = {c[0] - a[0], c[1] - a[1], c[2] - a[2]};
+    float nrm[3] = {e1[1] * e2[2] - e1[2] * e2[1],
+                    e1[2] * e2[0] - e1[0] * e2[2],
+                    e1[0] * e2[1] - e1[1] * e2[0]};
+    float nl = std::sqrt(nrm[0] * nrm[0] + nrm[1] * nrm[1] + nrm[2] * nrm[2]);
+    if (nl < 1e-12f) continue;
+    for (int k = 0; k < 3; ++k) nrm[k] /= nl;
+    float l1 = std::sqrt(e1[0] * e1[0] + e1[1] * e1[1] + e1[2] * e1[2]);
+    float l2 = std::sqrt(e2[0] * e2[0] + e2[1] * e2[1] + e2[2] * e2[2]);
+    int nu = (int)std::ceil(l1 / spacing);
+    int nv = (int)std::ceil(l2 / spacing);
+    if (nu < 1) nu = 1;
+    if (nv < 1) nv = 1;
+    for (int i = 0; i < nu; ++i) {
+      for (int j = 0; j < nv; ++j) {
+        float u = (i + 0.5f) / nu;
+        float v = (j + 0.5f) / nv;
+        if (u + v > 1.0f) continue;  // stay inside the triangle
+        for (int L = 0; L < layers; ++L) {
+          if (count < cap) {
+            float off = spacing * L;
+            out[3 * count + 0] = a[0] + u * e1[0] + v * e2[0] - off * nrm[0];
+            out[3 * count + 1] = a[1] + u * e1[1] + v * e2[1] - off * nrm[1];
+            out[3 * count + 2] = a[2] + u * e1[2] + v * e2[2] - off * nrm[2];
+          }
+          ++count;
+        }
+      }
+    }
+  }
+  return count;
+}
+
 }  // extern "C"
+

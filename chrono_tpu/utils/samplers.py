@@ -96,3 +96,60 @@ def poisson_disk_sample_box(lo, hi, min_dist, seed=0, k_tries=30) -> np.ndarray:
         if not found:
             active.remove(i)
     return np.asarray(pts)
+
+
+class ParticleEmitter:
+    """Streaming particle source (reference ChParticleEmitter,
+    /root/reference/src/chrono/particlefactory/ChParticleEmitter.h): emits
+    particles-per-second from a box region with randomized positions and
+    velocities, activating pre-allocated slots of a fixed-capacity DEM state
+    (TPU shapes stay static — emission flips validity, it never reallocates).
+    """
+
+    def __init__(self, box_lo, box_hi, rate, vel_mean=(0, 0, 0),
+                 vel_sigma=0.0, seed=0):
+        import numpy as _np
+
+        self.lo = _np.asarray(box_lo, float)
+        self.hi = _np.asarray(box_hi, float)
+        self.rate = float(rate)
+        self.vel_mean = _np.asarray(vel_mean, float)
+        self.vel_sigma = float(vel_sigma)
+        self.rng = _np.random.default_rng(seed)
+        self._carry = 0.0
+
+    def emit(self, dt):
+        """Positions/velocities of particles born in this interval.
+
+        Returns (pos (k,3), vel (k,3)) with k = floor(rate·dt + carry).
+        """
+        import numpy as _np
+
+        self._carry += self.rate * dt
+        k = int(self._carry)
+        self._carry -= k
+        pos = self.rng.uniform(self.lo, self.hi, (k, 3))
+        vel = self.vel_mean + self.vel_sigma * self.rng.standard_normal((k, 3))
+        return pos, vel
+
+    def emit_into(self, state, dt):
+        """Activate up to k inactive slots of a padded DEM-style state.
+
+        ``state`` needs pos/vel arrays and a boolean ``active`` mask; returns
+        (new_pos, new_vel, new_active, n_emitted).
+        """
+        import numpy as _np
+        import jax.numpy as _jnp
+
+        pos, vel = self.emit(dt)
+        if len(pos) == 0:
+            return state.pos, state.vel, state.active, 0
+        active = _np.asarray(state.active)
+        free = _np.where(~active)[0][: len(pos)]
+        p = _np.asarray(state.pos).copy()
+        v = _np.asarray(state.vel).copy()
+        p[free] = pos[: len(free)]
+        v[free] = vel[: len(free)]
+        active[free] = True
+        return (_jnp.asarray(p), _jnp.asarray(v), _jnp.asarray(active),
+                len(free))

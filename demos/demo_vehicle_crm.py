@@ -65,7 +65,7 @@ def build_vehicle(bld: SystemBuilder, pos0, wheelbase=1.2, track=0.7,
     return chassis, corners
 
 
-def main(n_intervals=10, outer_per_interval=30):
+def main(n_intervals=25, outer_per_interval=40):
     d0 = 0.05
     params = SPHParams(
         d0=jnp.asarray(d0), h=jnp.asarray(1.2 * d0),
@@ -116,7 +116,7 @@ def main(n_intervals=10, outer_per_interval=30):
     def drive(t, b):
         f = jnp.zeros((model.n_bodies, 3))
         tau = jnp.zeros((model.n_bodies, 3))
-        torque = jnp.where(t > 0.08, 18.0, 0.0)
+        torque = jnp.where(t > 0.15, 30.0, 0.0)
         for w in (corners["RL"].wheel, corners["RR"].wheel):
             tau = tau.at[w, 1].add(torque)
         return f, tau
