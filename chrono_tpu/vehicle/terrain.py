@@ -220,3 +220,44 @@ def scm_erosion_step(state: SCMState, max_slope: float = 0.6) -> SCMState:
            + flow(zp[1:-1, 2:], z) + flow(zp[1:-1, :-2], z))
     new_z = z - out + inc
     return state.replace(sinkage=state.z0 - new_z)
+
+
+def scm_relocate(state: SCMState, center_xy, z0_fn=None) -> SCMState:
+    """Moving-patch relocation (reference SCMTerrain moving patches +
+    GranularTerrain patch advance): shift the grid window by WHOLE cells so
+    its center tracks ``center_xy``, carrying plastic sinkage with the roll
+    and exposing fresh undeformed soil at the leading edges.
+
+    Fully traced (the shift is data-dependent but the shapes are static), so
+    it can run inside the jitted vehicle step every cycle.  ``z0_fn(x, y)``
+    re-evaluates the undeformed height on newly exposed strips (default 0 —
+    flat virgin soil).
+    """
+    nx, ny = state.sinkage.shape
+    half = jnp.asarray([(nx - 1) / 2.0, (ny - 1) / 2.0]) * state.spacing
+    target_origin = jnp.asarray(center_xy) - half
+    shift = jnp.round((target_origin - state.origin)
+                      / state.spacing).astype(jnp.int32)
+    new_origin = state.origin + shift.astype(state.origin.dtype) \
+        * state.spacing
+
+    def roll_and_clear(a, fresh):
+        a = jnp.roll(a, (-shift[0], -shift[1]), axis=(0, 1))
+        ii = jnp.arange(nx)[:, None]
+        jj = jnp.arange(ny)[None, :]
+        # indices wrapped around by the roll hold stale data → reset
+        stale_i = jnp.where(shift[0] >= 0, ii >= nx - shift[0],
+                            ii < -shift[0])
+        stale_j = jnp.where(shift[1] >= 0, jj >= ny - shift[1],
+                            jj < -shift[1])
+        return jnp.where(stale_i | stale_j, fresh, a)
+
+    xs = new_origin[0] + state.spacing * jnp.arange(nx)[:, None]
+    ys = new_origin[1] + state.spacing * jnp.arange(ny)[None, :]
+    z0_fresh = jnp.zeros((nx, ny), state.z0.dtype) if z0_fn is None \
+        else z0_fn(xs + 0 * ys, ys + 0 * xs)
+    return state.replace(
+        z0=roll_and_clear(state.z0, z0_fresh),
+        sinkage=roll_and_clear(state.sinkage, jnp.zeros((), state.z0.dtype)),
+        origin=new_origin,
+    )

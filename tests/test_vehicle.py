@@ -238,3 +238,45 @@ class TestTireModels:
         # braking slip symmetric in sign
         fx_neg, _ = self._eval(fn, params, -0.02)
         assert fx_neg < -0.01 * fz
+
+
+class TestSCMMovingPatch:
+    def test_relocation_carries_sinkage_and_exposes_fresh_soil(self):
+        from chrono_tpu.vehicle.terrain import (
+            SCMParams, make_scm_state, scm_wheel_forces, scm_relocate,
+        )
+        import jax.numpy as jnp
+
+        state = make_scm_state((-1.0, -1.0), (1.0, 1.0), 0.05)
+        params = SCMParams()
+        # press a wheel at the center to leave a rut
+        wheel_x = jnp.asarray([[0.0, 0.0, 0.28]])
+        out = scm_wheel_forces(params, state,
+                               wheel_x, jnp.zeros((1, 4)),
+                               jnp.zeros((1, 3)), jnp.zeros((1, 3)),
+                               jnp.asarray([0.3]), jnp.asarray([0.2]))
+        state = out.new_state
+        s_before = float(state.sinkage.max())
+        assert s_before > 1e-5
+
+        # relocate the patch window forward by ~0.5 m
+        state2 = scm_relocate(state, (0.5, 0.0))
+        np.testing.assert_allclose(np.asarray(state2.origin), [-0.5, -1.0],
+                                   atol=1e-6)
+        # the rut (at world x=0) survives the roll at its new grid position
+        assert abs(float(state2.sinkage.max()) - s_before) < 1e-7
+        hm = state2.height_fn()
+        h_rut = float(hm(jnp.asarray([[0.0, 0.0]]))[0])
+        assert h_rut < -1e-5
+        # freshly exposed soil at the leading edge is undeformed
+        h_fresh = float(hm(jnp.asarray([[1.45, 0.0]]))[0])
+        assert abs(h_fresh) < 1e-7
+
+    def test_relocation_is_jittable(self):
+        from chrono_tpu.vehicle.terrain import make_scm_state, scm_relocate
+        import jax, jax.numpy as jnp
+
+        state = make_scm_state((-1.0, -1.0), (1.0, 1.0), 0.1)
+        f = jax.jit(lambda s, c: scm_relocate(s, c))
+        s2 = f(state, jnp.asarray([0.35, -0.2]))
+        assert np.isfinite(np.asarray(s2.z0)).all()
