@@ -48,6 +48,7 @@ class WheeledVehicle:
     wheelbase: Array
     track: Array
     aero_cda: Array                   # ½ρ·Cd·A lumped coefficient
+    steer_rack_gain: Array = 0.0      # rack travel per steer rad (wishbone)
     chassis: int = static_field(default=0)
     wheels: tuple = static_field(default=())      # body indices FL, FR, RL, RR
     knuckles: tuple = static_field(default=())    # steered bodies (front)
@@ -78,8 +79,21 @@ def build_wheeled_vehicle(
     max_steer_angle=0.45,
     max_brake_torque=3000.0,
     driven="AWD",
+    suspension="reduced",
 ):
-    """Assemble a 4-wheel vehicle at the origin, +x forward."""
+    """Assemble a 4-wheel vehicle at the origin, +x forward.
+
+    ``suspension``: "reduced" (prismatic-travel corner) or "wishbone"
+    (geometric double-wishbone corners from chrono_tpu.vehicle.suspension,
+    steered through a real rack body + tie rods — camber/caster/Ackermann
+    emerge from the linkage geometry like the reference's ChDoubleWishbone
+    + ChPitmanArm stack).
+    """
+    if suspension == "wishbone":
+        return _build_wishbone_vehicle(
+            chassis_mass, chassis_inertia, wheelbase, track, cg_height,
+            wheel_mass, wheel_radius, wheel_width, wheel_inertia_spin,
+            tire, powertrain, max_steer_angle, max_brake_torque, driven)
     b = SystemBuilder()
     chassis = b.add_body(mass=chassis_mass, inertia=chassis_inertia,
                          pos=(0, 0, cg_height), name="chassis")
@@ -154,6 +168,114 @@ def build_wheeled_vehicle(
     return vehicle, state
 
 
+def _build_wishbone_vehicle(chassis_mass, chassis_inertia, wheelbase, track,
+                            cg_height, wheel_mass, wheel_radius, wheel_width,
+                            wheel_inertia_spin, tire, powertrain,
+                            max_steer_angle, max_brake_torque, driven):
+    from chrono_tpu.vehicle.suspension import (
+        WishboneHardpoints, add_double_wishbone_corner,
+    )
+
+    b = SystemBuilder()
+    chassis = b.add_body(mass=chassis_mass, inertia=chassis_inertia,
+                         pos=(0, 0, cg_height), name="chassis")
+    a, s = wheelbase / 2, track / 2
+    z_w = wheel_radius
+    r = wheel_radius
+    hp = WishboneHardpoints(
+        spindle=(0.0, 0.0, 0.0),
+        uca_front=(0.30 * r / 0.35, -0.9 * s, 0.55 * r),
+        uca_rear=(-0.30 * r / 0.35, -0.9 * s, 0.55 * r),
+        uca_ball=(0.0, -0.25 * r, 0.62 * r),
+        lca_front=(0.35 * r / 0.35, -0.95 * s, -0.45 * r),
+        lca_rear=(-0.35 * r / 0.35, -0.95 * s, -0.45 * r),
+        lca_ball=(0.0, -0.18 * r, -0.5 * r),
+        spring_chassis=(0.0, -0.6 * s, 1.3 * r),
+        spring_lca=(0.0, -0.5 * s, -0.4 * r),
+        tierod_chassis=(0.5 * r, -0.85 * s, 0.0),
+        tierod_upright=(0.45 * r, -0.25 * r, 0.0),
+        masses=dict(uca=6.0, lca=8.0, upright=25.0, wheel=wheel_mass),
+        inertias=dict(uca=(0.03, 0.03, 0.05), lca=(0.05, 0.05, 0.08),
+                      upright=(0.4, 0.4, 0.4),
+                      wheel=(wheel_inertia_spin * 0.55, wheel_inertia_spin,
+                             wheel_inertia_spin * 0.55)),
+        spring_k=chassis_mass * 50.0,    # ~5 Hz corner with lever ratio
+        spring_c=chassis_mass * 4.0)
+
+    # front steering rack: one body sliding laterally on the chassis with a
+    # position motor — the tie rods do the rest (Ackermann from geometry)
+    rack_x = a + 0.5 * r
+    rack = b.add_body(mass=5.0, inertia=(0.05, 0.05, 0.05),
+                      pos=(rack_x, 0, z_w), name="rack")
+    b.add_motor_linear_position(chassis, rack, world_pos=(rack_x, 0, z_w),
+                                world_axis=(0, 1, 0),
+                                profile=FConst(c=jnp.asarray(0.0)),
+                                add_joint=True)
+
+    wheels, uprights = [], []
+    for (cx, side, name, steered) in ((+a, +1, "FL", True),
+                                      (+a, -1, "FR", True),
+                                      (-a, +1, "RL", False),
+                                      (-a, -1, "RR", False)):
+        corner = add_double_wishbone_corner(
+            b, chassis, (cx, side * s, z_w), hp, side=side,
+            steered_rack_body=rack if steered else None)
+        wheels.append(corner.wheel)
+        if steered:
+            uprights.append(corner.upright)
+
+    model, state = b.finalize()
+
+    if tire is None:
+        tire = TMeasyParams(radius=jnp.asarray(wheel_radius),
+                            width=jnp.asarray(wheel_width),
+                            Fz0=jnp.asarray(chassis_mass * 9.81 / 4))
+    if powertrain is None:
+        speeds, torques, losses = default_engine_map()
+        driven_mask = {"AWD": [1.0] * 4, "RWD": [0, 0, 1, 1],
+                       "FWD": [1, 1, 0, 0]}[driven]
+        powertrain = PowertrainParams(
+            map_speed=speeds, map_torque=torques, map_losses=losses,
+            max_speed=jnp.asarray(650.0),
+            gear_ratios=jnp.asarray([3.5, 2.2, 1.5, 1.0, 0.75]),
+            shift_speeds=jnp.asarray([5.0, 10.0, 16.0, 23.0]),
+            final_drive=jnp.asarray(3.7),
+            driven_wheels=jnp.asarray([float(d) for d in driven_mask]))
+
+    # steer-arm radius: distance of the tie-rod anchor from the kingpin axis
+    # (UCA ball ↔ LCA ball line) sets rack-travel per steer angle
+    import numpy as np
+
+    kp_top = np.asarray(hp.uca_ball)
+    kp_bot = np.asarray(hp.lca_ball)
+    axis = kp_top - kp_bot
+    axis = axis / np.linalg.norm(axis)
+    tr = np.asarray(hp.tierod_upright) - kp_bot
+    arm = np.linalg.norm(tr - np.dot(tr, axis) * axis)
+
+    vehicle = WheeledVehicle(
+        model=model, tire=tire, powertrain=powertrain,
+        max_steer_angle=jnp.asarray(max_steer_angle),
+        max_brake_torque=jnp.asarray(max_brake_torque),
+        ackermann=jnp.asarray(0.0),          # geometric — nothing imposed
+        wheelbase=jnp.asarray(wheelbase), track=jnp.asarray(track),
+        aero_cda=jnp.asarray(1.2),
+        chassis=chassis, wheels=tuple(wheels), knuckles=tuple(uprights),
+        steer_rack_gain=jnp.asarray(float(arm)),
+    )
+    return vehicle, state
+
+
+def _set_rack(model: Model, disp) -> Model:
+    """Write the steering-rack displacement into the lin_pos motor profile."""
+    md = model.motors["lin_pos"]
+    new_md = md.replace(profile=md.profile.replace(
+        c=jnp.broadcast_to(disp, md.profile.c.shape)))
+    motors = dict(model.motors)
+    motors["lin_pos"] = new_md
+    return model.replace(motors=motors)
+
+
 def _set_steering(model: Model, angles: Array) -> Model:
     """Write per-knuckle steer angles into the rot_angle motor profiles."""
     md = model.motors["rot_angle"]
@@ -200,11 +322,16 @@ def vehicle_step(vehicle: WheeledVehicle, state, inputs: DriverInputs,
         vehicle.powertrain, omegas, speed, inputs.throttle)
     t_brake = brake_torques(inputs.braking, vehicle.max_brake_torque, omegas)
 
-    # steering
-    angles = ackermann_angles(inputs.steering, vehicle.max_steer_angle,
-                              vehicle.wheelbase, vehicle.track,
-                              vehicle.ackermann)
-    model = _set_steering(vehicle.model, angles)
+    # steering: wishbone build → rack displacement; reduced → knuckle motors
+    if "lin_pos" in vehicle.model.motors:
+        disp = (inputs.steering * vehicle.max_steer_angle
+                * vehicle.steer_rack_gain)
+        model = _set_rack(vehicle.model, disp)
+    else:
+        angles = ackermann_angles(inputs.steering, vehicle.max_steer_angle,
+                                  vehicle.wheelbase, vehicle.track,
+                                  vehicle.ackermann)
+        model = _set_steering(vehicle.model, angles)
 
     # external loads
     n = model.n_bodies
