@@ -137,3 +137,13 @@ def box_boundaries(lo, hi, dtype=jnp.float32) -> PlaneBCs:
     normals = jnp.concatenate([eye, -eye])
     return PlaneBCs(point=points, normal=normals,
                     vel=jnp.zeros((6, 3), dtype))
+
+
+def conveyor_plane(point, normal, surface_vel, dtype=jnp.float32) -> PlaneBCs:
+    """A plane BC whose SURFACE moves tangentially (reference ChConveyor,
+    /root/reference/src/chrono/physics/ChConveyor.h): friction against the
+    moving surface drags particles along — the PlaneBCs velocity field does
+    all the work in the shared wall-force pass."""
+    return PlaneBCs(point=jnp.asarray([point], dtype),
+                    normal=jnp.asarray([normal], dtype),
+                    vel=jnp.asarray([surface_vel], dtype))

@@ -156,6 +156,26 @@ def _solve(rows: ConstraintRows, model: Model, v_free, w_free,
         sol = vi_solvers.solve_pjacobi(
             Nop, r, project, g0, desc.diag_N(rows, model.props),
             settings.max_iter, settings.tol)
+    elif settings.solver in ("cg", "minres", "gmres"):
+        # Krylov LS menu for BILATERAL-ONLY systems (the reference's
+        # GMRES/MINRES engines, ChIterativeSolverLS.h:108-124); cone
+        # projection needs the VI solvers above
+        from chrono_tpu.solver import krylov
+
+        dinv = 1.0 / desc.diag_N(rows, model.props)
+        if settings.solver == "cg":
+            ls = krylov.solve_cg(Nop, -r, Minv=lambda x: dinv * x,
+                                 max_iter=settings.max_iter,
+                                 tol=settings.tol)
+        elif settings.solver == "minres":
+            ls = krylov.solve_minres(Nop, -r, max_iter=settings.max_iter,
+                                     tol=settings.tol)
+        else:
+            ls = krylov.solve_gmres(Nop, -r, tol=settings.tol)
+        from chrono_tpu.solver.vi import VISolution
+
+        sol = VISolution(gamma=ls.x, iterations=ls.iterations,
+                         residual=ls.residual)
     elif settings.solver == "direct":
         # mixed system requested as direct: fall back to APGD
         sol = vi_solvers.solve_apgd(Nop, r, project, g0,

@@ -211,3 +211,31 @@ class TestIntegrators:
         tol = 2.0 * 9.81 * t * h
         assert abs(out["chung"] - z_exact) < tol
         assert abs(out["extended_taylor"] - z_exact) < tol
+
+
+class TestConveyor:
+    def test_conveyor_drags_particle(self):
+        """A particle resting on a moving conveyor plane accelerates along
+        the surface direction through friction (ChConveyor role)."""
+        from chrono_tpu.dem.bc import DEMBoundaries, conveyor_plane
+        from chrono_tpu.dem import DEMSystem
+
+        sys = DEMSystem(radius=0.05, density=2500,
+                        box=((0, 0, 0), (4, 1, 1)),
+                        friction_mode="single_step")
+        sys.set_material(youngs=5e6, poisson=0.3, restitution=0.1, mu_s=0.8)
+        sys.set_wall_material(youngs=5e6, poisson=0.3, restitution=0.1,
+                              mu_s=0.8)
+        # conveyor surface ABOVE the (static) box floor so only the moving
+        # plane touches the particle
+        sys.set_boundaries(planes=conveyor_plane(
+            (0, 0, 0.2), (0, 0, 1), (1.5, 0, 0)))
+        sys.create_particles(np.array([[0.5, 0.5, 0.249]]))
+        sys.advance(0.6)
+        vx = float(sys.velocities[0, 0])
+        wy = float(np.asarray(sys.state.omega)[0, 1])
+        # a free ball on a belt rolls without slip: contact-point velocity
+        # (v − ω r) matches the belt, translating at a fraction of belt speed
+        v_contact = vx - wy * 0.05
+        np.testing.assert_allclose(v_contact, 1.5, rtol=0.05)
+        assert vx > 0.3, f"conveyor did not drag particle: vx={vx}"

@@ -213,3 +213,34 @@ class TestMotorsAndSprings:
         np.testing.assert_allclose(float(final.x[1, 2]), 1.0 - 9.81e-3,
                                    atol=1e-3)
         np.testing.assert_allclose(float(final.v[1, 2]), 0.0, atol=1e-3)
+
+
+class TestKrylovMBSSolvers:
+    """Krylov LS menu on bilateral systems (reference ChIterativeSolverLS)."""
+
+    @pytest.mark.parametrize("solver", ["cg", "minres", "gmres"])
+    def test_pendulum_matches_direct(self, solver):
+        from chrono_tpu.physics import SystemBuilder, SolverSettings
+        from chrono_tpu.physics.system import step_euler_implicit_linearized
+        import jax
+
+        def run(sv):
+            bld = SystemBuilder()
+            bld.set_gravity((0, 0, -9.81))
+            g = bld.add_ground()
+            p = bld.add_body(mass=1.0, inertia=(0.04, 0.1, 0.1), pos=(2, 0, 0))
+            bld.add_joint("revolute", p, g, world_pos=(0, 0, 0),
+                          world_axis=(0, 1, 0))
+            model, st = bld.finalize()
+            step = jax.jit(lambda s, t: step_euler_implicit_linearized(
+                model, s, t, 1e-3,
+                SolverSettings(solver=sv, max_iter=60, tol=1e-8))[0])
+            t = 0.0
+            for _ in range(300):
+                st = step(st, t)
+                t += 1e-3
+            return np.asarray(st.x[1])
+
+        ref = run("direct")
+        got = run(solver)
+        np.testing.assert_allclose(got, ref, atol=2e-4)
