@@ -163,3 +163,22 @@ def rigid_body_forces(params, dv_dt, kind, body_id, pos, body_x, n_bodies):
     torque = jnp.zeros((n_bodies, 3), pos.dtype).at[b].add(
         jnp.where(is_rigid[:, None], tau_m, 0.0))
     return force, torque
+
+
+def mesh_body_markers(verts, faces, spacing, layers=3) -> np.ndarray:
+    """BCE markers for an arbitrary triangle-mesh rigid body (reference
+    ChFsiProblemSPH::AddRigidBodyMesh): surface sampling with inward layer
+    offsets via the native C++ sampler (chrono_tpu.native, numpy fallback)."""
+    from chrono_tpu.native import surface_markers
+
+    return surface_markers(np.asarray(verts, np.float32),
+                           np.asarray(faces, np.int32), float(spacing),
+                           int(layers))
+
+
+def obj_body_markers(path, spacing, layers=3) -> np.ndarray:
+    """Load an OBJ and sample BCE markers (file-based FSI construction)."""
+    from chrono_tpu.native import load_obj
+
+    verts, faces = load_obj(path)
+    return mesh_body_markers(verts, faces, spacing, layers)

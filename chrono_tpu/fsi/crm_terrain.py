@@ -44,14 +44,17 @@ def make_crm_terrain_state(params: SPHParams, crm: CRMParams,
                            size, depth, spacing=None,
                            rigid_pts=None, rigid_body_ids=None,
                            rigid_local=None, carve_fn=None,
-                           dtype=jnp.float32):
+                           surface_fn=None, dtype=jnp.float32):
     """Box terrain patch: granular bed (lithostatic pre-stress) + wall BCE
     floor/side layers + optional rigid-body BCE markers (wheels).
 
     ``size``: (Lx, Ly); ``depth``: bed depth; ``carve_fn(pts) -> keep mask``
     removes granular markers (e.g. under a pre-sunk wheel, so bodies can
-    start at their static sinkage without instant overlap).
-    Returns (CRMState, GridSpec).
+    start at their static sinkage without instant overlap);
+    ``surface_fn(x, y) -> z`` shapes the bed surface from a heightmap
+    (reference ChFsiProblemCartesian::Construct(heightmap),
+    ChFsiProblemSPH.h:324-366) — depths are measured from z=0 up to
+    min(depth, surface).  Returns (CRMState, GridSpec).
     """
     from chrono_tpu.utils.samplers import grid_sample_box
     from chrono_tpu.fsi.sph.system import make_sph_state
@@ -59,7 +62,12 @@ def make_crm_terrain_state(params: SPHParams, crm: CRMParams,
     d0 = float(spacing if spacing is not None else params.d0)
     Lx, Ly = float(size[0]), float(size[1])
     H = float(depth)
+    z_top = H
     gran = grid_sample_box((0, 0, 0), (Lx, Ly, H), d0)
+    if surface_fn is not None:
+        zs = np.asarray(surface_fn(gran[:, 0], gran[:, 1]), float)
+        gran = gran[gran[:, 2] < zs]
+        z_top = None
     if carve_fn is not None:
         gran = gran[np.asarray(carve_fn(gran), bool)]
     walls = bce.box_wall_markers((0, 0, 0), (Lx, Ly, H + 20 * d0), d0,
@@ -70,7 +78,14 @@ def make_crm_terrain_state(params: SPHParams, crm: CRMParams,
     from chrono_tpu.fsi.sph.crm import make_crm_state
 
     state = make_crm_state(sph, dtype)
-    state = lithostatic_init(state, params, crm, surface_z=H)
+    if z_top is None:
+        # heightmap bed: per-particle lithostatic depth to the local surface
+        zs = jnp.asarray(np.minimum(
+            np.asarray(surface_fn(np.asarray(state.pos[:, 0]),
+                                  np.asarray(state.pos[:, 1])), float), H))
+        state = lithostatic_init(state, params, crm, surface_z=zs)
+    else:
+        state = lithostatic_init(state, params, crm, surface_z=H)
 
     support = KERNELS[params.kernel][2]
     cell = support * float(params.h)

@@ -318,3 +318,53 @@ def solve_admm(
         cond, body,
         S(jnp.zeros((), jnp.int32), z, z, u, jnp.asarray(jnp.inf, dtype)))
     return VISolution(out.z, out.k, out.res)
+
+
+class VIHistory(NamedTuple):
+    """Per-iteration records (reference ChIterativeSolverVI::SetRecordViolation
+    histories, ChIterativeSolverVI.h:74-90)."""
+
+    violation: Array    # (max_iter,) residual/violation per iteration
+    delta_gamma: Array  # (max_iter,) ‖Δγ‖ per iteration
+
+
+def solve_apgd_with_history(Nop, r, project, gamma0, max_iter: int = 100,
+                            tol: float = 1e-6):
+    """APGD under ``lax.scan`` recording per-iteration violation and ‖Δγ‖.
+
+    Fixed-length iteration (entries after convergence repeat the converged
+    values) — the observability variant of :func:`solve_apgd` for solver
+    tuning/benchmarks; the while-loop version stays the hot path.
+    """
+    gamma = project(gamma0)
+    ones = jnp.ones_like(gamma)
+    dg0 = _norm(ones - gamma)
+    L = jnp.where(dg0 > 0, _norm(Nop(ones) - Nop(gamma))
+                  / jnp.maximum(dg0, 1e-30), 1.0)
+    L = jnp.maximum(L, 1e-10)
+
+    def step(carry, _):
+        gamma, y, theta, L = carry
+        grad_y = Nop(y) + r
+        g_new = project(y - grad_y / L)
+        # simple backtracking (one halving test, scan-friendly)
+        q_y = 0.5 * jnp.dot(y, Nop(y)) + jnp.dot(y, r)
+        q_new = 0.5 * jnp.dot(g_new, Nop(g_new)) + jnp.dot(g_new, r)
+        lin = q_y + jnp.dot(grad_y, g_new - y) \
+            + 0.5 * L * jnp.sum((g_new - y) ** 2)
+        L = jnp.where(q_new > lin, 2.0 * L, L)
+        g_new = project(y - (Nop(y) + r) / L)
+        theta_new = 0.5 * (jnp.sqrt(theta**4 + 4 * theta**2) - theta**2)
+        beta = theta * (1 - theta) / (theta**2 + theta_new)
+        y_new = g_new + beta * (g_new - gamma)
+        dgam = _norm(g_new - gamma)
+        viol = _norm(g_new - project(g_new - (Nop(g_new) + r)))
+        return (g_new, y_new, theta_new, L), (viol, dgam)
+
+    (gamma, _, _, _), (viols, dgams) = lax.scan(
+        step, (gamma, gamma, jnp.ones((), r.dtype), L), None,
+        length=max_iter)
+    res = viols[-1]
+    return (VISolution(gamma=gamma, iterations=jnp.asarray(max_iter),
+                       residual=res),
+            VIHistory(violation=viols, delta_gamma=dgams))

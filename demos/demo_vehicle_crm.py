@@ -39,7 +39,7 @@ from chrono_tpu.vehicle.suspension import (
 
 
 def build_vehicle(bld: SystemBuilder, pos0, wheelbase=1.2, track=0.7,
-                  chassis_mass=120.0):
+                  chassis_mass=60.0):
     chassis = bld.add_body(mass=chassis_mass, inertia=(20.0, 40.0, 50.0),
                            pos=pos0)
     hp = WishboneHardpoints(
@@ -73,8 +73,8 @@ def main(n_intervals=25, outer_per_interval=40):
         c_s=jnp.asarray(40.0), gravity=jnp.asarray([0.0, 0.0, -9.81]),
         dt=jnp.asarray(1e-4), alpha_visc=jnp.asarray(0.3),
         kernel="cubic", max_neighbors=96, max_per_cell=64, rebuild_every=4)
-    crm = CRMParams(youngs=jnp.asarray(3e6), poisson=jnp.asarray(0.3),
-                    friction_angle=jnp.asarray(0.8))
+    crm = CRMParams(youngs=jnp.asarray(4e6), poisson=jnp.asarray(0.3),
+                    friction_angle=jnp.asarray(0.9))
 
     bed = (2.0, 1.2)
     depth = 0.15
@@ -116,9 +116,9 @@ def main(n_intervals=25, outer_per_interval=40):
     def drive(t, b):
         f = jnp.zeros((model.n_bodies, 3))
         tau = jnp.zeros((model.n_bodies, 3))
-        torque = jnp.where(t > 0.15, 30.0, 0.0)
-        for w in (corners["RL"].wheel, corners["RR"].wheel):
-            tau = tau.at[w, 1].add(torque)
+        torque = jnp.where(t > 0.15, 10.0, 0.0)   # AWD: gentle, no digging
+        for c in corners.values():
+            tau = tau.at[c.wheel, 1].add(torque)
         return f, tau
 
     # at this compact demo scale the four activity boxes cover most of the

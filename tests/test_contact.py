@@ -226,3 +226,27 @@ class TestContactDynamics:
         assert int(contacts.count) == 1
         assert bool(contacts.active[0])
         np.testing.assert_allclose(float(contacts.gap[0]), -0.01, atol=1e-5)
+
+
+def test_apgd_history_records_convergence():
+    """Per-iteration violation/Δγ histories (ChIterativeSolverVI.h:74-90)."""
+    import jax.numpy as jnp
+    from chrono_tpu.solver.vi import solve_apgd, solve_apgd_with_history
+
+    rng = np.random.default_rng(0)
+    n = 24
+    A = rng.standard_normal((n, n)).astype(np.float32)
+    N = A @ A.T + n * np.eye(n, dtype=np.float32)
+    r = rng.standard_normal(n).astype(np.float32)
+    Nop = lambda g: jnp.asarray(N) @ g
+    project = lambda g: jnp.maximum(g, 0.0)     # simple NCP cone
+    g0 = jnp.zeros((n,))
+    sol, hist = solve_apgd_with_history(Nop, jnp.asarray(r), project, g0,
+                                        max_iter=120, tol=1e-8)
+    v = np.asarray(hist.violation)
+    assert v[-1] < 5e-3 * v[0]                  # converged (fp32 floor)
+    assert np.asarray(hist.delta_gamma).shape == (120,)
+    # matches the while-loop solver's answer
+    ref = solve_apgd(Nop, jnp.asarray(r), project, g0, 400, 1e-10)
+    np.testing.assert_allclose(np.asarray(sol.gamma), np.asarray(ref.gamma),
+                               atol=2e-3)

@@ -143,3 +143,26 @@ def test_moving_patch_relocation():
     assert np.abs(np.asarray(moved.vel)[should_move]).max() == 0.0
     tz = np.asarray(moved.tau_d[:, 2])[should_move]
     assert (tz <= 1e-6).all()
+
+
+def test_heightmap_bed_construction():
+    """Heightmap-shaped CRM bed (ChFsiProblemCartesian Construct(heightmap)):
+    granular fill follows the surface function and lithostatic stress is
+    measured from the LOCAL surface."""
+    params, crm = _params(), _crm()
+
+    def surf(x, y):
+        return 0.06 + 0.05 * np.sin(2 * np.pi * x / 0.9)
+
+    terrain, grid = make_crm_terrain_state(params, crm, (0.9, 0.3), 0.12,
+                                           surface_fn=surf)
+    kind = np.asarray(terrain.kind)
+    pos = np.asarray(terrain.pos)[kind == FLUID]
+    zs = surf(pos[:, 0], pos[:, 1])
+    assert (pos[:, 2] < zs).all()
+    # somewhere the bed is taller than 0.06 and somewhere shorter
+    assert pos[:, 2].max() > 0.08 and (zs.min() < 0.03)
+    # lithostatic σ_zz ≈ −ρ g (surface − z) locally
+    tzz = np.asarray(terrain.tau_d[:, 2])[kind == FLUID]
+    ref = -1700.0 * 9.81 * (zs - pos[:, 2])
+    np.testing.assert_allclose(tzz, ref, rtol=1e-4, atol=1.0)
