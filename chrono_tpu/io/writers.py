@@ -66,3 +66,43 @@ class FrameWriter:
     @staticmethod
     def read_frame(directory: str, index: int, prefix: str = "frame"):
         return np.load(os.path.join(directory, f"{prefix}_{index:06d}.npz"))
+
+
+class HDF5Writer:
+    """Frame-sequence HDF5 output (reference ChOutputHDF5,
+    /root/reference/src/chrono/input_output/ChOutputHDF5.h): one group per
+    frame with a time attribute, arbitrary named arrays as datasets."""
+
+    def __init__(self, path: str, compression: str = "gzip"):
+        import h5py
+
+        self.h5 = h5py.File(path, "w")
+        self.compression = compression
+        self.n_frames = 0
+
+    def write_frame(self, time: float, **arrays):
+        g = self.h5.create_group(f"frames/{self.n_frames:06d}")
+        g.attrs["time"] = float(time)
+        for k, v in arrays.items():
+            a = np.asarray(v)
+            g.create_dataset(k, data=a,
+                             compression=self.compression
+                             if a.ndim and a.size > 64 else None)
+        self.n_frames += 1
+        self.h5.attrs["n_frames"] = self.n_frames
+
+    def close(self):
+        self.h5.close()
+
+    @staticmethod
+    def read(path: str):
+        """Load all frames → list of (time, {name: array})."""
+        import h5py
+
+        out = []
+        with h5py.File(path, "r") as f:
+            for name in sorted(f["frames"]):
+                g = f["frames"][name]
+                out.append((float(g.attrs["time"]),
+                            {k: np.asarray(g[k]) for k in g}))
+        return out

@@ -117,3 +117,23 @@ class TestFilters:
             u, pid = pid.step(1.0 - x, 0.01)
             x += 0.01 * u  # first-order plant
         np.testing.assert_allclose(x, 1.0, atol=1e-2)
+
+
+def test_hdf5_writer_roundtrip(tmp_path):
+    from chrono_tpu.io.writers import HDF5Writer
+
+    path = str(tmp_path / "out.h5")
+    w = HDF5Writer(path)
+    rng = np.random.default_rng(0)
+    frames = []
+    for k in range(3):
+        pos = rng.standard_normal((100, 3)).astype(np.float32)
+        w.write_frame(0.1 * k, pos=pos, vel=pos * 2)
+        frames.append(pos)
+    w.close()
+    back = HDF5Writer.read(path)
+    assert len(back) == 3
+    for k, (t, data) in enumerate(back):
+        np.testing.assert_allclose(t, 0.1 * k)
+        np.testing.assert_allclose(data["pos"], frames[k])
+        np.testing.assert_allclose(data["vel"], frames[k] * 2)
