@@ -25,12 +25,14 @@ from chrono_tpu.fea.cable import CableMesh
 
 
 def _mesh_ops(mesh):
-    """Dispatch element kernels by mesh type (cable / shell share the
-    (Nn, 6) node layout, so the whole Newton/HHT machinery is generic)."""
-    from chrono_tpu.fea import cable, shell
+    """Dispatch element kernels by mesh type (cable / shell / solid share
+    the (Nn, 6) node layout, so the whole Newton/HHT machinery is generic)."""
+    from chrono_tpu.fea import cable, shell, solid
 
     if isinstance(mesh, shell.ShellMesh):
         return shell.internal_forces, shell.mass_matrix
+    if isinstance(mesh, solid.SolidMesh):
+        return solid.internal_forces, solid.mass_matrix
     return cable.internal_forces, cable.mass_matrix
 
 
@@ -50,8 +52,15 @@ class FEAStepOut(NamedTuple):
     residual: Array
 
 
-def _fixed_dof_mask(mesh: CableMesh, n_nodes: int) -> Array:
-    return jnp.repeat(mesh.fixed, 6)
+def _fixed_dof_mask(mesh, n_nodes: int) -> Array:
+    from chrono_tpu.fea import solid
+
+    m = jnp.repeat(mesh.fixed, 6)
+    if isinstance(mesh, solid.SolidMesh):
+        # solid nodes carry translations only: directors are inert DOFs and
+        # must be masked (their energy gradient is identically zero)
+        m = m.reshape(n_nodes, 6).at[:, 3:6].set(True).reshape(-1)
+    return m
 
 
 def _masked_solve(J, r, free):

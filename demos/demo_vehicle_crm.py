@@ -53,7 +53,7 @@ def build_vehicle(bld: SystemBuilder, pos0, wheelbase=1.2, track=0.7,
         masses=dict(uca=1.5, lca=2.0, upright=4.0, wheel=8.0),
         inertias=dict(uca=(0.01, 0.01, 0.02), lca=(0.01, 0.01, 0.02),
                       upright=(0.05, 0.05, 0.05), wheel=(0.10, 0.16, 0.10)),
-        spring_k=30e3, spring_c=3e3)
+        spring_k=120e3, spring_c=6e3)
     corners = {}
     for name, dx, side in (("FL", +wheelbase / 2, +1),
                            ("FR", +wheelbase / 2, -1),
@@ -146,9 +146,10 @@ def main(n_intervals=25, outer_per_interval=40):
         wr = float(state.bodies.w[corners["RL"].wheel, 1])
         v_x = vc[0]
         slip = 1.0 - v_x / max(wr * r_wheel, 1e-6) if wr > 0.1 else 0.0
-        sink = z_chassis - xc[2]
+        zw = float(np.asarray(state.bodies.x)[wheels, 2].mean())
+        sink_w = (depth + r_wheel + 0.5 * d0 - sink0) - zw   # true wheel rut
         print(f"t={float(state.time):5.2f}s ovf={int(ovf)} x={xc[0]:.3f} "
-              f"v={v_x:5.2f} m/s sink={sink * 1000:5.1f} mm "
+              f"v={v_x:5.2f} m/s rut={sink_w * 1000 + sink0 * 1000:5.1f} mm "
               f"slip={slip:5.2f} ω_RL={wr:5.2f}", flush=True)
     wall = time.perf_counter() - t0
     t_sim = float(state.time)
