@@ -260,13 +260,19 @@ def solve_admm(
     tol: float = 1e-6,
     rho: float = 1.0,
     inner_cg: int = 8,
+    adaptive_rho: bool = True,
 ) -> VISolution:
-    """ADMM with cone-splitting (the reference's ChSolverADMM role).
+    """ADMM with cone-splitting and residual-balancing ρ adaptation (the
+    reference's ChSolverADMM with its stepadjust policy,
+    /root/reference/src/chrono/solver/ChSolverADMM.cpp).
 
     Split γ = z with z ∈ K; augmented Lagrangian with penalty ρ:
       γ-update  (N + ρI) γ = ρ(z − u) − r     (few matrix-free CG iterations)
       z-update  z = Π(γ + u)
       u-update  u += γ − z
+      ρ-update  Boyd residual balancing: ρ·τ when the primal residual
+                dominates, ρ/τ when the dual dominates (u rescaled to keep
+                the scaled dual consistent)
     Robust on ill-conditioned mixed bilateral+cone systems where plain
     projected gradients crawl.
     """
@@ -274,11 +280,11 @@ def solve_admm(
     z = project(gamma0)
     u = jnp.zeros_like(z)
 
-    def Aop(x):
-        return Nop(x) + rho * x
-
-    def cg(b, x0):
+    def cg(b, x0, rho_k):
         # fixed-iteration CG on (N + ρI) x = b
+        def Aop(x):
+            return Nop(x) + rho_k * x
+
         def body(k, carry):
             x, p, res, rs = carry
             Ap = Aop(p)
@@ -300,23 +306,34 @@ def solve_admm(
         gamma: Array
         z: Array
         u: Array
+        rho: Array
         res: Array
 
     def cond(s: S):
         return (s.k < max_iter) & (s.res > tol)
 
     def body(s: S):
-        gamma = cg(rho * (s.z - s.u) - r, s.gamma)
+        gamma = cg(s.rho * (s.z - s.u) - r, s.gamma, s.rho)
         z_new = project(gamma + s.u)
         u_new = s.u + gamma - z_new
-        # primal + dual residuals
-        res = (_norm(gamma - z_new) + rho * _norm(z_new - s.z)) / jnp.maximum(
-            jnp.asarray(1.0, dtype), _norm(z_new))
-        return S(s.k + 1, gamma, z_new, u_new, res)
+        r_pri = _norm(gamma - z_new)
+        r_dua = s.rho * _norm(z_new - s.z)
+        res = (r_pri + r_dua) / jnp.maximum(jnp.asarray(1.0, dtype),
+                                            _norm(z_new))
+        rho_new = s.rho
+        if adaptive_rho:
+            mu_b, tau = 10.0, 2.0
+            up = r_pri > mu_b * r_dua
+            dn = r_dua > mu_b * r_pri
+            rho_new = jnp.where(up, s.rho * tau,
+                                jnp.where(dn, s.rho / tau, s.rho))
+            u_new = u_new * s.rho / rho_new   # keep the scaled dual variable
+        return S(s.k + 1, gamma, z_new, u_new, rho_new, res)
 
     out = lax.while_loop(
         cond, body,
-        S(jnp.zeros((), jnp.int32), z, z, u, jnp.asarray(jnp.inf, dtype)))
+        S(jnp.zeros((), jnp.int32), z, z, u,
+          jnp.asarray(rho, dtype), jnp.asarray(jnp.inf, dtype)))
     return VISolution(out.z, out.k, out.res)
 
 
