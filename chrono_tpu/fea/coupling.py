@@ -13,14 +13,11 @@ Works for any mesh type handled by chrono_tpu.fea.dynamics (cable, shell).
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
-from jax import lax, Array
+from jax import Array
 
-from chrono_tpu.utils.pytree import pytree_dataclass, static_field
+from chrono_tpu.utils.pytree import pytree_dataclass
 from chrono_tpu.core import quaternion as Q
 from chrono_tpu.fea import dynamics as fd
 from chrono_tpu.physics.system import (

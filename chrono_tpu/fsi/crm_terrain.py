@@ -27,7 +27,7 @@ from chrono_tpu.physics.body import BodyState
 from chrono_tpu.physics.system import (
     Model, SolverSettings, step_euler_implicit_linearized,
 )
-from chrono_tpu.fsi.sph.state import SPHParams, FLUID, BOUNDARY, RIGID_BCE
+from chrono_tpu.fsi.sph.state import SPHParams
 from chrono_tpu.fsi.sph.crm import (
     CRMParams, CRMState, crm_step, crm_forces, lithostatic_init,
 )
@@ -37,7 +37,7 @@ from chrono_tpu.fsi.active import (
     ActiveDomainSpec, activity_masks, compact_indices, gather_state,
     scatter_state,
 )
-from chrono_tpu.dem.neighbors import build_neighbor_list, NeighborList
+from chrono_tpu.dem.neighbors import build_neighbor_list
 
 
 def make_crm_terrain_state(params: SPHParams, crm: CRMParams,

@@ -18,7 +18,6 @@ chrono_tpu.fsi.system.fsi_step with the FEA solid in place of rigid bodies.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import numpy as np
 
@@ -28,7 +27,7 @@ from jax import lax, Array
 
 from chrono_tpu.utils.pytree import pytree_dataclass
 from chrono_tpu.collision.cell_list import GridSpec
-from chrono_tpu.fsi.sph.state import SPHParams, SPHState, FLEX_BCE
+from chrono_tpu.fsi.sph.state import SPHParams, SPHState
 from chrono_tpu.fsi.sph import wcsph
 from chrono_tpu.fsi.sph.system import rebuild_sph_neighbors, sph_substep
 from chrono_tpu.fea.shell import ShellMesh, _N

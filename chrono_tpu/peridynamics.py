@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax, Array
 
-from chrono_tpu.utils.pytree import pytree_dataclass, static_field
+from chrono_tpu.utils.pytree import pytree_dataclass
 from chrono_tpu.collision.cell_list import GridSpec
 from chrono_tpu.dem.neighbors import build_neighbor_list
 
