@@ -213,3 +213,29 @@ def suggest_isph_dt(params: SPHParams, v_max: float = 1.0,
     g = float(np.linalg.norm(np.asarray(params.gravity)))
     dt_g = np.sqrt(h / max(g, 1e-12))
     return safety * min(dt_adv, dt_visc, dt_g)
+
+
+def isph_solid_reaction(params: SPHParams, grid: GridSpec, state: SPHState,
+                        p: Array):
+    """Fluid reaction acceleration at SOLID markers from the PPE pressure
+    (the ISPH counterpart of the WCSPH solid dv/dt used by the BCE force
+    reduction): symmetric pressure gradient + Morris viscous term evaluated
+    at the solid markers (reference SphForceISPH + CalcRigidForces_D)."""
+    m = wcsph.particle_mass(params)
+    is_fluid = state.kind == FLUID
+    pos, vel, rho = state.pos, state.vel, state.rho
+    nbr_idx, nbr_valid = state.nbr.idx, state.nbr.valid
+    _, _, v_bc = wcsph.adami_bc(params, grid, pos, vel, rho, state.kind,
+                                nbr_idx, nbr_valid)
+    j, d, r2, gw = _pair_geometry(params, grid, pos, nbr_idx, nbr_valid)
+    rho0 = params.rho0
+    pterm = (p[:, None] + p[j]) / (rho0 * rho0)
+    dv = -jnp.sum(jnp.where(nbr_valid[..., None],
+                            (m * pterm)[..., None] * gw, 0.0), axis=1)
+    v_ij = vel[:, None, :] - jnp.where(is_fluid[j][..., None], vel[j],
+                                       v_bc[j])
+    coef = m * 2.0 * params.mu / (rho0 * rho0) * jnp.sum(d * gw, axis=-1) \
+        / (r2 + 0.01 * params.h ** 2)
+    dv = dv + jnp.sum(jnp.where(nbr_valid[..., None],
+                                coef[..., None] * v_ij, 0.0), axis=1)
+    return dv

@@ -45,11 +45,14 @@ class FSIState:
 
 def fsi_step(model: Model, params: SPHParams, grid: GridSpec,
              state: FSIState, h_fluid, n_fluid_substeps: int,
-             mbs_settings: SolverSettings = SolverSettings(solver="direct")):
+             mbs_settings: SolverSettings = SolverSettings(solver="direct"),
+             scheme: str = "wcsph"):
     """One coupled outer step = ``n_fluid_substeps`` fluid steps + 1 MBS step.
 
     Outer step size = n_fluid_substeps · h_fluid (the reference's
-    m_step_CFD/m_step_MBD ratio).
+    m_step_CFD/m_step_MBD ratio).  ``scheme``: "wcsph" (explicit, acoustic
+    dt) or "isph" (implicit pressure projection, larger dt — reference
+    IMPLICIT_SPH).
     """
     bodies, fluid = state.bodies, state.fluid
 
@@ -62,15 +65,28 @@ def fsi_step(model: Model, params: SPHParams, grid: GridSpec,
     # 2. fluid advance (markers held kinematically fixed during substeps)
     fluid = rebuild_sph_neighbors(params, grid, fluid)
 
-    def fstep(f, _):
-        return sph_substep(params, grid, f), None
+    if scheme == "isph":
+        from chrono_tpu.fsi.sph import isph as isph_mod
 
-    fluid, _ = lax.scan(fstep, fluid, None, length=n_fluid_substeps)
+        def fstep_i(carry, _):
+            f, _p = carry
+            f2, p2, _ = isph_mod.isph_substep(params, grid, f)
+            return (f2, p2), None
 
-    # 3. fluid reaction on bodies: one RHS evaluation at the final fluid state
-    _, dv_dt = wcsph.wcsph_rhs(
-        params, grid, fluid.pos, fluid.vel, fluid.rho, fluid.kind,
-        fluid.nbr.idx, fluid.nbr.valid)
+        p0 = jnp.zeros((fluid.n,), fluid.pos.dtype)
+        (fluid, p_last), _ = lax.scan(fstep_i, (fluid, p0), None,
+                                      length=n_fluid_substeps)
+        dv_dt = isph_mod.isph_solid_reaction(params, grid, fluid, p_last)
+    else:
+        def fstep(f, _):
+            return sph_substep(params, grid, f), None
+
+        fluid, _ = lax.scan(fstep, fluid, None, length=n_fluid_substeps)
+
+        # fluid reaction on bodies: one RHS evaluation at the final state
+        _, dv_dt = wcsph.wcsph_rhs(
+            params, grid, fluid.pos, fluid.vel, fluid.rho, fluid.kind,
+            fluid.nbr.idx, fluid.nbr.valid)
     f_bodies, tau_bodies_world = bce.rigid_body_forces(
         params, dv_dt, fluid.kind, fluid.body_id, fluid.pos, bodies.x,
         model.n_bodies)
@@ -89,12 +105,13 @@ def fsi_step(model: Model, params: SPHParams, grid: GridSpec,
 def make_fsi_advance_fn(model: Model, params: SPHParams, grid: GridSpec,
                         n_fluid_substeps: int = 1,
                         mbs_settings: SolverSettings = SolverSettings(
-                            solver="direct")):
+                            solver="direct"),
+                        scheme: str = "wcsph"):
     @functools.partial(jax.jit, static_argnums=1)
     def advance(state: FSIState, n_outer: int):
         def body(s, _):
             s, info = fsi_step(model, params, grid, s, params.dt,
-                               n_fluid_substeps, mbs_settings)
+                               n_fluid_substeps, mbs_settings, scheme)
             return s, None
 
         state, _ = lax.scan(body, state, None, length=n_outer)

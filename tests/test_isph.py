@@ -122,3 +122,25 @@ def test_isph_hydrostatic_pressure():
     # velocities must stay near zero (no spurious currents)
     vf = np.asarray(state.vel)[kind == FLUID]
     assert np.abs(vf).max() < 0.15 * np.sqrt(9.81 * H)
+
+
+def test_isph_fsi_buoyancy():
+    """ISPH-coupled rigid FSI: a half-density block floats (Archimedes) with
+    the implicit scheme (reference IMPLICIT_SPH + BCE reduction path)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_fsi import floating_block_setup
+    from chrono_tpu.fsi.system import FSIState, make_fsi_advance_fn
+
+    model, params, grid, fsi0, z0, H, side = floating_block_setup(500.0)
+    # implicit scheme at a dt above the acoustic bound
+    params = params.replace(dt=jnp.asarray(3.0 * float(params.dt)))
+    adv = make_fsi_advance_fn(model, params, grid, n_fluid_substeps=4,
+                              scheme="isph")
+    state = fsi0
+    for _ in range(30):
+        state = adv(state, 10)
+    z = float(state.bodies.x[1, 2])
+    assert np.isfinite(np.asarray(state.fluid.pos)).all()
+    # floats: stays in the upper half of the water column, doesn't sink
+    assert z > 0.5 * H, f"block sank with ISPH coupling: z={z:.3f}"
