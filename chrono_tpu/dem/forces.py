@@ -73,8 +73,12 @@ def _pair_force(params: DEMParams, n, overlap, v_rel, xi, active, kn, gn, kt, gt
 
 
 def particle_forces(params: DEMParams, pos, vel, omega, nbr_idx, nbr_valid,
-                    tan_disp):
-    """(N,K)-row pair forces → per-particle force/torque + updated history."""
+                    tan_disp, roll_disp=None):
+    """(N,K)-row pair forces → per-particle force/torque + updated history.
+
+    ``roll_disp``: (N,K,3) rolling-spring history, required only for
+    rolling_mode="elastic_plastic" (returned updated as the 4th output in
+    that mode)."""
     r = params.radius
     m_eff = 0.5 * params.mass
     r_eff = 0.5 * r
@@ -107,12 +111,29 @@ def particle_forces(params: DEMParams, pos, vel, omega, nbr_idx, nbr_valid,
         t_roll = (params.material.mu_r * arm * fn_scalar / w_mag)[..., None] \
             * w_rel
         tau = tau + jnp.sum(jnp.where(active[..., None], t_roll, 0.0), axis=1)
+    elif params.rolling_mode == "elastic_plastic":
+        # rolling spring with plastic cap (the reference's ELASTIC_PLASTIC
+        # mode, ChDemDefines.h:48): the accumulated rolling displacement
+        # winds a torsional spring, saturated at μ_r·Fn·arm (then it slips —
+        # history truncated like the tangential Coulomb cap)
+        if roll_disp is None:
+            raise ValueError("elastic_plastic rolling needs roll_disp state")
+        w_rel = omega[j] - omega[:, None, :]
+        xi_r = roll_disp + w_rel * params.dt
+        k_roll = kt * params.radius * params.radius     # torsional stiffness
+        t_mag = k_roll * jnp.sqrt(jnp.sum(xi_r * xi_r, axis=-1) + 1e-18)
+        cap = params.material.mu_r * fn_scalar * arm
+        scale = jnp.minimum(1.0, cap / jnp.maximum(t_mag, 1e-18))
+        xi_r = jnp.where(active[..., None], xi_r * scale[..., None], 0.0)
+        t_roll = k_roll * xi_r
+        tau = tau + jnp.sum(jnp.where(active[..., None], t_roll, 0.0), axis=1)
+        return force, tau, xi_new, xi_r
 
     return force, tau, xi_new
 
 
 def wall_forces(params: DEMParams, bcs: DEMBoundaries, pos, vel, omega,
-                bc_tan_disp):
+                bc_tan_disp, bc_roll_disp=None):
     """Dense particle×wall pass; returns force/torque, new history, and the
     total reaction force per wall (the reference's BC force observation,
     ChSystemDem.h GetBCReactionForces)."""
@@ -151,5 +172,28 @@ def wall_forces(params: DEMParams, bcs: DEMBoundaries, pos, vel, omega,
 
     force = jnp.sum(f_pair, axis=1)
     tau = jnp.sum(jnp.cross(arm[..., None] * n, f_pair), axis=1)
+
+    fn_scalar = jnp.where(active, jnp.maximum(
+        kn * jnp.sqrt(jnp.maximum(overlap, 0.0)) * jnp.maximum(overlap, 0.0),
+        0.0), 0.0)
+    if params.rolling_mode == "schwartz":
+        w_rel = -omega[:, None, :]                       # walls don't spin
+        w_mag = jnp.sqrt(jnp.sum(w_rel * w_rel, axis=-1) + 1e-12)
+        t_roll = (params.wall_material.mu_r * arm * fn_scalar
+                  / w_mag)[..., None] * w_rel
+        tau = tau + jnp.sum(jnp.where(active[..., None], t_roll, 0.0), axis=1)
+    elif params.rolling_mode == "elastic_plastic" and bc_roll_disp is not None:
+        # rolling spring vs the (static) wall, plastic-capped at μ_r·Fn·arm
+        xi_r = bc_roll_disp + (-omega[:, None, :]) * params.dt
+        k_roll = kt * params.radius * params.radius
+        t_mag = k_roll * jnp.sqrt(jnp.sum(xi_r * xi_r, axis=-1) + 1e-18)
+        cap = params.wall_material.mu_r * fn_scalar * arm
+        scale = jnp.minimum(1.0, cap / jnp.maximum(t_mag, 1e-18))
+        xi_r = jnp.where(active[..., None], xi_r * scale[..., None], 0.0)
+        tau = tau + jnp.sum(jnp.where(active[..., None], k_roll * xi_r, 0.0),
+                            axis=1)
+        wall_reaction = -jnp.sum(f_pair, axis=0)
+        return force, tau, xi_new, wall_reaction, xi_r
+
     wall_reaction = -jnp.sum(f_pair, axis=0)                 # (B, 3) on walls
     return force, tau, xi_new, wall_reaction

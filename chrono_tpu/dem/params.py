@@ -51,7 +51,7 @@ class DEMParams:
     skin: float = static_field(default=0.2)       # neighbor skin, fraction of r
     integrator: str = static_field(default="centered_difference")
     friction_mode: str = static_field(default="multi_step")  # frictionless|single_step|multi_step
-    rolling_mode: str = static_field(default="none")         # none|schwartz
+    rolling_mode: str = static_field(default="none")  # none|schwartz|elastic_plastic
 
     @property
     def inertia(self):

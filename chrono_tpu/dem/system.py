@@ -44,6 +44,8 @@ class DEMState:
     time: Array         # ()
     acc_old: Array = None    # (N,3) previous accelerations (Chung only)
     alpha_old: Array = None
+    roll_disp: Array = None  # (N,K,3) rolling-spring history (elastic_plastic)
+    bc_roll_disp: Array = None  # (N,B,3) wall rolling history
 
     @property
     def n(self) -> int:
@@ -77,6 +79,10 @@ def make_dem_state(params: DEMParams, bcs: DEMBoundaries, pos, vel=None,
                  if params.integrator == "chung" else None),
         alpha_old=(jnp.zeros((n, 3), dtype)
                    if params.integrator == "chung" else None),
+        roll_disp=(jnp.zeros((n, K, 3), dtype)
+                   if params.rolling_mode == "elastic_plastic" else None),
+        bc_roll_disp=(jnp.zeros((n, _n_walls(bcs), 3), dtype)
+                      if params.rolling_mode == "elastic_plastic" else None),
     )
 
 
@@ -86,7 +92,12 @@ def rebuild_neighbors(params: DEMParams, grid: GridSpec,
     new_nbr = build_neighbor_list(grid, state.pos, cutoff,
                                   params.max_per_cell, params.max_neighbors)
     new_hist = migrate_history(state.nbr, state.tan_disp, new_nbr)
-    return state.replace(nbr=new_nbr, tan_disp=new_hist)
+    new_roll = (migrate_history(state.nbr, state.roll_disp, new_nbr)
+                if state.roll_disp is not None else None)
+    state = state.replace(nbr=new_nbr, tan_disp=new_hist)
+    if new_roll is not None:
+        state = state.replace(roll_disp=new_roll)
+    return state
 
 
 def params_radius_static(params: DEMParams) -> float:
@@ -101,11 +112,24 @@ def params_radius_static(params: DEMParams) -> float:
 def dem_substep(params: DEMParams, bcs: DEMBoundaries,
                 state: DEMState) -> DEMState:
     """One force+integrate step with the current neighbor list."""
-    f_pp, tau_pp, xi_pp = particle_forces(
-        params, state.pos, state.vel, state.omega,
-        state.nbr.idx, state.nbr.valid, state.tan_disp)
-    f_w, tau_w, xi_w, _ = wall_forces(
-        params, bcs, state.pos, state.vel, state.omega, state.bc_tan_disp)
+    if params.rolling_mode == "elastic_plastic":
+        f_pp, tau_pp, xi_pp, xi_roll = particle_forces(
+            params, state.pos, state.vel, state.omega,
+            state.nbr.idx, state.nbr.valid, state.tan_disp, state.roll_disp)
+    else:
+        f_pp, tau_pp, xi_pp = particle_forces(
+            params, state.pos, state.vel, state.omega,
+            state.nbr.idx, state.nbr.valid, state.tan_disp)
+        xi_roll = None
+    if params.rolling_mode == "elastic_plastic":
+        f_w, tau_w, xi_w, _, xi_w_roll = wall_forces(
+            params, bcs, state.pos, state.vel, state.omega,
+            state.bc_tan_disp, state.bc_roll_disp)
+    else:
+        f_w, tau_w, xi_w, _ = wall_forces(
+            params, bcs, state.pos, state.vel, state.omega,
+            state.bc_tan_disp)
+        xi_w_roll = None
 
     inv_m = 1.0 / params.mass
     inv_I = 1.0 / params.inertia
@@ -149,6 +173,8 @@ def dem_substep(params: DEMParams, bcs: DEMBoundaries,
                         time=state.time + h)
     if params.integrator == "chung":
         new = new.replace(acc_old=acc, alpha_old=alpha)
+    if xi_roll is not None:
+        new = new.replace(roll_disp=xi_roll, bc_roll_disp=xi_w_roll)
     return new
 
 

@@ -239,3 +239,31 @@ class TestConveyor:
         v_contact = vx - wy * 0.05
         np.testing.assert_allclose(v_contact, 1.5, rtol=0.05)
         assert vx > 0.3, f"conveyor did not drag particle: vx={vx}"
+
+
+class TestElasticPlasticRolling:
+    def test_rolling_resistance_stops_a_rolling_ball(self):
+        """A ball rolling on the floor: elastic-plastic rolling torque decays
+        its spin; without it, rolling persists (ChDemDefines ELASTIC_PLASTIC).
+        """
+        def run(mode, mu_r):
+            sys = make_system(radius=0.05, box=((0, 0, 0), (4, 1, 1)),
+                              friction_mode="multi_step", rolling_mode=mode)
+            sys.set_material(youngs=5e6, poisson=0.3, restitution=0.1,
+                             mu_s=0.6, mu_r=mu_r)
+            sys.set_wall_material(youngs=5e6, poisson=0.3, restitution=0.1,
+                                  mu_s=0.6, mu_r=mu_r)
+            sys.create_particles(np.array([[0.5, 0.5, 0.0495]]))
+            st = sys.state
+            # rolling without slip: v = ω r
+            st = st.replace(vel=jnp.asarray([[1.0, 0.0, 0.0]]),
+                            omega=jnp.asarray([[0.0, 20.0, 0.0]]))
+            sys.state = st
+            sys.advance(1.2)
+            return float(sys.velocities[0, 0])
+
+        v_free = run("none", 0.0)
+        v_rr = run("elastic_plastic", 0.2)
+        assert v_free > 0.8, f"free rolling should persist: v={v_free}"
+        assert v_rr < 0.6 * v_free, \
+            f"rolling resistance ineffective: {v_rr} vs {v_free}"
