@@ -170,24 +170,75 @@ def mpr_contact(a: ConvexShape, b: ConvexShape, n_iters: int = 24,
     v1, v2, v3, w1, w2, w3, n = lax.fori_loop(
         0, n_iters, refine, (v1, v2, v3, w1, w2, w3, n0))
 
-    # signed distance of the origin along the final (carried) portal normal
-    depth = jnp.dot(n, v1)        # >0 ⇒ origin inside along this direction
+    # --- support-function polish of the normal ---------------------------
+    # The portal depth n·v1 amplifies any tilt of n by the lateral extent of
+    # the support point (a 1e-4 rad error on a 10 m face gives metre-scale
+    # depth error).  The true signed translation distance is the global
+    #     min over unit n of  h(n) = n · s_{A−B}(n)
+    # (= +penetration when overlapping, −separation when apart), and h is
+    # exact at the minimiser no matter which face corner argmax returns.  A
+    # few best-of-ladder subgradient steps seeded at the portal normal make
+    # the depth robust for flat/large shapes (role of the reference's PRIMS
+    # analytic fallback around ChNarrowphaseMPR).
+    # compass (pattern) search: ± the two tangent directions at the current
+    # normal, step shrinks on failure — derivative-free, so the kinks of h
+    # (support-corner flips) that defeat subgradient steps are harmless
+    def polish(_, carry):
+        n, h, alpha = carry
+        ax = jnp.where(jnp.abs(n[0]) < 0.9,
+                       jnp.asarray([1.0, 0.0, 0.0]),
+                       jnp.asarray([0.0, 1.0, 0.0]))
+        t1 = jnp.cross(n, ax)
+        t1 = t1 / jnp.sqrt(jnp.sum(t1 * t1) + eps)
+        t2 = jnp.cross(n, t1)
+        dirs = jnp.stack([t1, -t1, t2, -t2])
+
+        def cand(d):
+            nc = n + alpha * d
+            nc = nc / jnp.sqrt(jnp.sum(nc * nc) + eps)
+            sc, _ = _mink_support(a, b, nc)
+            return jnp.dot(nc, sc), nc
+
+        hs, ncs = jax.vmap(cand)(dirs)
+        k = jnp.argmin(hs)
+        better = hs[k] < h
+        return (jnp.where(better, ncs[k], n),
+                jnp.minimum(h, hs[k]),
+                jnp.where(better, alpha, 0.5 * alpha))
+
+    # seed the running minimum with a TRUE support evaluation at the portal
+    # normal — n·v1 is portal-depth, which is corrupted for flat shapes and
+    # must not pollute the descent
+    s_seed, _ = _mink_support(a, b, n)
+    n, depth, _ = lax.fori_loop(
+        0, 28, polish, (n, jnp.dot(n, s_seed), jnp.asarray(0.4)))
     gap = -depth
-    # witness: project the origin onto the portal plane, take its barycentric
-    # coordinates, apply to the A-side witnesses (standard MPR recovery)
-    P = n * depth                 # origin projected onto the portal plane
-    e1 = v2 - v1
-    e2 = v3 - v1
-    dP = P - v1
-    g11 = jnp.dot(e1, e1)
-    g12 = jnp.dot(e1, e2)
-    g22 = jnp.dot(e2, e2)
-    det = jnp.maximum(g11 * g22 - g12 * g12, 1e-12)
-    u = (g22 * jnp.dot(e1, dP) - g12 * jnp.dot(e2, dP)) / det
-    v = (g11 * jnp.dot(e2, dP) - g12 * jnp.dot(e1, dP)) / det
-    bary = jnp.clip(jnp.stack([1.0 - u - v, u, v]), 0.0, 1.0)
-    bary = bary / jnp.maximum(jnp.sum(bary), 1e-9)
-    point = bary[0] * w1 + bary[1] * w2 + bary[2] * w3
+    # witness from the polished normal: the deepest point of each shape along
+    # the push-out direction.  Take it from the shape whose contact FEATURE
+    # is pointlike (vertex / sphere cap / rim) rather than a face — detected
+    # by the spread of its support point under small perturbations of the
+    # direction (a face flips between far corners, a vertex stays put).  The
+    # face-side support can land anywhere on the face (even its centre) and
+    # would poison the torque arm.
+    wa = support(a, n)
+    wb = support(b, -n)
+    axp = jnp.where(jnp.abs(n[0]) < 0.9, jnp.asarray([1.0, 0.0, 0.0]),
+                    jnp.asarray([0.0, 1.0, 0.0]))
+    p1 = jnp.cross(n, axp)
+    p1 = p1 / jnp.sqrt(jnp.sum(p1 * p1) + eps)
+    p2 = jnp.cross(n, p1)
+    delta = 1e-2
+
+    def spread(shape, d):
+        pts = jnp.stack([support(shape, d + delta * p1),
+                         support(shape, d - delta * p1),
+                         support(shape, d + delta * p2),
+                         support(shape, d - delta * p2)])
+        return jnp.sum((pts - jnp.mean(pts, axis=0)) ** 2)
+
+    half = 0.5 * jnp.maximum(depth, 0.0)
+    point = jnp.where(spread(a, n) < spread(b, -n),
+                      wa - half * n, wb + half * n)
     # the portal normal (away from v0 = c_A − c_B) already points A→B
     return gap, n, point
 

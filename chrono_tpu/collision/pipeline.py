@@ -25,6 +25,9 @@ from chrono_tpu.collision import narrowphase as nphase
 from chrono_tpu.collision.cell_list import (
     GridSpec, build_cell_list, cell_ijk, neighbor_candidates,
 )
+from chrono_tpu.collision.mpr import (
+    ConvexShape, mpr_contact_batch, SPHERE as _MPR_SPHERE,
+)
 
 
 @pytree_dataclass
@@ -57,11 +60,35 @@ class BoxShapes:
 
 
 @pytree_dataclass
+class ConvexShapes:
+    """K general convex shapes attached to bodies (MPR narrowphase).
+
+    Role of the reference's ChCollisionShape menu beyond sphere/box — capsule,
+    cylinder, convex hull — lowered through ChNarrowphaseMPR
+    (/root/reference/src/chrono/collision/multicore/ChNarrowphaseMPR.cpp:584).
+    ``kind``/``data``/``verts`` follow chrono_tpu.collision.mpr.ConvexShape.
+    """
+
+    body: Array     # (K,) int32
+    kind: Array     # (K,) int32 mpr type code
+    pos: Array      # (K, 3) local offset
+    rot: Array      # (K, 4) local rotation
+    data: Array     # (K, 3) sized parameters
+    verts: Array    # (K, V, 3) local hull vertices (zeros for non-hulls)
+    mu: Array       # (K,)
+
+    @property
+    def n(self) -> int:
+        return self.body.shape[0]
+
+
+@pytree_dataclass
 class CollisionModel:
     """All collision geometry of a scene + static pipeline capacities."""
 
     spheres: SphereShapes
     boxes: Optional[BoxShapes]
+    convex: Optional[ConvexShapes] = None
     grid: GridSpec = static_field(default=GridSpec())
     max_per_cell: int = static_field(default=8)
     max_contacts: int = static_field(default=1024)
@@ -97,29 +124,38 @@ def detect_contacts(coll: CollisionModel, state: BodyState) -> Contacts:
     sp = coll.spheres
     S = sp.n
     centers = _sphere_world(sp, state)                     # (S,3)
-    cl = build_cell_list(coll.grid, centers)
-    qijk = cell_ijk(coll.grid, centers)
-    cand, valid = neighbor_candidates(coll.grid, cl, qijk, coll.max_per_cell)
-    C = cand.shape[1]
 
-    # sphere-sphere candidate filtering
-    i_idx = jnp.broadcast_to(jnp.arange(S)[:, None], (S, C))
-    j_idx = cand
-    pair_ok = valid & (j_idx > i_idx)                      # dedupe i<j
-    # no self-body contacts (e.g. multi-sphere rigid clusters)
-    pair_ok &= sp.body[i_idx] != sp.body[jnp.maximum(j_idx, 0)]
-    gap, n, p = nphase.sphere_sphere(
-        centers[i_idx], sp.radius[i_idx],
-        centers[jnp.maximum(j_idx, 0)], sp.radius[jnp.maximum(j_idx, 0)],
-    )
-    touching = pair_ok & (gap < coll.envelope)
+    # per-segment flat buffers [ok, body_a, body_b, gap, normal, point, mu];
+    # all segments concatenate, then ONE fixed-capacity nonzero select
+    segs = []
+    if S > 0:
+        cl = build_cell_list(coll.grid, centers)
+        qijk = cell_ijk(coll.grid, centers)
+        cand, valid = neighbor_candidates(coll.grid, cl, qijk,
+                                          coll.max_per_cell)
+        C = cand.shape[1]
 
-    flat_ok = touching.reshape(-1)
-    n_ss = S * C
-    count_ss = jnp.sum(flat_ok)
+        # sphere-sphere candidate filtering
+        i_idx = jnp.broadcast_to(jnp.arange(S)[:, None], (S, C))
+        j_idx = cand
+        pair_ok = valid & (j_idx > i_idx)                  # dedupe i<j
+        # no self-body contacts (e.g. multi-sphere rigid clusters)
+        pair_ok &= sp.body[i_idx] != sp.body[jnp.maximum(j_idx, 0)]
+        gap, n, p = nphase.sphere_sphere(
+            centers[i_idx], sp.radius[i_idx],
+            centers[jnp.maximum(j_idx, 0)],
+            sp.radius[jnp.maximum(j_idx, 0)],
+        )
+        j_safe = jnp.maximum(j_idx, 0)
+        segs.append(dict(
+            ok=(pair_ok & (gap < coll.envelope)).reshape(-1),
+            a=sp.body[i_idx].reshape(-1), b=sp.body[j_safe].reshape(-1),
+            gap=gap.reshape(-1), n=n.reshape(-1, 3), p=p.reshape(-1, 3),
+            mu=jnp.minimum(sp.mu[i_idx], sp.mu[j_safe]).reshape(-1),
+        ))
 
     # sphere-box dense pairs
-    if coll.boxes is not None and coll.boxes.n > 0:
+    if S > 0 and coll.boxes is not None and coll.boxes.n > 0:
         bx = coll.boxes
         B = bx.n
         bpos = state.x[bx.body] + Q.qrotate(state.q[bx.body], bx.pos)
@@ -130,48 +166,71 @@ def detect_contacts(coll: CollisionModel, state: BodyState) -> Contacts:
         )                                                   # (S, B)
         sb_ok = (gap_b < coll.envelope) & (
             sp.body[:, None] != bx.body[None, :])
-        count_sb = jnp.sum(sb_ok)
-    else:
-        B = 0
-        count_sb = 0
+        segs.append(dict(
+            ok=sb_ok.reshape(-1),
+            a=jnp.broadcast_to(sp.body[:, None], (S, B)).reshape(-1),
+            b=jnp.broadcast_to(bx.body[None, :], (S, B)).reshape(-1),
+            gap=gap_b.reshape(-1), n=n_b.reshape(-1, 3), p=p_b.reshape(-1, 3),
+            mu=jnp.minimum(sp.mu[:, None], bx.mu[None, :]).reshape(-1),
+        ))
 
-    # pack into fixed-capacity buffer via nonzero(size=)
-    K = coll.max_contacts
-    if B > 0:
-        all_ok = jnp.concatenate([flat_ok, sb_ok.reshape(-1)])
-    else:
-        all_ok = flat_ok
-    sel = jnp.nonzero(all_ok, size=K, fill_value=n_ss + S * B)[0]  # (K,)
-    is_ss = sel < n_ss
-    sel_ss = jnp.minimum(sel, n_ss - 1)
-    i_ss = sel_ss // C
-    j_ss = cand.reshape(-1)[sel_ss]
-    j_ss = jnp.maximum(j_ss, 0)
+    # general convex shapes via MPR: convex-convex (dense i<j) + convex-sphere
+    if coll.convex is not None and coll.convex.n > 0:
+        import numpy as _np
+        cv = coll.convex
+        K = cv.n
+        cpos = state.x[cv.body] + Q.qrotate(state.q[cv.body], cv.pos)
+        crot = Q.qmul(state.q[cv.body], cv.rot)
+        world = ConvexShape(kind=cv.kind, pos=cpos, rot=crot,
+                            data=cv.data, verts=cv.verts)
+        if K > 1:
+            iu, ju = _np.triu_indices(K, k=1)
+            iu = jnp.asarray(iu); ju = jnp.asarray(ju)
+            A = jax.tree_util.tree_map(lambda x: x[iu], world)
+            Bsh = jax.tree_util.tree_map(lambda x: x[ju], world)
+            gap_cc, n_cc, p_cc = mpr_contact_batch(A, Bsh)
+            cc_ok = (gap_cc < jnp.minimum(coll.envelope, 0.0)) & (
+                cv.body[iu] != cv.body[ju])
+            segs.append(dict(
+                ok=cc_ok, a=cv.body[iu], b=cv.body[ju],
+                gap=gap_cc, n=n_cc, p=p_cc,
+                mu=jnp.minimum(cv.mu[iu], cv.mu[ju]),
+            ))
+        if S > 0:
+            V = cv.verts.shape[1]
+            ii = jnp.repeat(jnp.arange(S), K)
+            jj = jnp.tile(jnp.arange(K), S)
+            sph = ConvexShape(
+                kind=jnp.full((S * K,), _MPR_SPHERE, jnp.int32),
+                pos=centers[ii],
+                rot=jnp.broadcast_to(jnp.asarray([1.0, 0, 0, 0]), (S * K, 4)),
+                data=jnp.stack([sp.radius[ii], jnp.zeros(S * K),
+                                jnp.zeros(S * K)], -1),
+                verts=jnp.zeros((S * K, V, 3)))
+            cvx = jax.tree_util.tree_map(lambda x: x[jj], world)
+            gap_sc, n_sc, p_sc = mpr_contact_batch(sph, cvx)
+            sc_ok = (gap_sc < jnp.minimum(coll.envelope, 0.0)) & (
+                sp.body[ii] != cv.body[jj])
+            segs.append(dict(
+                ok=sc_ok, a=sp.body[ii], b=cv.body[jj],
+                gap=gap_sc, n=n_sc, p=p_sc,
+                mu=jnp.minimum(sp.mu[ii], cv.mu[jj]),
+            ))
 
-    out_a = sp.body[i_ss]
-    out_b = sp.body[j_ss]
-    out_gap = gap.reshape(-1)[sel_ss]
-    out_n = n.reshape(S * C, 3)[sel_ss]
-    out_p = p.reshape(S * C, 3)[sel_ss]
-    out_mu = jnp.minimum(sp.mu[i_ss], sp.mu[j_ss])
+    all_ok = jnp.concatenate([s["ok"] for s in segs])
+    n_tot = all_ok.shape[0]
+    K_cap = coll.max_contacts
+    sel = jnp.nonzero(all_ok, size=K_cap, fill_value=n_tot)[0]
+    safe = jnp.minimum(sel, n_tot - 1)
 
-    if B > 0:
-        sel_sb = jnp.clip(sel - n_ss, 0, S * B - 1)
-        i_sb = sel_sb // B
-        b_sb = sel_sb % B
-        out_a = jnp.where(is_ss, out_a, sp.body[i_sb])
-        out_b = jnp.where(is_ss, out_b, bx.body[b_sb])
-        out_gap = jnp.where(is_ss, out_gap, gap_b.reshape(-1)[sel_sb])
-        out_n = jnp.where(is_ss[:, None], out_n, n_b.reshape(S * B, 3)[sel_sb])
-        out_p = jnp.where(is_ss[:, None], out_p, p_b.reshape(S * B, 3)[sel_sb])
-        out_mu = jnp.where(is_ss, out_mu,
-                           jnp.minimum(sp.mu[i_sb], bx.mu[b_sb]))
+    def gather(key):
+        return jnp.concatenate([s[key] for s in segs])[safe]
 
-    active = sel < (n_ss + S * B if B > 0 else n_ss)
     return Contacts(
-        body_a=out_a, body_b=out_b, point=out_p, normal=out_n,
-        gap=out_gap, mu=out_mu, active=active,
-        count=(count_ss + count_sb).astype(jnp.int32),
+        body_a=gather("a"), body_b=gather("b"), point=gather("p"),
+        normal=gather("n"), gap=gather("gap"), mu=gather("mu"),
+        active=sel < n_tot,
+        count=jnp.sum(all_ok).astype(jnp.int32),
     )
 
 

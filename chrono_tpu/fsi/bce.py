@@ -165,6 +165,54 @@ def rigid_body_forces(params, dv_dt, kind, body_id, pos, body_x, n_bodies):
     return force, torque
 
 
+def heightmap_markers(heights, origin, dx, spacing, layers=3,
+                      depth=None):
+    """Scene construction from a heightmap (ChFsiProblemSPH.h:351 Construct-
+    from-heightmap role, grayscale file decode excluded — pass the array).
+
+    ``heights``: (Nx, Ny) surface elevation z(x, y) sampled on a regular grid
+    with pitch ``dx`` starting at ``origin`` (x0, y0).  Returns
+    ``(bce, fluid)``: BCE marker shells hugging the surface from below
+    (``layers`` sheets, spacing apart) and — when ``depth`` is given — a fluid
+    block filling [surface, surface + depth] at ``spacing`` pitch.
+    """
+    heights = np.asarray(heights, float)
+    nx, ny = heights.shape
+    x = origin[0] + np.arange(nx) * dx
+    y = origin[1] + np.arange(ny) * dx
+    # resample onto the marker pitch
+    xs = np.arange(x[0], x[-1] + 0.5 * spacing, spacing)
+    ys = np.arange(y[0], y[-1] + 0.5 * spacing, spacing)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+
+    def interp(px, py):
+        ix = np.clip((px - x[0]) / dx, 0, nx - 1 - 1e-9)
+        iy = np.clip((py - y[0]) / dx, 0, ny - 1 - 1e-9)
+        i0, j0 = ix.astype(int), iy.astype(int)
+        fx, fy = ix - i0, iy - j0
+        h00 = heights[i0, j0]
+        h10 = heights[np.minimum(i0 + 1, nx - 1), j0]
+        h01 = heights[i0, np.minimum(j0 + 1, ny - 1)]
+        h11 = heights[np.minimum(i0 + 1, nx - 1), np.minimum(j0 + 1, ny - 1)]
+        return ((1 - fx) * (1 - fy) * h00 + fx * (1 - fy) * h10
+                + (1 - fx) * fy * h01 + fx * fy * h11)
+
+    hz = interp(gx, gy)
+    bce = np.concatenate([
+        np.stack([gx, gy, hz - (l + 0.5) * spacing], -1).reshape(-1, 3)
+        for l in range(layers)], axis=0)
+    fluid = None
+    if depth is not None:
+        cols = []
+        nzmax = int(np.ceil(depth / spacing))
+        for k in range(nzmax):
+            z = hz + (k + 0.5) * spacing
+            keep = z <= hz + depth
+            cols.append(np.stack([gx[keep], gy[keep], z[keep]], -1))
+        fluid = np.concatenate(cols, axis=0)
+    return bce, fluid
+
+
 def mesh_body_markers(verts, faces, spacing, layers=3) -> np.ndarray:
     """BCE markers for an arbitrary triangle-mesh rigid body (reference
     ChFsiProblemSPH::AddRigidBodyMesh): surface sampling with inward layer

@@ -73,11 +73,11 @@ def main(n_intervals=25, outer_per_interval=40):
         c_s=jnp.asarray(40.0), gravity=jnp.asarray([0.0, 0.0, -9.81]),
         dt=jnp.asarray(1e-4), alpha_visc=jnp.asarray(0.3),
         kernel="cubic", max_neighbors=96, max_per_cell=64, rebuild_every=4)
-    # lightly cohesive sandy loam: cohesion resists the excavation spiral a
-    # spinning wheel causes on a pure-friction bed
+    # firm cohesive loam: cohesion resists the excavation spiral a spinning
+    # wheel causes on a pure-friction bed and bounds the rut depth
     crm = CRMParams(youngs=jnp.asarray(4e6), poisson=jnp.asarray(0.3),
                     friction_angle=jnp.asarray(0.9),
-                    cohesion=jnp.asarray(400.0))
+                    cohesion=jnp.asarray(2000.0))
 
     bed = (2.0, 1.2)
     depth = 0.15

@@ -250,3 +250,61 @@ def test_apgd_history_records_convergence():
     ref = solve_apgd(Nop, jnp.asarray(r), project, g0, 400, 1e-10)
     np.testing.assert_allclose(np.asarray(sol.gamma), np.asarray(ref.gamma),
                                atol=2e-3)
+
+
+class TestConvexNSC:
+    """MPR convex shapes wired into the NSC pipeline
+    (ChNarrowphaseMPR.cpp:584 role inside the multicore contact flow)."""
+
+    def _scene(self):
+        from chrono_tpu.collision.pipeline import ConvexShapes
+        from chrono_tpu.collision import mpr
+
+        b = SystemBuilder()
+        g = b.add_ground()
+        cap = b.add_body(mass=2.0, inertia=(0.1, 0.15, 0.15),
+                         pos=(0.0, 0.0, 0.6))
+        model, state = b.finalize()
+        # capsule axis is local z; rotate it to world x (about y by 90°)
+        qy = np.array([np.cos(np.pi / 4), 0.0, np.sin(np.pi / 4), 0.0])
+        V = 8
+        convex = ConvexShapes(
+            body=jnp.asarray([g, cap], jnp.int32),
+            kind=jnp.asarray([mpr.BOX, mpr.CAPSULE], jnp.int32),
+            pos=jnp.asarray([[0.0, 0.0, -0.5], [0.0, 0.0, 0.0]]),
+            rot=jnp.asarray([[1.0, 0, 0, 0], qy], jnp.float32),
+            data=jnp.asarray([[10.0, 10.0, 0.5], [0.25, 0.3, 0.0]]),
+            verts=jnp.zeros((2, V, 3)),
+            mu=jnp.asarray([0.5, 0.5]),
+        )
+        spheres = SphereShapes(body=jnp.zeros((0,), jnp.int32),
+                               offset=jnp.zeros((0, 3)),
+                               radius=jnp.zeros((0,)), mu=jnp.zeros((0,)))
+        coll = CollisionModel(
+            spheres=spheres, boxes=None, convex=convex,
+            grid=GridSpec(origin=(-12.0, -12.0, -2.0), cell_size=1.2,
+                          dims=(20, 20, 8)),
+            max_per_cell=8, max_contacts=16,
+        )
+        return model, coll, state, cap
+
+    def test_capsule_box_detection(self):
+        model, coll, state, cap = self._scene()
+        # sink the capsule into the floor: center at z = 0.2 < r = 0.25
+        state = state.replace(x=state.x.at[cap, 2].set(0.2))
+        c = detect_contacts(coll, state)
+        assert int(c.count) == 1
+        k = int(jnp.argmax(c.active))
+        assert float(c.gap[k]) < 0.0
+        n = np.asarray(c.normal[k])
+        # ground is body A or B; normal must be ±z up to MPR tolerance
+        assert abs(abs(n[2]) - 1.0) < 0.05, n
+
+    def test_capsule_settles_on_floor(self):
+        model, coll, state, cap = self._scene()
+        settings = SolverSettings(solver="apgd", max_iter=120,
+                                  stab_factor=0.2)
+        st = run_contact(model, coll, state, 2e-3, 600, settings)
+        z = float(st.x[cap, 2])
+        assert np.isfinite(z)
+        assert abs(z - 0.25) < 0.03, f"capsule rest height {z}"

@@ -128,3 +128,27 @@ class TestBCEMarkers:
                     bce.cylinder_body_markers(0.1, 0.2, 0.02),
                     bce.box_wall_markers((0, 0, 0), (1, 1, 0.5), 0.05)]:
             assert len(pts) > 0 and np.isfinite(pts).all()
+
+
+def test_heightmap_scene_builder():
+    """Heightmap construction (ChFsiProblemSPH.h:351): BCE hugs the surface
+    from below, fluid fills a uniform depth above it."""
+    import numpy as np
+    from chrono_tpu.fsi.bce import heightmap_markers
+
+    nx, ny, dx = 21, 11, 0.1
+    xs = np.arange(nx) * dx
+    H = 0.2 + 0.1 * np.sin(2 * np.pi * xs / 2.0)[:, None] * np.ones((1, ny))
+    bce, fluid = heightmap_markers(H, (0.0, 0.0), dx, spacing=0.05,
+                                   layers=3, depth=0.3)
+    assert bce.shape[1] == 3 and fluid.shape[1] == 3
+    # every BCE marker sits below the local surface; every fluid above it
+    def surf(p):
+        return np.interp(p[:, 0], xs, H[:, 0])
+    assert (bce[:, 2] < surf(bce) + 1e-9).all()
+    assert (fluid[:, 2] > surf(fluid) - 1e-9).all()
+    assert (fluid[:, 2] < surf(fluid) + 0.3 + 1e-9).all()
+    # fluid fill is ~uniform depth: count per column is constant
+    key = np.round(fluid[:, :2] / 0.05).astype(int)
+    _, counts = np.unique(key, axis=0, return_counts=True)
+    assert counts.min() == counts.max() == 6

@@ -38,7 +38,8 @@ def test_sphere_sphere_depth():
     gap, n, p = mpr_contact(a, b)
     np.testing.assert_allclose(float(gap), -0.2, atol=5e-3)
     np.testing.assert_allclose(np.asarray(n), [1, 0, 0], atol=2e-2)
-    np.testing.assert_allclose(np.asarray(p)[0], 0.5, atol=3e-2)
+    # witness convention: centre of the overlap band along n (here [0.3, 0.5])
+    np.testing.assert_allclose(np.asarray(p)[0], 0.4, atol=3e-2)
 
 
 def test_box_sphere_depth():
