@@ -76,6 +76,9 @@ class ConvexShapes:
     data: Array     # (K, 3) sized parameters
     verts: Array    # (K, V, 3) local hull vertices (zeros for non-hulls)
     mu: Array       # (K,)
+    family: Array = None  # (K,) int32 — shapes sharing a family > 0 never
+    #                       collide with each other (reference collision
+    #                       families, ChCollisionModel::SetFamily*)
 
     @property
     def n(self) -> int:
@@ -191,6 +194,9 @@ def detect_contacts(coll: CollisionModel, state: BodyState) -> Contacts:
             gap_cc, n_cc, p_cc = mpr_contact_batch(A, Bsh)
             cc_ok = (gap_cc < jnp.minimum(coll.envelope, 0.0)) & (
                 cv.body[iu] != cv.body[ju])
+            if cv.family is not None:
+                fam = cv.family
+                cc_ok &= ~((fam[iu] == fam[ju]) & (fam[iu] > 0))
             segs.append(dict(
                 ok=cc_ok, a=cv.body[iu], b=cv.body[ju],
                 gap=gap_cc, n=n_cc, p=p_cc,
