@@ -49,6 +49,7 @@ class SystemBuilder:
         self._rsda = []
         self._shaft_cons = {}   # kind -> list of dicts
         self._shaft_elems = []  # clutch/spring/torque elements
+        self._couplers = {}     # kind -> list of dicts (gear/pulley/rack/screw)
         self.gravity = np.array([0.0, 0.0, -9.81])
 
     # ---------------- bodies ----------------
@@ -148,6 +149,27 @@ class SystemBuilder:
         self._add_joint(kind, body_a, body_b, fa_pos, _as4(fa_rot),
                         fb_pos, _as4(fb_rot), aux)
 
+    def add_rev_spherical(self, body_a, body_b, axis_point_world,
+                          axis_world=(0, 0, 1), point_world=None,
+                          distance=None):
+        """Revolute–spherical composite (ChLinkRevoluteSpherical): a point of
+        body b held at fixed distance from the revolute axis on body a, in the
+        plane normal to the axis.  ``point_world`` defaults to body b's
+        position."""
+        if point_world is None:
+            point_world = self._bodies[body_b]["pos"]
+        ap = _as3(axis_point_world)
+        z = _as3(axis_world)
+        z = z / np.linalg.norm(z)
+        d = _as3(point_world) - ap
+        if distance is None:
+            distance = float(np.linalg.norm(d - (d @ z) * z))
+        rot = _quat_z_to(z)
+        fa_pos, fa_rot = self._world_to_local(body_a, ap, rot)
+        fb_pos, fb_rot = self._world_to_local(body_b, _as3(point_world), rot)
+        self._add_joint("rev_spherical", body_a, body_b, fa_pos, fa_rot,
+                        fb_pos, fb_rot, aux=distance)
+
     def add_distance(self, body_a, body_b, pa_world, pb_world, distance=None):
         pa_loc, _ = self._world_to_local(body_a, _as3(pa_world), None)
         pb_loc, _ = self._world_to_local(body_b, _as3(pb_world), None)
@@ -155,6 +177,48 @@ class SystemBuilder:
             distance = float(np.linalg.norm(_as3(pb_world) - _as3(pa_world)))
         self._add_joint("distance", body_a, body_b, pa_loc, None, pb_loc, None,
                         aux=distance)
+
+    # ---------------- transmission couplers (velocity-level) ----------------
+
+    def _add_coupler(self, kind, body_a, body_b, axis_a, axis_b, aux):
+        """Velocity-level transmission row (see joints.COUPLER_TYPES)."""
+        _, fa_rot = self._world_to_local(body_a, np.zeros(3),
+                                         _quat_z_to(axis_a))
+        _, fb_rot = self._world_to_local(body_b, np.zeros(3),
+                                         _quat_z_to(axis_b))
+        self._couplers.setdefault(kind, []).append(dict(
+            a=body_a, b=body_b, fa_pos=np.zeros(3), fa_rot=fa_rot,
+            fb_pos=np.zeros(3), fb_rot=fb_rot, aux=float(aux)))
+
+    def add_gear(self, body_a, body_b, ratio, axis_a=(0, 0, 1),
+                 axis_b=(0, 0, 1), internal=False):
+        """Gear pair on 6-DOF bodies (ChLinkLockGear role): rolling pitch
+        circles, ratio = r_a/r_b.  External gears counter-rotate."""
+        sign = -1.0 if internal else 1.0
+        self._add_coupler("gear", body_a, body_b, axis_a, axis_b,
+                          sign * float(ratio))
+
+    def add_pulley(self, body_a, body_b, ratio, axis_a=(0, 0, 1),
+                   axis_b=(0, 0, 1)):
+        """Belt pulley pair (ChLinkLockPulley role): co-rotating, ω_b =
+        ratio·ω_a."""
+        self._add_coupler("pulley", body_a, body_b, axis_a, axis_b,
+                          -float(ratio))
+
+    def add_rack_pinion(self, pinion, rack, radius, pinion_axis=(0, 0, 1),
+                        rack_dir=(1, 0, 0)):
+        """Pinion rotation drives rack translation (ChLinkRackpinion role)."""
+        self._add_coupler("rack_pinion", pinion, rack, pinion_axis, rack_dir,
+                          float(radius))
+
+    def add_screw(self, body_a, body_b, pitch, world_pos=(0, 0, 0),
+                  world_axis=(0, 0, 1), add_joint=True):
+        """Screw joint (ChLinkLockScrew role): cylindrical joint + pitch
+        coupling (translation per revolution = pitch)."""
+        if add_joint:
+            self.add_joint("cylindrical", body_a, body_b, world_pos, world_axis)
+        self._add_coupler("screw", body_a, body_b, world_axis, world_axis,
+                          float(pitch))
 
     # ---------------- motors ----------------
 
@@ -381,6 +445,7 @@ class SystemBuilder:
             joints=joints, motors=motors, load_motors=load_motors,
             tsda=tsda, rsda=rsda,
             shaft_constraints=shaft_cons, shaft_elements=shaft_elems,
+            couplers={k: joint_data(v) for k, v in self._couplers.items()},
         )
         return model, state
 

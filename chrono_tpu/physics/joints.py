@@ -118,6 +118,35 @@ def _gap_point_line(x_a, q_a, x_b, q_b, p):
     return jnp.stack([xa @ dp, ya @ dp])
 
 
+def _gap_point_plane(x_a, q_a, x_b, q_b, p):
+    # point of b confined to the z=0 plane of frame a (ChLinkLockPointPlane)
+    pa, xa, ya, za = _joint_world(x_a, q_a, p["fa_pos"], p["fa_rot"])
+    pb = x_b + Q.qrotate(q_b, p["fb_pos"])
+    return jnp.stack([za @ (pb - pa)])
+
+
+def _gap_rev_spherical(x_a, q_a, x_b, q_b, p):
+    # point of b at fixed distance aux from the revolute axis (z of frame a),
+    # confined to the plane normal to that axis through the frame origin
+    # (ChLinkRevoluteSpherical, /root/reference/src/chrono/physics/
+    # ChLinkRevoluteSpherical.h: 2 constraint rows)
+    pa, xa, ya, za = _joint_world(x_a, q_a, p["fa_pos"], p["fa_rot"])
+    pb = x_b + Q.qrotate(q_b, p["fb_pos"])
+    d = pb - pa
+    dn = za @ d
+    r2 = jnp.maximum(d @ d - dn * dn, 1e-18)
+    return jnp.stack([dn, jnp.sqrt(r2) - p["aux"]])
+
+
+def _gap_oldham(x_a, q_a, x_b, q_b, p):
+    # Oldham coupling (ChLinkLockOldham): frames stay aligned in rotation,
+    # translation free only in the common x-y plane
+    pa, xa, ya, za = _joint_world(x_a, q_a, p["fa_pos"], p["fa_rot"])
+    pb, xb, yb, zb = _joint_world(x_b, q_b, p["fb_pos"], p["fb_rot"])
+    return jnp.concatenate(
+        [jnp.stack([za @ (pb - pa)]), _rotlock3(xa, ya, za, xb, yb, zb)])
+
+
 def _gap_parallel(x_a, q_a, x_b, q_b, p):
     pa, xa, ya, za = _joint_world(x_a, q_a, p["fa_pos"], p["fa_rot"])
     pb, xb, yb, zb = _joint_world(x_b, q_b, p["fb_pos"], p["fb_rot"])
@@ -141,6 +170,9 @@ JOINT_TYPES = {
     "distance": (_gap_distance, 1),
     "planar": (_gap_planar, 3),
     "point_line": (_gap_point_line, 2),
+    "point_plane": (_gap_point_plane, 1),
+    "rev_spherical": (_gap_rev_spherical, 2),
+    "oldham": (_gap_oldham, 4),
     "parallel": (_gap_parallel, 2),
     "perpendicular": (_gap_perpendicular, 1),
 }
@@ -160,6 +192,74 @@ def joint_rows(kind: str, data: JointData, state_x, state_q, h,
     }
     return _LOWERERS[kind](
         state_x, state_q, data.body_a, data.body_b, params, h, stab_factor
+    )
+
+
+# --- velocity-level couplers ---------------------------------------------------
+#
+# Transmission constraints (gear, pulley, rack-pinion, screw) couple RATES, not
+# poses; the reference implements them as velocity(phase)-level constraints
+# (/root/reference/src/chrono/physics/ChLinkLockGear.h, ChLinkLockPulley.h,
+# ChLinkLockScrew.h, ChLinkRackpinion.h).  Lowering them at velocity level keeps
+# them wrap-free across multiple revolutions (a position-level atan2 chart would
+# jump at ±π).  Data layout reuses JointData; `aux` carries the signed ratio /
+# radius / pitch.
+
+def _coupler_gear(xw, qw, data, i):
+    """aux·(ω_a·za) + (ω_b·zb) = 0 — signed ratio aux = ±ra/rb
+    (negative for internal gears / belt pulleys)."""
+    za_l = Q.q_to_matrix(data.fa_rot[i])[:, 2]
+    zb_l = Q.q_to_matrix(data.fb_rot[i])[:, 2]
+    zero = jnp.zeros((3,), za_l.dtype)
+    return (data.aux[i] * za_l, zero, zb_l, zero)
+
+
+def _coupler_rack_pinion(xw, qw, data, i):
+    """r·(ω_a·za) + zb·(v_b − v_a) = 0 — pinion a (radius aux) drives rack b
+    translating along its joint-frame z axis."""
+    a, b = data.body_a[i], data.body_b[i]
+    za_l = Q.q_to_matrix(data.fa_rot[i])[:, 2]
+    zb_w = Q.qrotate(Q.qmul(qw[b], data.fb_rot[i]),
+                     jnp.array([0.0, 0.0, 1.0], xw.dtype))
+    return (data.aux[i] * za_l, -zb_w, jnp.zeros_like(za_l), zb_w)
+
+
+def _coupler_screw(xw, qw, data, i):
+    """za·(v_b − v_a) = (pitch/2π)·za·(ω_b − ω_a): translation/rotation coupling
+    along the common z axis (combine with a cylindrical joint)."""
+    a, b = data.body_a[i], data.body_b[i]
+    c = data.aux[i] / (2.0 * jnp.pi)
+    za_w = Q.qrotate(Q.qmul(qw[a], data.fa_rot[i]),
+                     jnp.array([0.0, 0.0, 1.0], xw.dtype))
+    Ra = Q.q_to_matrix(qw[a])
+    Rb = Q.q_to_matrix(qw[b])
+    return (c * (Ra.T @ za_w), -za_w, -c * (Rb.T @ za_w), za_w)
+
+
+#: coupler registry: name -> per-coupler (Ja_w, Ja_v, Jb_w, Jb_v) builder
+COUPLER_TYPES = {
+    "gear": _coupler_gear,
+    "pulley": _coupler_gear,          # identical row; sign convention in aux
+    "rack_pinion": _coupler_rack_pinion,
+    "screw": _coupler_screw,
+}
+
+
+def coupler_rows(kind: str, data: JointData, state_x, state_q) -> ConstraintRows:
+    """Lower all couplers of one kind to single velocity-level rows (rhs = 0)."""
+    import jax
+
+    fn = COUPLER_TYPES[kind]
+
+    def one(i):
+        return fn(state_x, state_q, data, i)
+
+    Ja_w, Ja_v, Jb_w, Jb_v = jax.vmap(one)(jnp.arange(data.n))
+    return ConstraintRows.two_body(
+        body_a=data.body_a, body_b=data.body_b,
+        Ja_v=Ja_v, Ja_w=Ja_w, Jb_v=Jb_v, Jb_w=Jb_w,
+        rhs=jnp.zeros((data.n,), Ja_v.dtype),
+        active=jnp.ones((data.n,), bool),
     )
 
 

@@ -61,6 +61,7 @@ class Model:
     rsda: Optional[fe.RSDAData]
     shaft_constraints: dict = None      # {kind: Shaft*Data} (physics.shafts)
     shaft_elements: object = None       # ShaftTorqueElements
+    couplers: dict = None               # {kind: JointData} velocity-level rows
 
     @property
     def n_bodies(self) -> int:
@@ -125,6 +126,10 @@ def bilateral_rows(model: Model, state: BodyState, t, h,
         from chrono_tpu.physics.shafts import SHAFT_ROW_GENERATORS
         parts += [SHAFT_ROW_GENERATORS[kind](data, state.x.dtype)
                   for kind, data in model.shaft_constraints.items()]
+    if model.couplers:
+        from chrono_tpu.physics.joints import coupler_rows
+        parts += [coupler_rows(kind, data, state.x, state.q)
+                  for kind, data in model.couplers.items()]
     return concat_rows(parts)
 
 
