@@ -135,6 +135,131 @@ class FConstAcc(MotionFunction):
 
 
 @pytree_dataclass
+class FCycloidal(MotionFunction):
+    """Cycloidal rise: f(t) = h·(x − sin(2πx)/2π), x = t/T clipped to [0,1]
+    (reference: ChFunctionCycloidal) — zero velocity AND acceleration at both
+    ends, the classic cam law."""
+
+    height: Array
+    width: Array
+
+    def value(self, t):
+        x = jnp.clip(t / self.width, 0.0, 1.0)
+        return self.height * (x - jnp.sin(2.0 * jnp.pi * x) / (2.0 * jnp.pi))
+
+
+@pytree_dataclass
+class FPoly345(MotionFunction):
+    """Quintic rise 10x³−15x⁴+6x⁵ (reference: ChFunctionPoly345)."""
+
+    height: Array
+    width: Array
+
+    def value(self, t):
+        x = jnp.clip(t / self.width, 0.0, 1.0)
+        return self.height * (10.0 * x**3 - 15.0 * x**4 + 6.0 * x**5)
+
+
+@pytree_dataclass
+class FPoly23(MotionFunction):
+    """Cubic rise 3x²−2x³ (reference: ChFunctionPoly23)."""
+
+    height: Array
+    width: Array
+
+    def value(self, t):
+        x = jnp.clip(t / self.width, 0.0, 1.0)
+        return self.height * (3.0 * x**2 - 2.0 * x**3)
+
+
+@pytree_dataclass
+class FSineStep(MotionFunction):
+    """Smooth step from (t1,y1) to (t2,y2) via a half-cosine
+    (reference: ChFunctionSineStep)."""
+
+    t1: Array
+    y1: Array
+    t2: Array
+    y2: Array
+
+    def value(self, t):
+        x = jnp.clip((t - self.t1) / (self.t2 - self.t1), 0.0, 1.0)
+        return self.y1 + (self.y2 - self.y1) * 0.5 * (
+            1.0 - jnp.cos(jnp.pi * x))
+
+
+@pytree_dataclass
+class FBSpline(MotionFunction):
+    """Uniform cubic B-spline through control points on [t0, t0+(K−3)·dt]
+    (reference: ChFunctionBSpline role, uniform knots).  Evaluated with the
+    standard cubic basis on the active span — branch-free via clipped span
+    index, so it traces under jit/vmap."""
+
+    ctrl: Array             # (K,) control points, K >= 4
+    t0: Array = 0.0
+    dt: Array = 1.0
+
+    def value(self, t):
+        K = self.ctrl.shape[0]
+        u = (t - self.t0) / self.dt
+        span = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, K - 4)
+        x = u - span
+        # clamp x only outside the domain (hold end values)
+        x = jnp.clip(x, 0.0, 1.0) if K == 4 else jnp.where(
+            u < 0, 0.0, jnp.where(u > K - 3, 1.0, x))
+        b0 = (1 - x) ** 3 / 6.0
+        b1 = (3 * x**3 - 6 * x**2 + 4) / 6.0
+        b2 = (-3 * x**3 + 3 * x**2 + 3 * x + 1) / 6.0
+        b3 = x**3 / 6.0
+        c = jax.lax.dynamic_slice(self.ctrl, (span,), (4,))
+        return b0 * c[0] + b1 * c[1] + b2 * c[2] + b3 * c[3]
+
+
+@pytree_dataclass
+class FMirror(MotionFunction):
+    """f(t) = inner(2·t_mirror − t) for t > t_mirror, inner(t) otherwise
+    (reference: ChFunctionMirror)."""
+
+    inner: MotionFunction
+    t_mirror: Array = 0.0
+
+    def value(self, t):
+        t = jnp.asarray(t)
+        return self.inner.value(
+            jnp.where(t > self.t_mirror, 2.0 * self.t_mirror - t, t))
+
+
+@pytree_dataclass
+class FDerivative(MotionFunction):
+    """f(t) = d/dt inner(t), exact via autodiff
+    (reference: ChFunctionDerivative)."""
+
+    inner: MotionFunction
+
+    def value(self, t):
+        return self.inner.deriv(t)
+
+
+@pytree_dataclass
+class FIntegral(MotionFunction):
+    """f(t) = c0 + ∫₀ᵗ inner(s) ds by fixed-resolution trapezoid on [0, tmax]
+    (reference: ChFunctionIntegral; the reference also pre-tabulates)."""
+
+    inner: MotionFunction
+    tmax: Array = 1.0
+    c0: Array = 0.0
+    samples: int = static_field(default=256)
+
+    def value(self, t):
+        ts = jnp.linspace(0.0, 1.0, self.samples) * self.tmax
+        ys = jax.vmap(self.inner.value)(ts)
+        cum = jnp.concatenate([
+            jnp.zeros((1,), ys.dtype),
+            jnp.cumsum(0.5 * (ys[1:] + ys[:-1]) * jnp.diff(ts))])
+        return self.c0 + jnp.interp(t, ts, cum)
+
+
+@pytree_dataclass
 class FRepeat(MotionFunction):
     """Periodic repetition of an inner function over window width ``width``."""
 
