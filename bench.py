@@ -8,8 +8,9 @@ force kernels ChDemSMC.cuh:629-696), measured there on NVIDIA GPUs.
 Engine selection (physics config is PINNED; only the execution engine and N
 adapt to the available hardware — both reported as separate JSON fields):
 
-  * TPU alive   → cell-dense Pallas kernel (chrono_tpu.ops.pallas), N = 1M
-  * CPU fallback→ same cell-dense physics via the XLA 27-roll backend, N = 50k
+  * TPU alive   → pencil-layout Pallas kernel (chrono_tpu.ops.pallas.
+                  dem_pencil_kernel: leading-dim DMA + lane rotations), N = 1M
+  * CPU fallback→ gather/neighbor-list backend, N = 50k
                   (1M cell-dense blocks do not fit a 1-core CPU time budget)
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...fields}.
@@ -57,7 +58,7 @@ def main():
 
     if on_tpu:
         n_target = int(os.environ.get("BENCH_N", 1_000_000))
-        engine = os.environ.get("BENCH_ENGINE", "pallas")
+        engine = os.environ.get("BENCH_ENGINE", "pencil")
     else:
         import jax
         jax.config.update("jax_platforms", "cpu")
@@ -103,23 +104,31 @@ def main():
                           spacing, jitter=0.03, seed=0)[:n_target]
     n = len(pts)
 
-    # cell-dense grid: cells = 2 lattice spacings → ~8 particles/cell, C=16
-    cell = 2.0 * spacing
+    if engine == "pencil":
+        # lean grid for the dense-pencil kernel: cell = 1.45 diameters keeps
+        # the worst-case slot occupancy under C = 8 (one sublane tile) even at
+        # random-close-pack compaction
+        cell = 1.45 * 2.0 * radius
+        capacity = 8
+    else:
+        # cells = 2 lattice spacings → ~8 particles/cell, C=16
+        cell = 2.0 * spacing
+        capacity = 16
     dims = (int(np.ceil(box_w / cell)), int(np.ceil(box_w / cell)),
             int(np.ceil(box_h / cell)))
     grid = GridSpec(origin=(0.0, 0.0, 0.0), cell_size=cell, dims=dims)
-    capacity = 16
 
     pos = jnp.asarray(pts, jnp.float32)
     zeros = jnp.zeros_like(pos)
     n_cycles = int(os.environ.get("BENCH_CYCLES", 20))
     steps = n_cycles * rebuild_every
 
-    if engine in ("pallas", "xla"):
+    if engine in ("pallas", "xla", "pencil"):
+        blk = os.environ.get("BENCH_PALLAS_B")
         adv = make_cell_dense_advance(
             params, bcs, grid, capacity=capacity,
             backend=engine,
-            pallas_block=int(os.environ.get("BENCH_PALLAS_B", 256)),
+            pallas_block=int(blk) if blk else None,
             pallas_interpret=False)
         p, v, o, ovf = adv(pos, zeros, zeros, 1)     # warmup: compile+cycle
         p.block_until_ready()

@@ -158,6 +158,137 @@ def field_to_planes(field: CellField):
                            axis=0)
 
 
+def field_to_pencils(field: CellField, nzp: int):
+    """CellField → (nx·ny, F, C, NZp) pencil planes for the v2 Pallas kernel
+    (chrono_tpu.ops.pallas.dem_pencil_kernel): xy pencils lead, z fills the
+    lane dimension padded to ``nzp`` (a 128 multiple > nz)."""
+    nx, ny, nz, C = field.mask.shape
+
+    def t(a):  # (nx,ny,nz,C,k) -> (nx·ny, k, C, nz)
+        return a.reshape(nx * ny, nz, C, a.shape[-1]).transpose(0, 3, 2, 1)
+
+    mask = field.mask.reshape(nx * ny, nz, C).transpose(0, 2, 1)[:, None]
+    feat = jnp.concatenate(
+        [t(field.pos), t(field.vel), t(field.omega),
+         mask.astype(jnp.float32)], axis=1)            # (NXY, 10, C, nz)
+    return jnp.pad(feat, ((0, 0), (0, 0), (0, 0), (0, nzp - nz)))
+
+
+def pencils_to_field_arrays(out, grid_dims, C):
+    """(NXY, 6, C, NZp) kernel output → force/torque (nx,ny,nz,C,3)."""
+    nx, ny, nz = grid_dims
+
+    def back(a):  # (NXY, 3, C, NZp) -> (nx,ny,nz,C,3)
+        return a[:, :, :, :nz].transpose(0, 3, 2, 1).reshape(
+            nx, ny, nz, C, 3)
+
+    return back(out[:, 0:3]), back(out[:, 3:6])
+
+
+def pallas_pencil_forces(params: DEMParams, grid: GridSpec, field: CellField,
+                         edge_table, nzp: int, Bxy: int = 8,
+                         interpret: bool = False, coefs: dict = None):
+    """Drop-in replacement for :func:`cell_dense_forces` running the v2
+    (pencil-layout) Pallas kernel."""
+    from chrono_tpu.ops.pallas.dem_pencil_kernel import (
+        dem_pencil_forces_pallas,
+    )
+
+    if coefs is None:
+        coefs = pallas_static_coefs(params)
+    nx, ny, nz, C = field.mask.shape
+    feat = field_to_pencils(field, nzp)
+    out = dem_pencil_forces_pallas(
+        feat, edge_table, grid_dims=(nx, ny, nz), C=C, Bxy=Bxy,
+        interpret=interpret, **coefs)
+    return pencils_to_field_arrays(out, (nx, ny, nz), C)
+
+
+def wall_static_coefs(params: DEMParams) -> dict:
+    """Concrete wall-contact Hertz coefficients (baked into the plane-layout
+    wall pass)."""
+    kn, gn, kt, gt = hertz_coefficients(params.wall_material, params.mass,
+                                        params.radius)
+    return dict(knw=float(kn), gnw=float(gn), ktw=float(kt), gtw=float(gt),
+                muw=float(params.wall_material.mu_s))
+
+
+def _plane_walls_on_planes(planes, feat, radius, knw, gnw, ktw, gtw, muw,
+                           dt, friction):
+    """Plane-wall forces evaluated directly on pencil planes.
+
+    All arithmetic stays in (NXY, C, NZp)-shaped planes whose minor dims are
+    one full (8, 128) vreg — the (N, n_walls, 3) layout of
+    chrono_tpu.dem.forces.wall_forces pads its minor dims ~42x on TPU and
+    dominates the substep if used here.  Physics identical (Hertz +
+    single-step Coulomb against a possibly-moving wall surface).
+    """
+    px, py, pz = feat[:, _F_PX], feat[:, _F_PY], feat[:, _F_PZ]
+    vx, vy, vz = feat[:, _F_VX], feat[:, _F_VY], feat[:, _F_VZ]
+    wx, wy, wz = feat[:, _F_WX], feat[:, _F_WY], feat[:, _F_WZ]
+    mask = feat[:, _F_MASK]
+    zeros = jnp.zeros_like(px)
+    fx = fy = fz = tx = ty = tz = zeros
+
+    n_walls = planes.normal.shape[0]
+    for b in range(n_walls):
+        nw = planes.normal[b]
+        off = jnp.sum(planes.point[b] * planes.normal[b])
+        vw = planes.vel[b]
+        dist = nw[0] * px + nw[1] * py + nw[2] * pz - off
+        delta = jnp.maximum(radius - dist, 0.0)
+        ok = mask * (delta > 0.0).astype(px.dtype)
+        # n = particle → wall = −into-domain normal
+        nx_, ny_, nz_ = -nw[0], -nw[1], -nw[2]
+        arm = radius - 0.5 * delta
+        # vr = v_wall − v_self − arm · (ω_self × n)
+        cx = wy * nz_ - wz * ny_
+        cy = wz * nx_ - wx * nz_
+        cz = wx * ny_ - wy * nx_
+        vrx = vw[0] - vx - arm * cx
+        vry = vw[1] - vy - arm * cy
+        vrz = vw[2] - vz - arm * cz
+        vn = vrx * nx_ + vry * ny_ + vrz * nz_
+        sq = jnp.sqrt(delta)
+        q4 = jnp.sqrt(sq)
+        fn = jnp.maximum(knw * sq * delta - gnw * q4 * vn, 0.0)
+        if friction:
+            vtx = vrx - vn * nx_
+            vty = vry - vn * ny_
+            vtz = vrz - vn * nz_
+            coef = ktw * sq * dt + gtw * q4
+            ftx, fty, ftz = coef * vtx, coef * vty, coef * vtz
+            ft2 = ftx * ftx + fty * fty + ftz * ftz + 1e-18
+            scale = jnp.minimum(1.0, muw * fn * jax.lax.rsqrt(ft2))
+            ftx, fty, ftz = ftx * scale, fty * scale, ftz * scale
+        else:
+            ftx = fty = ftz = 0.0
+        pfx = ok * (-fn * nx_ + ftx)
+        pfy = ok * (-fn * ny_ + fty)
+        pfz = ok * (-fn * nz_ + ftz)
+        fx, fy, fz = fx + pfx, fy + pfy, fz + pfz
+        tx = tx + arm * (ny_ * pfz - nz_ * pfy)
+        ty = ty + arm * (nz_ * pfx - nx_ * pfz)
+        tz = tz + arm * (nx_ * pfy - ny_ * pfx)
+    return fx, fy, fz, tx, ty, tz
+
+
+# feature-plane indices (must match ops.pallas.dem_pencil_kernel)
+(_F_PX, _F_PY, _F_PZ, _F_VX, _F_VY, _F_VZ,
+ _F_WX, _F_WY, _F_WZ, _F_MASK) = range(10)
+
+
+def pencils_to_particles(feat, field: CellField, grid_dims, C, nz):
+    """Pencil planes → per-particle (pos, vel, omega) via the binning perm."""
+    nx, ny, _ = grid_dims
+
+    def grab(f0):  # 3 consecutive planes -> (nx,ny,nz,C,3)
+        return feat[:, f0:f0 + 3, :, :nz].transpose(0, 3, 2, 1).reshape(
+            nx, ny, nz, C, 3)
+
+    return from_cells(field, grab(_F_PX), grab(_F_VX), grab(_F_WX))
+
+
 def pallas_static_coefs(params: DEMParams) -> dict:
     """Concrete (python-float) Hertz coefficients for the Pallas kernel.
 
@@ -196,7 +327,7 @@ def pallas_cell_forces(params: DEMParams, grid: GridSpec, field: CellField,
 
 def make_cell_dense_advance(params: DEMParams, bcs, grid: GridSpec,
                             capacity: int = 8, backend: str = "xla",
-                            pallas_block: int = 256,
+                            pallas_block: int = None,
                             pallas_interpret: bool = False):
     """Jitted advance using the cell-dense backend (frictionless/single-step).
 
@@ -212,12 +343,81 @@ def make_cell_dense_advance(params: DEMParams, bcs, grid: GridSpec,
         params = params.replace(friction_mode="single_step")
 
     nb = _n_walls(bcs)
+    if pallas_block is None:
+        pallas_block = 8 if backend == "pencil" else 256
     if backend == "pallas":
         from chrono_tpu.ops.pallas.dem_cell_kernel import edge_ok_table
         edge_table = edge_ok_table(grid.dims, tuple(grid.periodic))
         coefs = pallas_static_coefs(params)   # concrete, outside the trace
+    elif backend == "pencil":
+        from chrono_tpu.ops.pallas.dem_pencil_kernel import (
+            edge_ok_xy, dem_pencil_forces_pallas,
+        )
+        if any(grid.periodic):
+            raise ValueError("pencil backend supports non-periodic boxes")
+        edge_table = edge_ok_xy(grid.dims)
+        coefs = pallas_static_coefs(params)
+        nzp = ((grid.dims[2] + 1 + 127) // 128) * 128
     elif backend != "xla":
         raise ValueError(f"unknown cell-dense backend {backend!r}")
+
+    if backend == "pencil":
+        # whole-substep plane pipeline: pair kernel + wall pass + integration
+        # all stay in (NXY, ·, C, NZp) planes (minor dims = one (8,128) vreg)
+        if bcs.cylinders is not None or bcs.spheres is not None \
+                or bcs.cones is not None:
+            raise ValueError("pencil backend currently supports plane BCs")
+        wcoefs = wall_static_coefs(params)
+        friction_w = params.friction_mode != "frictionless"
+        nx, ny, nz = grid.dims
+        r_f = float(params.radius)
+        dt_f = float(params.dt)
+        inv_m = 1.0 / float(params.mass)
+        inv_I = 1.0 / float(params.inertia)
+        gvec = params.gravity
+
+        def one_cycle(carry, _):
+            pos, vel, omega = carry
+            field = to_cells(grid, capacity, pos, vel, omega)
+            feat0 = field_to_pencils(field, nzp)
+
+            def substep(feat, __):
+                out = dem_pencil_forces_pallas(
+                    feat, edge_table, grid_dims=grid.dims, C=capacity,
+                    Bxy=pallas_block, interpret=pallas_interpret, **coefs)
+                wfx, wfy, wfz, wtx, wty, wtz = _plane_walls_on_planes(
+                    bcs.planes, feat, r_f, dt=dt_f, friction=friction_w,
+                    **wcoefs)
+                mask = feat[:, _F_MASK]
+                ax = (out[:, 0] + wfx) * inv_m + gvec[0]
+                ay = (out[:, 1] + wfy) * inv_m + gvec[1]
+                az = (out[:, 2] + wfz) * inv_m + gvec[2]
+                vx = feat[:, _F_VX] + dt_f * ax * mask
+                vy = feat[:, _F_VY] + dt_f * ay * mask
+                vz = feat[:, _F_VZ] + dt_f * az * mask
+                px = feat[:, _F_PX] + dt_f * vx * mask
+                py = feat[:, _F_PY] + dt_f * vy * mask
+                pz = feat[:, _F_PZ] + dt_f * vz * mask
+                wx = feat[:, _F_WX] + dt_f * (out[:, 3] + wtx) * inv_I * mask
+                wy = feat[:, _F_WY] + dt_f * (out[:, 4] + wty) * inv_I * mask
+                wz = feat[:, _F_WZ] + dt_f * (out[:, 5] + wtz) * inv_I * mask
+                feat2 = jnp.stack(
+                    [px, py, pz, vx, vy, vz, wx, wy, wz, mask], axis=1)
+                return feat2, None
+
+            feat, _ = lax.scan(substep, feat0, None,
+                               length=params.rebuild_every)
+            p, v, o = pencils_to_particles(feat, field, grid.dims, capacity,
+                                           nz)
+            return (p, v, o), field.overflow
+
+        @functools.partial(jax.jit, static_argnums=3)
+        def advance(pos, vel, omega, n_cycles: int):
+            (p, v, o), ovs = lax.scan(one_cycle, (pos, vel, omega), None,
+                                      length=n_cycles)
+            return p, v, o, ovs.max()
+
+        return advance
 
     def one_cycle(carry, _):
         pos, vel, omega = carry

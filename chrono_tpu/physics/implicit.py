@@ -61,15 +61,22 @@ def _constraint_C(model: Model, x, q):
 
 def make_hht_mbs_step(model: Model, alpha: float = -0.2,
                       newton_iters: int = 12, tol: float = 1e-6,
-                      max_halvings: int = 3):
+                      max_halvings: int = 3, beta: float = None,
+                      gamma: float = None):
     """Build ``step(state, acc_prev, t, h) -> HHTStepOut`` (jit-safe).
 
     Supports bodies, all joint types, TSDA/RSDA/shaft force elements and
     gravity (constraint motors stay on the DVI path).  ``acc_prev`` is the
     (N, 6) acceleration warm start ((0s at t=0, or the previous step's out).
+
+    With default ``beta``/``gamma`` this is HHT-α; passing them explicitly
+    (with ``alpha=0``) yields the whole Newmark family — see
+    :func:`make_newmark_mbs_step` and friends.
     """
-    beta = (1.0 - alpha) ** 2 / 4.0
-    gamma = 0.5 - alpha
+    if beta is None:
+        beta = (1.0 - alpha) ** 2 / 4.0
+    if gamma is None:
+        gamma = 0.5 - alpha
     n = model.n_bodies
     inv_m = model.props.inv_mass
     mass = jnp.where(inv_m > 0, 1.0 / jnp.maximum(inv_m, 1e-30), 0.0)
@@ -176,3 +183,25 @@ def make_hht_mbs_step(model: Model, alpha: float = -0.2,
             acc=a, h_used=h_used, iterations=iters, residual=res)
 
     return step
+
+
+def make_newmark_mbs_step(model: Model, beta: float = 0.25,
+                          gamma: float = 0.5, **kw):
+    """Newmark-β implicit stepper (reference: ChTimestepperNewmark,
+    /root/reference/src/chrono/timestepper/ChTimestepperImplicit.cpp).
+    Defaults to the unconditionally-stable average-acceleration rule."""
+    return make_hht_mbs_step(model, alpha=0.0, beta=beta, gamma=gamma, **kw)
+
+
+def make_trapezoidal_mbs_step(model: Model, **kw):
+    """Implicit trapezoidal rule (reference: ChTimestepperTrapezoidal role) —
+    the γ=1/2, β=1/4 member of the Newmark family (second order,
+    non-dissipative)."""
+    return make_hht_mbs_step(model, alpha=0.0, beta=0.25, gamma=0.5, **kw)
+
+
+def make_euler_implicit_mbs_step(model: Model, **kw):
+    """Fully-implicit (backward) Euler with Newton (reference:
+    ChTimestepperEulerImplicit): γ=1, β=1/2 — first order, maximally
+    dissipative; the nonlinear sibling of the linearized DVI stepper."""
+    return make_hht_mbs_step(model, alpha=0.0, beta=0.5, gamma=1.0, **kw)

@@ -110,3 +110,43 @@ def test_step_rejection_reduces_h():
                                      max_halvings=3))
     out = step(state0, jnp.zeros((model.n_bodies, 6)), 0.0, 1e-2)
     assert float(out.h_used) < 1e-2
+
+
+def test_newmark_family_energy_behavior():
+    """On a LINEAR oscillator the trapezoidal rule (γ=1/2, β=1/4) is exactly
+    energy-preserving while backward Euler (γ=1, β=1/2) damps the amplitude
+    by 1/√(1+(ωh)²) per step — the textbook signature that the Newmark-family
+    parameterization is wired correctly."""
+    from chrono_tpu.physics.implicit import (
+        make_trapezoidal_mbs_step, make_euler_implicit_mbs_step,
+    )
+    from chrono_tpu.physics.builder import SystemBuilder
+
+    k, m, x0 = 100.0, 1.0, 0.1          # ω = 10 rad/s
+    n, h = 150, 0.02                     # ωh = 0.2: BE damping is strong
+
+    def run(make):
+        bld = SystemBuilder()
+        bld.set_gravity((0, 0, 0))
+        g = bld.add_ground()
+        b = bld.add_body(mass=m, pos=(1.0 + x0, 0, 0))
+        bld.add_tsda(g, b, (0, 0, 0), (1.0 + x0, 0, 0), k=k, rest_length=1.0)
+        model, st = bld.finalize()
+        step = jax.jit(make(model, newton_iters=6, tol=1e-6))
+        acc = jnp.zeros((model.n_bodies, 6))
+        t = 0.0
+        for _ in range(n):
+            out = step(st, acc, t, h)
+            st, acc = out.state, out.acc
+            t += float(out.h_used)
+        x = float(st.x[1, 0]) - 1.0
+        v = float(st.v[1, 0])
+        return 0.5 * m * v * v + 0.5 * k * x * x
+
+    e0 = 0.5 * k * x0 * x0
+    e_trap = run(make_trapezoidal_mbs_step)
+    e_be = run(make_euler_implicit_mbs_step)
+    # trapezoidal: conservative (fp32 + Newton tolerance noise only)
+    np.testing.assert_allclose(e_trap, e0, rtol=0.03)
+    # backward Euler member: strong algorithmic damping at ωh = 0.2
+    assert e_be < 0.1 * e0, (e_be, e0)

@@ -93,3 +93,55 @@ def test_advance_backend_parity():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(vp), np.asarray(vx),
                                rtol=1e-3, atol=1e-4)
+
+
+# ---------------- v2 pencil-layout kernel ----------------
+
+from chrono_tpu.dem.cell_dense import pallas_pencil_forces
+from chrono_tpu.ops.pallas.dem_pencil_kernel import edge_ok_xy
+
+
+@pytest.mark.parametrize("friction_mode", ["frictionless", "single_step"])
+def test_pencil_parity_with_jnp(friction_mode):
+    params, grid, field = _scene(friction_mode)
+    f_ref, t_ref = cell_dense_forces(params, grid, field)
+    edge = edge_ok_xy(grid.dims)
+    f_pal, t_pal = pallas_pencil_forces(params, grid, field, edge, nzp=128,
+                                        Bxy=4, interpret=True)
+    f_scale = float(jnp.abs(f_ref).max())
+    np.testing.assert_allclose(np.asarray(f_pal), np.asarray(f_ref),
+                               rtol=1e-4, atol=1e-5 * f_scale)
+    t_atol = 1e-5 * max(float(jnp.abs(t_ref).max()),
+                        float(params.radius) * f_scale)
+    np.testing.assert_allclose(np.asarray(t_pal), np.asarray(t_ref),
+                               rtol=1e-4, atol=t_atol)
+    assert f_scale > 0
+
+
+def test_pencil_advance_backend_parity():
+    """Full advance cycles: pencil backend tracks the XLA backend."""
+    from chrono_tpu.dem.bc import DEMBoundaries, box_boundaries
+
+    rng = np.random.default_rng(3)
+    radius = 0.05
+    grid = GridSpec(origin=(0.0, 0.0, 0.0), cell_size=0.13, dims=(4, 4, 4))
+    n = 100
+    pos = rng.uniform(0.07, 0.45, (n, 3)).astype(np.float32)
+    params = DEMParams(
+        radius=jnp.asarray(radius), mass=jnp.asarray(1.0),
+        material=DEMMaterial(), wall_material=DEMMaterial(),
+        gravity=jnp.asarray([0.0, 0.0, -9.81]), dt=jnp.asarray(2e-5),
+        friction_mode="single_step", rebuild_every=4,
+    )
+    bcs = DEMBoundaries(planes=box_boundaries((0, 0, 0), (0.52, 0.52, 0.52)))
+    adv_x = make_cell_dense_advance(params, bcs, grid, backend="xla")
+    adv_p = make_cell_dense_advance(params, bcs, grid, backend="pencil",
+                                    pallas_block=4, pallas_interpret=True)
+    z = jnp.zeros((n, 3))
+    px, vx, ox, ovx = adv_x(jnp.asarray(pos), z, z, 3)
+    pp, vp, op_, ovp = adv_p(jnp.asarray(pos), z, z, 3)
+    assert int(ovx) == 0 and int(ovp) == 0
+    np.testing.assert_allclose(np.asarray(pp), np.asarray(px),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vp), np.asarray(vx),
+                               rtol=1e-3, atol=1e-4)
