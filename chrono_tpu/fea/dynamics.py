@@ -27,12 +27,14 @@ from chrono_tpu.fea.cable import CableMesh
 def _mesh_ops(mesh):
     """Dispatch element kernels by mesh type (cable / shell / solid share
     the (Nn, 6) node layout, so the whole Newton/HHT machinery is generic)."""
-    from chrono_tpu.fea import cable, shell, solid
+    from chrono_tpu.fea import cable, shell, solid, tetra
 
     if isinstance(mesh, shell.ShellMesh):
         return shell.internal_forces, shell.mass_matrix
     if isinstance(mesh, solid.SolidMesh):
         return solid.internal_forces, solid.mass_matrix
+    if isinstance(mesh, tetra.TetraMesh):
+        return tetra.internal_forces, tetra.mass_matrix
     return cable.internal_forces, cable.mass_matrix
 
 
@@ -53,10 +55,10 @@ class FEAStepOut(NamedTuple):
 
 
 def _fixed_dof_mask(mesh, n_nodes: int) -> Array:
-    from chrono_tpu.fea import solid
+    from chrono_tpu.fea import solid, tetra
 
     m = jnp.repeat(mesh.fixed, 6)
-    if isinstance(mesh, solid.SolidMesh):
+    if isinstance(mesh, (solid.SolidMesh, tetra.TetraMesh)):
         # solid nodes carry translations only: directors are inert DOFs and
         # must be masked (their energy gradient is identically zero)
         m = m.reshape(n_nodes, 6).at[:, 3:6].set(True).reshape(-1)
