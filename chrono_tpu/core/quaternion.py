@@ -135,17 +135,21 @@ def qexp_half(w: Array, eps: float = 1e-12) -> Array:
     Stable at ``|w| → 0`` (sinc expansion); used by the symplectic orientation
     update ``q⁺ = q ⊗ qexp_half(h ω_l)``.
     """
-    # differentiation-safe norm: sqrt has a NaN gradient at exactly 0, which
-    # poisons any autodiff through the exp map (e.g. constraint-reaction
-    # gradients in the implicit steppers) even when multiplied by zero
+    # differentiation-safe to ALL orders: sqrt(x + tiny) has exploding higher
+    # derivatives at x = 0 (3rd derivative overflows fp32 → NaN through any
+    # where()), so the exact branch must see a SANITIZED angle² (double-where
+    # pattern) and the small branch must be a polynomial in angle².  Needed
+    # by e.g. the FEA corotational beam, whose Newton matrix differentiates
+    # a Rayleigh-damping jvp of the energy gradient (3rd derivative).
     angle2 = jnp.sum(w * w, axis=-1, keepdims=True)
-    angle = jnp.sqrt(angle2 + 1e-24)
-    half = 0.5 * angle
-    # sin(half)/angle with series fallback: 0.5 - angle^2/48 as angle→0
     small = angle2 < 1e-12
-    sinc = jnp.where(small, 0.5 - angle2 / 48.0,
-                     jnp.sin(half) / jnp.maximum(angle, eps))
-    return jnp.concatenate([jnp.cos(half), w * sinc], axis=-1)
+    angle2_safe = jnp.where(small, 1.0, angle2)
+    angle = jnp.sqrt(angle2_safe)
+    half = 0.5 * angle
+    cos_half = jnp.where(small, 1.0 - angle2 / 8.0 + angle2 * angle2 / 384.0,
+                         jnp.cos(half))
+    sinc = jnp.where(small, 0.5 - angle2 / 48.0, jnp.sin(half) / angle)
+    return jnp.concatenate([cos_half, w * sinc], axis=-1)
 
 
 def qlog2(q: Array, eps: float = 1e-12) -> Array:

@@ -213,66 +213,6 @@ def wall_static_coefs(params: DEMParams) -> dict:
                 muw=float(params.wall_material.mu_s))
 
 
-def _plane_walls_on_planes(planes, feat, radius, knw, gnw, ktw, gtw, muw,
-                           dt, friction):
-    """Plane-wall forces evaluated directly on pencil planes.
-
-    All arithmetic stays in (NXY, C, NZp)-shaped planes whose minor dims are
-    one full (8, 128) vreg — the (N, n_walls, 3) layout of
-    chrono_tpu.dem.forces.wall_forces pads its minor dims ~42x on TPU and
-    dominates the substep if used here.  Physics identical (Hertz +
-    single-step Coulomb against a possibly-moving wall surface).
-    """
-    px, py, pz = feat[:, _F_PX], feat[:, _F_PY], feat[:, _F_PZ]
-    vx, vy, vz = feat[:, _F_VX], feat[:, _F_VY], feat[:, _F_VZ]
-    wx, wy, wz = feat[:, _F_WX], feat[:, _F_WY], feat[:, _F_WZ]
-    mask = feat[:, _F_MASK]
-    zeros = jnp.zeros_like(px)
-    fx = fy = fz = tx = ty = tz = zeros
-
-    n_walls = planes.normal.shape[0]
-    for b in range(n_walls):
-        nw = planes.normal[b]
-        off = jnp.sum(planes.point[b] * planes.normal[b])
-        vw = planes.vel[b]
-        dist = nw[0] * px + nw[1] * py + nw[2] * pz - off
-        delta = jnp.maximum(radius - dist, 0.0)
-        ok = mask * (delta > 0.0).astype(px.dtype)
-        # n = particle → wall = −into-domain normal
-        nx_, ny_, nz_ = -nw[0], -nw[1], -nw[2]
-        arm = radius - 0.5 * delta
-        # vr = v_wall − v_self − arm · (ω_self × n)
-        cx = wy * nz_ - wz * ny_
-        cy = wz * nx_ - wx * nz_
-        cz = wx * ny_ - wy * nx_
-        vrx = vw[0] - vx - arm * cx
-        vry = vw[1] - vy - arm * cy
-        vrz = vw[2] - vz - arm * cz
-        vn = vrx * nx_ + vry * ny_ + vrz * nz_
-        sq = jnp.sqrt(delta)
-        q4 = jnp.sqrt(sq)
-        fn = jnp.maximum(knw * sq * delta - gnw * q4 * vn, 0.0)
-        if friction:
-            vtx = vrx - vn * nx_
-            vty = vry - vn * ny_
-            vtz = vrz - vn * nz_
-            coef = ktw * sq * dt + gtw * q4
-            ftx, fty, ftz = coef * vtx, coef * vty, coef * vtz
-            ft2 = ftx * ftx + fty * fty + ftz * ftz + 1e-18
-            scale = jnp.minimum(1.0, muw * fn * jax.lax.rsqrt(ft2))
-            ftx, fty, ftz = ftx * scale, fty * scale, ftz * scale
-        else:
-            ftx = fty = ftz = 0.0
-        pfx = ok * (-fn * nx_ + ftx)
-        pfy = ok * (-fn * ny_ + fty)
-        pfz = ok * (-fn * nz_ + ftz)
-        fx, fy, fz = fx + pfx, fy + pfy, fz + pfz
-        tx = tx + arm * (ny_ * pfz - nz_ * pfy)
-        ty = ty + arm * (nz_ * pfx - nx_ * pfz)
-        tz = tz + arm * (nx_ * pfy - ny_ * pfx)
-    return fx, fy, fz, tx, ty, tz
-
-
 # feature-plane indices (must match ops.pallas.dem_pencil_kernel)
 (_F_PX, _F_PY, _F_PZ, _F_VX, _F_VY, _F_VZ,
  _F_WX, _F_WY, _F_WZ, _F_MASK) = range(10)
@@ -367,14 +307,23 @@ def make_cell_dense_advance(params: DEMParams, bcs, grid: GridSpec,
         if bcs.cylinders is not None or bcs.spheres is not None \
                 or bcs.cones is not None:
             raise ValueError("pencil backend currently supports plane BCs")
-        wcoefs = wall_static_coefs(params)
-        friction_w = params.friction_mode != "frictionless"
-        nx, ny, nz = grid.dims
-        r_f = float(params.radius)
-        dt_f = float(params.dt)
-        inv_m = 1.0 / float(params.mass)
-        inv_I = 1.0 / float(params.inertia)
-        gvec = params.gravity
+        from chrono_tpu.ops.pallas.dem_pencil_kernel import (
+            dem_pencil_substep_pallas,
+        )
+        import numpy as _np
+
+        wc = wall_static_coefs(params)
+        wall_coefs = (wc["knw"], wc["gnw"], wc["ktw"], wc["gtw"], wc["muw"])
+        pn = _np.asarray(bcs.planes.normal, float)
+        pp = _np.asarray(bcs.planes.point, float)
+        pv = _np.asarray(bcs.planes.vel, float)
+        walls = tuple(
+            (tuple(pn[b]), float(pn[b] @ pp[b]), tuple(pv[b]))
+            for b in range(pn.shape[0]))
+        gvec = tuple(float(v) for v in _np.asarray(params.gravity))
+        fused_kw = dict(walls=walls, wall_coefs=wall_coefs, gravity=gvec,
+                        inv_m=1.0 / float(params.mass),
+                        inv_I=1.0 / float(params.inertia))
 
         def one_cycle(carry, _):
             pos, vel, omega = carry
@@ -382,33 +331,16 @@ def make_cell_dense_advance(params: DEMParams, bcs, grid: GridSpec,
             feat0 = field_to_pencils(field, nzp)
 
             def substep(feat, __):
-                out = dem_pencil_forces_pallas(
+                feat2 = dem_pencil_substep_pallas(
                     feat, edge_table, grid_dims=grid.dims, C=capacity,
-                    Bxy=pallas_block, interpret=pallas_interpret, **coefs)
-                wfx, wfy, wfz, wtx, wty, wtz = _plane_walls_on_planes(
-                    bcs.planes, feat, r_f, dt=dt_f, friction=friction_w,
-                    **wcoefs)
-                mask = feat[:, _F_MASK]
-                ax = (out[:, 0] + wfx) * inv_m + gvec[0]
-                ay = (out[:, 1] + wfy) * inv_m + gvec[1]
-                az = (out[:, 2] + wfz) * inv_m + gvec[2]
-                vx = feat[:, _F_VX] + dt_f * ax * mask
-                vy = feat[:, _F_VY] + dt_f * ay * mask
-                vz = feat[:, _F_VZ] + dt_f * az * mask
-                px = feat[:, _F_PX] + dt_f * vx * mask
-                py = feat[:, _F_PY] + dt_f * vy * mask
-                pz = feat[:, _F_PZ] + dt_f * vz * mask
-                wx = feat[:, _F_WX] + dt_f * (out[:, 3] + wtx) * inv_I * mask
-                wy = feat[:, _F_WY] + dt_f * (out[:, 4] + wty) * inv_I * mask
-                wz = feat[:, _F_WZ] + dt_f * (out[:, 5] + wtz) * inv_I * mask
-                feat2 = jnp.stack(
-                    [px, py, pz, vx, vy, vz, wx, wy, wz, mask], axis=1)
+                    Bxy=pallas_block, interpret=pallas_interpret,
+                    **coefs, **fused_kw)
                 return feat2, None
 
             feat, _ = lax.scan(substep, feat0, None,
                                length=params.rebuild_every)
             p, v, o = pencils_to_particles(feat, field, grid.dims, capacity,
-                                           nz)
+                                           grid.dims[2])
             return (p, v, o), field.overflow
 
         @functools.partial(jax.jit, static_argnums=3)

@@ -27,7 +27,7 @@ from chrono_tpu.fea.cable import CableMesh
 def _mesh_ops(mesh):
     """Dispatch element kernels by mesh type (cable / shell / solid share
     the (Nn, 6) node layout, so the whole Newton/HHT machinery is generic)."""
-    from chrono_tpu.fea import cable, shell, solid, tetra
+    from chrono_tpu.fea import beam, cable, shell, solid, tetra
 
     if isinstance(mesh, shell.ShellMesh):
         return shell.internal_forces, shell.mass_matrix
@@ -35,6 +35,8 @@ def _mesh_ops(mesh):
         return solid.internal_forces, solid.mass_matrix
     if isinstance(mesh, tetra.TetraMesh):
         return tetra.internal_forces, tetra.mass_matrix
+    if isinstance(mesh, beam.BeamMesh):
+        return beam.internal_forces, beam.mass_matrix
     return cable.internal_forces, cable.mass_matrix
 
 

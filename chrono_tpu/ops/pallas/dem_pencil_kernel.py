@@ -44,7 +44,12 @@ _XY_OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
 
 
 def _make_kernel(C, NZ, Bxy, ny, radius, kn, gn, kt, gt, mu, dt, friction,
-                 G):
+                 G, fused=None):
+    """``fused=None`` → force/torque output kernel; ``fused`` a dict with
+    keys walls (list of (normal3, offset, vel3) python floats), gravity,
+    inv_m, inv_I → whole-substep kernel writing the UPDATED feature planes
+    (wall pass + semi-implicit Euler integration fused in; zero HBM traffic
+    between force evaluation and integration)."""
     xy_lin = [dx * ny + dy for (dx, dy) in _XY_OFFSETS]
 
     def kernel(edge_ref, feat_ref, out_ref, self_buf, nbuf, self_sem, nsem):
@@ -155,12 +160,78 @@ def _make_kernel(C, NZ, Bxy, ny, radius, kn, gn, kt, gt, mu, dt, friction,
                 ty = ty + jnp.sum(arm * (nzh * pfx - nxh * pfz), axis=2)
                 tz = tz + jnp.sum(arm * (nxh * pfy - nyh * pfx), axis=2)
 
-        out_ref[:, 0] = fx
-        out_ref[:, 1] = fy
-        out_ref[:, 2] = fz
-        out_ref[:, 3] = tx
-        out_ref[:, 4] = ty
-        out_ref[:, 5] = tz
+        if fused is None:
+            out_ref[:, 0] = fx
+            out_ref[:, 1] = fy
+            out_ref[:, 2] = fz
+            out_ref[:, 3] = tx
+            out_ref[:, 4] = ty
+            out_ref[:, 5] = tz
+            return
+
+        # ---- fused tail: static plane walls + integration ----
+        px = self_buf[:, _PX]
+        py = self_buf[:, _PY]
+        pz = self_buf[:, _PZ]
+        vx0 = self_buf[:, _VX]
+        vy0 = self_buf[:, _VY]
+        vz0 = self_buf[:, _VZ]
+        wx0 = self_buf[:, _WX]
+        wy0 = self_buf[:, _WY]
+        wz0 = self_buf[:, _WZ]
+        mask = self_buf[:, _MASK]
+        knw, gnw, ktw, gtw, muw = fused["wall_coefs"]
+        for nw, off, vw in fused["walls"]:
+            dwall = nw[0] * px + nw[1] * py + nw[2] * pz - off
+            delta = jnp.maximum(radius - dwall, 0.0)
+            okw = mask * (delta > 0.0).astype(jnp.float32)
+            nx_, ny_, nz_ = -nw[0], -nw[1], -nw[2]
+            arm = radius - 0.5 * delta
+            cxw = wy0 * nz_ - wz0 * ny_
+            cyw = wz0 * nx_ - wx0 * nz_
+            czw = wx0 * ny_ - wy0 * nx_
+            vrx = vw[0] - vx0 - arm * cxw
+            vry = vw[1] - vy0 - arm * cyw
+            vrz = vw[2] - vz0 - arm * czw
+            vn = vrx * nx_ + vry * ny_ + vrz * nz_
+            sq = jnp.sqrt(delta)
+            q4 = jnp.sqrt(sq)
+            fn = jnp.maximum(knw * sq * delta - gnw * q4 * vn, 0.0)
+            if friction:
+                vtx = vrx - vn * nx_
+                vty = vry - vn * ny_
+                vtz = vrz - vn * nz_
+                coefw = ktw * sq * dt + gtw * q4
+                ftx, fty, ftz = coefw * vtx, coefw * vty, coefw * vtz
+                ft2 = ftx * ftx + fty * fty + ftz * ftz + 1e-18
+                scw = jnp.minimum(1.0, muw * fn * jax.lax.rsqrt(ft2))
+                ftx, fty, ftz = ftx * scw, fty * scw, ftz * scw
+            else:
+                ftx = fty = ftz = 0.0
+            pfx = okw * (-fn * nx_ + ftx)
+            pfy = okw * (-fn * ny_ + fty)
+            pfz = okw * (-fn * nz_ + ftz)
+            fx, fy, fz = fx + pfx, fy + pfy, fz + pfz
+            tx = tx + arm * (ny_ * pfz - nz_ * pfy)
+            ty = ty + arm * (nz_ * pfx - nx_ * pfz)
+            tz = tz + arm * (nx_ * pfy - ny_ * pfx)
+
+        gx, gy, gz = fused["gravity"]
+        inv_m = fused["inv_m"]
+        inv_I = fused["inv_I"]
+        vx1 = vx0 + dt * (fx * inv_m + gx) * mask
+        vy1 = vy0 + dt * (fy * inv_m + gy) * mask
+        vz1 = vz0 + dt * (fz * inv_m + gz) * mask
+        out_ref[:, _PX] = px + dt * vx1 * mask
+        out_ref[:, _PY] = py + dt * vy1 * mask
+        out_ref[:, _PZ] = pz + dt * vz1 * mask
+        out_ref[:, _VX] = vx1
+        out_ref[:, _VY] = vy1
+        out_ref[:, _VZ] = vz1
+        out_ref[:, _WX] = wx0 + dt * tx * inv_I * mask
+        out_ref[:, _WY] = wy0 + dt * ty * inv_I * mask
+        out_ref[:, _WZ] = wz0 + dt * tz * inv_I * mask
+        out_ref[:, _MASK] = mask
 
     return kernel
 
@@ -218,6 +289,71 @@ def dem_pencil_forces_pallas(feat, edge_ok, *, radius, kn, gn, kt=0.0,
             flops=flops_per_pair * 27 * C * C * nxy_pad * NZp,
             bytes_accessed=(9 + 1) * F_FEAT * C * NZp * nxy_pad * 4
             + 6 * C * NZp * nxy_pad * 4,
+            transcendentals=5 * 27 * C * C * nxy_pad * NZp,
+        ),
+        interpret=interpret,
+    )(edge_p, feat_p)
+    return out[:nxy]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "radius", "kn", "gn", "kt", "gt", "mu", "dt", "friction",
+    "grid_dims", "C", "Bxy", "interpret", "walls", "wall_coefs",
+    "gravity", "inv_m", "inv_I"))
+def dem_pencil_substep_pallas(feat, edge_ok, *, radius, kn, gn, kt=0.0,
+                              gt=0.0, mu=0.0, dt=0.0, friction=False,
+                              grid_dims, C, Bxy=8, interpret=False,
+                              walls=(), wall_coefs=(), gravity=(0, 0, 0),
+                              inv_m=1.0, inv_I=1.0):
+    """One whole DEM substep as a single Pallas kernel: pair forces +
+    static plane walls + gravity + semi-implicit Euler integration, feat →
+    feat.  ``walls``: tuple of ((nx,ny,nz), offset, (vx,vy,vz)) python
+    floats (compile-time constants, like the reference's unified-memory
+    GranParams).  Eliminates all between-kernel HBM round-trips — the
+    XLA-visible substep is one op."""
+    nx, ny, nz = grid_dims
+    nxy = nx * ny
+    NZp = feat.shape[3]
+    if NZp % 128 or nz > NZp - 1:
+        raise ValueError(f"NZp={NZp} must be a 128-multiple > nz={nz}")
+
+    G = ny + 1
+    nxy_pad = ((nxy + Bxy - 1) // Bxy) * Bxy
+    pad_lo = jnp.zeros((G, F_FEAT, C, NZp), jnp.float32)
+    pad_hi = jnp.zeros((G + nxy_pad - nxy, F_FEAT, C, NZp), jnp.float32)
+    feat_p = jnp.concatenate([pad_lo, feat, pad_hi], axis=0)
+    edge_p = jnp.concatenate(
+        [edge_ok, jnp.zeros((9, nxy_pad - nxy), jnp.float32)], axis=1).T
+
+    fused = dict(walls=walls, wall_coefs=wall_coefs, gravity=gravity,
+                 inv_m=inv_m, inv_I=inv_I)
+    kernel = _make_kernel(C, NZp, Bxy, ny, float(radius), float(kn),
+                          float(gn), float(kt), float(gt), float(mu),
+                          float(dt), bool(friction), G, fused=fused)
+
+    flops_per_pair = 95 if friction else 70
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nxy_pad, F_FEAT, C, NZp),
+                                       jnp.float32),
+        grid=(nxy_pad // Bxy,),
+        in_specs=[
+            pl.BlockSpec((Bxy, 9), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((Bxy, F_FEAT, C, NZp),
+                               lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((Bxy, F_FEAT, C, NZp), jnp.float32),
+            pltpu.VMEM((2, Bxy, F_FEAT, C, NZp), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_pair * 27 * C * C * nxy_pad * NZp,
+            bytes_accessed=(9 + 2) * F_FEAT * C * NZp * nxy_pad * 4,
             transcendentals=5 * 27 * C * C * nxy_pad * NZp,
         ),
         interpret=interpret,
