@@ -1,2 +1,4 @@
 from chrono_tpu.models.hmmwv import create_hmmwv
 from chrono_tpu.models.rover import create_rover, set_wheel_speeds, rover_step_scm, Rover
+from chrono_tpu.models.sedan import create_sedan
+from chrono_tpu.models.polaris import create_polaris

@@ -180,3 +180,120 @@ def wheel_camber(q_wheel, side: int = +1) -> float:
     ey = Q.qrotate(q_wheel, jnp.asarray([0.0, 1.0, 0.0]))
     # angle of the axis out of the horizontal plane, signed by side
     return side * jnp.arctan2(-ey[..., 2] * side, jnp.abs(ey[..., 1]))
+
+
+@dataclass
+class SolidAxleHardpoints:
+    """Hardpoints for a solid (live) axle located by two trailing links and
+    a Panhard rod (reference ChSolidAxle.h / ChLeafspringAxle.h role).
+    Corner frame: origin between the wheels at axle height."""
+
+    track: float = 1.6                            # wheel-to-wheel distance
+    axle_z: float = 0.35
+    link_chassis: tuple = (0.8, 0.55, 0.40)       # trailing-link front mounts
+    link_axle: tuple = (0.05, 0.55, 0.33)         # trailing-link axle mounts
+    panhard_chassis: tuple = (-0.05, -0.7, 0.45)
+    panhard_axle: tuple = (-0.05, 0.6, 0.40)
+    spring_offset_y: float = 0.55
+    spring_top_z: float = 0.85
+    axle_mass: float = 90.0
+    axle_inertia: tuple = (2.0, 0.6, 2.0)
+    wheel_mass: float = 40.0
+    wheel_inertia: tuple = (1.5, 2.5, 1.5)
+    spring_k: float = 150e3
+    spring_c: float = 12e3
+
+
+@dataclass
+class AxleBodies:
+    axle: int
+    wheel_l: int
+    wheel_r: int
+
+
+def add_solid_axle(bld: SystemBuilder, chassis: int, origin,
+                   hp: SolidAxleHardpoints) -> AxleBodies:
+    """One rigid axle beam carrying both wheels, located by two trailing
+    links (distance rods) + a Panhard rod, sprung by two TSDAs.  4 DOF:
+    vertical travel, roll, (small) longitudinal compliance via link
+    geometry, + 2 wheel spins."""
+    o = np.asarray(origin, float)
+    P = lambda p: o + np.asarray(p, float)
+    axle = bld.add_body(mass=hp.axle_mass, inertia=hp.axle_inertia,
+                        pos=P((0, 0, hp.axle_z)))
+    wl = bld.add_body(mass=hp.wheel_mass, inertia=hp.wheel_inertia,
+                      pos=P((0, hp.track / 2, hp.axle_z)))
+    wr = bld.add_body(mass=hp.wheel_mass, inertia=hp.wheel_inertia,
+                      pos=P((0, -hp.track / 2, hp.axle_z)))
+    for side in (+1, -1):
+        S = lambda p: P((p[0], side * p[1], p[2]))
+        bld.add_distance(axle, chassis, S(hp.link_axle), S(hp.link_chassis))
+        bld.add_tsda(chassis, axle,
+                     S((0.0, hp.spring_offset_y, hp.spring_top_z)),
+                     S((0.0, hp.spring_offset_y, hp.axle_z)),
+                     k=hp.spring_k, c=hp.spring_c)
+    bld.add_distance(axle, chassis, P(hp.panhard_axle),
+                     P(hp.panhard_chassis))
+    bld.add_joint("revolute", wl, axle,
+                  world_pos=P((0, hp.track / 2, hp.axle_z)),
+                  world_axis=(0, 1, 0))
+    bld.add_joint("revolute", wr, axle,
+                  world_pos=P((0, -hp.track / 2, hp.axle_z)),
+                  world_axis=(0, 1, 0))
+    return AxleBodies(axle=axle, wheel_l=wl, wheel_r=wr)
+
+
+def add_semi_trailing_arm_corner(bld: SystemBuilder, chassis: int, origin,
+                                 sweep_deg: float = 20.0, side: int = +1,
+                                 arm_len: float = 0.45, spindle_z: float = 0.35,
+                                 spring_k: float = 110e3, spring_c: float = 7e3,
+                                 wheel_mass: float = 40.0) -> CornerBodies:
+    """Semi-trailing arm corner (reference ChSemiTrailingArm.h): one arm on
+    a single chassis revolute whose axis is swept by ``sweep_deg`` from pure
+    lateral — travel then induces camber/toe, the template's signature."""
+    o = np.asarray(origin, float)
+    P = lambda p: o + np.array([p[0], side * p[1], p[2]])
+    s = np.radians(sweep_deg)
+    axis = np.array([np.sin(s), side * np.cos(s), 0.0])
+    pivot = P((arm_len * 0.9, -0.45, spindle_z - 0.05))
+    arm = bld.add_body(mass=12.0, inertia=(0.2, 0.2, 0.3),
+                       pos=0.5 * (pivot + P((0, 0, spindle_z))))
+    wheel = bld.add_body(mass=wheel_mass, inertia=(1.5, 2.5, 1.5),
+                         pos=P((0, 0, spindle_z)))
+    bld.add_joint("revolute", arm, chassis, world_pos=pivot, world_axis=axis)
+    bld.add_tsda(chassis, arm, P((0.0, -0.15, spindle_z + 0.45)),
+                 P((0.0, -0.15, spindle_z)), k=spring_k, c=spring_c)
+    bld.add_joint("revolute", wheel, arm, world_pos=P((0, 0, spindle_z)),
+                  world_axis=(0, 1, 0))
+    return CornerBodies(uca=-1, lca=arm, upright=arm, wheel=wheel)
+
+
+def add_five_link_corner(bld: SystemBuilder, chassis: int, origin,
+                         hp: WishboneHardpoints = None, side: int = +1
+                         ) -> CornerBodies:
+    """Multi-link (5 rod) corner (reference ChMultiLink.h role): the upright
+    is located by five distance rods — 1 remaining DOF (travel) + wheel
+    spin; link end points reuse the wishbone hardpoint scheme by splitting
+    each A-arm into two rods."""
+    hp = hp or WishboneHardpoints()
+    o = np.asarray(origin, float)
+
+    def P(p):
+        p = np.asarray(p, float)
+        return o + np.array([p[0], side * p[1], p[2]])
+
+    upright = bld.add_body(mass=hp.masses["upright"],
+                           inertia=hp.inertias["upright"],
+                           pos=P(hp.spindle))
+    wheel = bld.add_body(mass=hp.masses["wheel"],
+                         inertia=hp.inertias["wheel"], pos=P(hp.spindle))
+    rods = [(hp.uca_front, hp.uca_ball), (hp.uca_rear, hp.uca_ball),
+            (hp.lca_front, hp.lca_ball), (hp.lca_rear, hp.lca_ball),
+            (hp.tierod_chassis, hp.tierod_upright)]
+    for pc, pu in rods:
+        bld.add_distance(upright, chassis, P(pu), P(pc))
+    bld.add_tsda(chassis, upright, P(hp.spring_chassis), P(hp.spindle),
+                 k=hp.spring_k, c=hp.spring_c)
+    bld.add_joint("revolute", wheel, upright, world_pos=P(hp.spindle),
+                  world_axis=(0, 1, 0))
+    return CornerBodies(uca=-1, lca=-1, upright=upright, wheel=wheel)
