@@ -1,0 +1,264 @@
+"""Secondary benchmark suite — BASELINE.md configs beyond the headline.
+
+The driver runs ``bench.py`` (config #3, granular DEM).  This suite measures
+the remaining north-star configs on whatever backend is alive and prints one
+JSON line per config (results recorded in BENCH.md):
+
+  mbs    #1  slider-crank + double pendulum, Euler-implicit-linearized DVI
+             (reference: btest_CH_pendulums/ChBenchmark sim loops)   → ms/step
+  mixer  #2  NSC box of spheres under a rotating stirrer, APGD
+             (reference: btest_CH_mixerNSC)   → DVI iterations/sec + RTF
+  sph    #4  WCSPH dam break with boundary markers
+             (reference: btest_FSI-SPH benchmarks)   → particle-steps/sec
+
+Usage: python bench_suite.py [mbs|mixer|sph|all]   (env: SUITE_N, SUITE_CPU)
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+
+def _tpu_alive(timeout_s: int = 240) -> bool:
+    code = ("import jax, jax.numpy as jnp;"
+            "print(float((jnp.ones((128,128))@jnp.ones((128,128))).sum()))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def bench_mbs():
+    """Config #1: slider-crank + double pendulum, one jitted scan."""
+    import jax
+    import jax.numpy as jnp
+    from chrono_tpu.physics.builder import SystemBuilder
+    from chrono_tpu.physics.system import SolverSettings, simulate
+
+    bld = SystemBuilder()
+    g = bld.add_ground()
+    # double pendulum
+    p1 = bld.add_body(mass=1.0, pos=(0.5, 0, 0))
+    p2 = bld.add_body(mass=1.0, pos=(1.0, 0, 0))
+    bld.add_joint("revolute", g, p1, world_pos=(0, 0, 0),
+                  world_axis=(0, 1, 0))
+    bld.add_joint("revolute", p1, p2, world_pos=(0.5, 0, 0),
+                  world_axis=(0, 1, 0))
+    # slider-crank
+    crank = bld.add_body(mass=2.0, inertia=(0.1, 0.1, 0.1), pos=(0, 2, 0))
+    rod = bld.add_body(mass=1.0, pos=(0.3, 2, 0))
+    slider = bld.add_body(mass=0.5, pos=(0.6, 2, 0))
+    bld.add_joint("revolute", g, crank, world_pos=(0, 2, 0),
+                  world_axis=(0, 1, 0))
+    bld.add_joint("spherical", crank, rod, world_pos=(0.15, 2, 0))
+    bld.add_joint("spherical", rod, slider, world_pos=(0.6, 2, 0))
+    bld.add_joint("prismatic", g, slider, world_pos=(0.6, 2, 0),
+                  world_axis=(1, 0, 0))
+    model, state = bld.finalize()
+
+    h, n = 1e-3, 2000
+    st, _ = simulate(model, state, h, 10, SolverSettings(solver="direct"))
+    st.x.block_until_ready()
+    t0 = time.perf_counter()
+    st, _ = simulate(model, state, h, n, SolverSettings(solver="direct"))
+    st.x.block_until_ready()
+    dt = time.perf_counter() - t0
+    assert bool(jnp.isfinite(st.x).all())
+    return dict(metric="MBS ms/step (slider-crank + double pendulum, DVI)",
+                value=round(dt / n * 1e3, 4), unit="ms/step",
+                rtf=round(dt / (n * h), 3),
+                backend=jax.default_backend())
+
+
+def bench_mixer(n_spheres=None):
+    """Config #2: NSC spheres stirred in a box; APGD mixed VI solve."""
+    import jax
+    import jax.numpy as jnp
+    from chrono_tpu.physics.builder import SystemBuilder
+    from chrono_tpu.physics.system import SolverSettings
+    from chrono_tpu.collision import (
+        GridSpec, SphereShapes, BoxShapes, CollisionModel, nsc_step,
+    )
+    from chrono_tpu.core.functions import FConst
+    from chrono_tpu.utils.samplers import grid_sample_box
+
+    n_target = n_spheres or int(os.environ.get("SUITE_N", 10_000))
+    radius = 0.03
+    spacing = 2.2 * radius
+    box = 0.08 + spacing * int(np.ceil(n_target ** (1 / 3)) + 1)
+
+    bld = SystemBuilder()
+    ground = bld.add_ground()
+    mass = 0.2
+    pts = grid_sample_box((0.07, 0.07, 0.07),
+                          (box - 0.07, box - 0.07, 4 * box),
+                          spacing, jitter=0.05, seed=2)[:n_target]
+    first = None
+    for p in pts:
+        b = bld.add_body(mass=mass, inertia=(2e-4,) * 3, pos=p)
+        first = b if first is None else first
+    stirrer = bld.add_body(mass=20.0, inertia=(0.5, 0.5, 0.5),
+                           pos=(box / 2, box / 2, 1.5 * radius))
+    bld.add_motor_rotation_speed(ground, stirrer,
+                                 (box / 2, box / 2, 1.5 * radius), (0, 0, 1),
+                                 FConst(2.0))
+    model, state = bld.finalize()
+    n = len(pts)
+
+    bodies = jnp.arange(first, first + n)
+    spheres = SphereShapes(
+        body=bodies, offset=jnp.zeros((n, 3)),
+        radius=jnp.full((n,), radius),
+        mu=jnp.full((n,), 0.4))
+    # walls as boxes on ground + stirrer paddle
+    t_w = 0.05
+    half = box / 2
+    wall_def = [
+        ((half, half, -t_w / 2), (half, half, t_w / 2)),            # floor
+        ((-t_w / 2, half, 2 * box), (t_w / 2, half + t_w, 2 * box)),
+        ((box + t_w / 2, half, 2 * box), (t_w / 2, half + t_w, 2 * box)),
+        ((half, -t_w / 2, 2 * box), (half + t_w, t_w / 2, 2 * box)),
+        ((half, box + t_w / 2, 2 * box), (half + t_w, t_w / 2, 2 * box)),
+    ]
+    bpos = jnp.asarray([w[0] for w in wall_def])
+    bhalf = jnp.asarray([w[1] for w in wall_def])
+    boxes = BoxShapes(
+        body=jnp.concatenate([jnp.zeros((5,), jnp.int32),
+                              jnp.asarray([stirrer], jnp.int32)]),
+        pos=jnp.concatenate([bpos, jnp.asarray([[0.3 * half, 0.0, 0.0]])]),
+        rot=jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (6, 1)),
+        half=jnp.concatenate([bhalf, jnp.asarray(
+            [[0.3 * half, 0.02, 2 * radius]])]),
+        mu=jnp.full((6,), 0.4))
+    cell = 2.2 * 2 * radius
+    grid = GridSpec(origin=(-t_w, -t_w, -t_w), cell_size=cell,
+                    dims=(int(np.ceil((box + 2 * t_w) / cell)),) * 2
+                    + (int(np.ceil(5 * box / cell)),))
+    coll = CollisionModel(spheres=spheres, boxes=boxes, grid=grid,
+                          max_per_cell=16,
+                          max_contacts=int(12 * n))
+    settings = SolverSettings(solver="apgd", max_iter=50, tol=1e-4,
+                              stab_factor=0.2, max_recovery_speed=0.5)
+
+    import functools
+
+    h = 2e-3
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def run(state, t, k, gamma):
+        def body(carry, _):
+            st, t, gam = carry
+            st, contacts, info = nsc_step(model, coll, st, t, h,
+                                          settings, gamma_warm=gam)
+            return (st, t + h, info.joint_reactions * h), (
+                info.iterations, contacts.count)
+        (st, t, gam), (its, ncs) = jax.lax.scan(body, (state, t, gamma),
+                                                None, length=k)
+        return st, t, gam, its, ncs
+
+    gamma0 = jnp.zeros((coll.max_contacts * 3 + _bilateral_rows(model),))
+    # settle, then measure
+    st, t, gam, its, ncs = run(state, 0.0, int(os.environ.get("SUITE_SETTLE", 150)), gamma0)
+    st.x.block_until_ready()
+    t0 = time.perf_counter()
+    st, t, gam, its, ncs = run(st, t, 100, gam)
+    st.x.block_until_ready()
+    dt = time.perf_counter() - t0
+    iters = float(np.asarray(its).mean())
+    contacts = float(np.asarray(ncs).mean())
+    assert bool(jnp.isfinite(st.x).all())
+    return dict(metric="NSC mixer DVI iterations/sec (APGD)",
+                value=round(iters * 100 / dt, 1), unit="iters/s",
+                ms_per_step=round(dt / 100 * 1e3, 2),
+                rtf=round(dt / (100 * 2e-3), 2),
+                mean_contacts=int(contacts), n_spheres=n,
+                apgd_iters_per_step=round(iters, 1),
+                backend=__import__("jax").default_backend())
+
+
+def _bilateral_rows(model):
+    from chrono_tpu.physics.joints import JOINT_TYPES
+    rows = sum(JOINT_TYPES[k][1] * d.n for k, d in model.joints.items())
+    rows += sum(d.n for d in model.motors.values())   # 1 row per motor
+    return rows
+
+
+def bench_sph(n_target=None):
+    """Config #4: WCSPH dam break (fluid column collapses in a box)."""
+    import jax
+    import jax.numpy as jnp
+    from chrono_tpu.collision.cell_list import GridSpec
+    from chrono_tpu.fsi.sph.system import (
+        SPHParams, make_sph_state, make_sph_advance_fn, suggest_sph_dt,
+    )
+    from chrono_tpu.utils.samplers import grid_sample_box
+
+    n_target = n_target or int(os.environ.get("SUITE_N", 200_000))
+    # scale the column to hit the particle budget: n = (W/d0)·(W/2d0)·(H/d0)
+    d0 = 0.01
+    W = (n_target * 2.0) ** (1 / 3) * d0
+    H = W
+    L = 2.0 * W                            # tank length
+    params = SPHParams(
+        d0=jnp.asarray(d0), h=jnp.asarray(1.2 * d0),
+        rho0=jnp.asarray(1000.0), mu=jnp.asarray(1e-3),
+        c_s=jnp.asarray(10.0 * np.sqrt(2 * 9.81 * H)),
+        gravity=jnp.asarray([0.0, 0.0, -9.81]),
+        dt=jnp.asarray(1e-4),
+        max_neighbors=96, max_per_cell=64, rebuild_every=4,
+        integrator="symplectic", viscosity_model="artificial",
+    )
+    params = params.replace(dt=jnp.asarray(suggest_sph_dt(params)))
+    fluid = grid_sample_box((0, 0, 0), (W / 2, W, H), d0)[:n_target]
+    walls = []
+    for k in range(3):                     # 3 boundary layers
+        o = (k + 1) * d0
+        walls.append(grid_sample_box((-3 * d0, -3 * d0, -o),
+                                     (L + 3 * d0, W + 3 * d0, -o), d0))
+    floor = np.concatenate(walls)
+    cell = 2.0 * float(params.h)
+    grid = GridSpec(origin=(-4 * d0, -4 * d0, -4 * d0), cell_size=cell,
+                    dims=(int(np.ceil((L + 8 * d0) / cell)),
+                          int(np.ceil((W + 8 * d0) / cell)),
+                          int(np.ceil((1.6 * H + 8 * d0) / cell))))
+    state = make_sph_state(params, fluid, boundary_pts=floor)
+    n = int(fluid.shape[0])
+    adv = make_sph_advance_fn(params, grid)
+    state, ovf = adv(state, 1)
+    state.pos.block_until_ready()
+    assert int(ovf) == 0
+    cycles = int(os.environ.get("SUITE_CYCLES", 10))
+    t0 = time.perf_counter()
+    state, ovf = adv(state, cycles)
+    state.pos.block_until_ready()
+    dt = time.perf_counter() - t0
+    assert int(ovf) == 0
+    steps = cycles * params.rebuild_every
+    assert bool(jnp.isfinite(state.pos).all())
+    return dict(metric="SPH dam-break particle-steps/sec (WCSPH)",
+                value=round(n * steps / dt, 1), unit="particle-steps/s",
+                n_particles=n, n_steps=steps, wall_s=round(dt, 2),
+                backend=jax.default_backend())
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if os.environ.get("SUITE_CPU") or not _tpu_alive():
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    fns = {"mbs": bench_mbs, "mixer": bench_mixer, "sph": bench_sph}
+    names = list(fns) if which == "all" else [which]
+    for name in names:
+        out = fns[name]()
+        out["config"] = name
+        print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

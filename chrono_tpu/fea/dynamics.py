@@ -133,17 +133,28 @@ def static_solve(mesh: CableMesh, q0: Array, f_ext: Array,
 
 def make_hht_step(mesh: CableMesh, n_nodes: int, h: float,
                   alpha: float = -0.2, newton_iters: int = 10,
-                  tol: float = 1e-5):
+                  tol: float = 1e-5, f_state_fn=None):
     """Build a jitted HHT-α step (α ∈ [-1/3, 0]; α=0 → Newmark trapezoidal).
 
     Unknown = end-of-step acceleration; exact Newton matrix by autodiff.
     Returns ``step(q, qd, qdd, f_ext) -> FEAStepOut``.
+
+    ``f_state_fn(q (Nn,6), qd (Nn,6)) -> (Nn,6)``: optional state-dependent
+    load (e.g. node-cloud penalty contact, fea.contact) evaluated INSIDE the
+    residual, so Newton sees its exact tangent.
     """
     beta = (1.0 - alpha) ** 2 / 4.0
     gamma = 0.5 - alpha
     M = mass_matrix(mesh, n_nodes)
     free = ~_fixed_dof_mask(mesh, n_nodes)
     force = make_force_fn(mesh, n_nodes)
+    if f_state_fn is not None:
+        _inner = force
+
+        def force(q_flat, qd_flat, _inner=_inner):
+            extra = f_state_fn(q_flat.reshape(n_nodes, 6),
+                               qd_flat.reshape(n_nodes, 6)).reshape(-1)
+            return _inner(q_flat, qd_flat) + extra
 
     def residual(a_new, q, qd, qdd, fe):
         q_new = q + h * qd + h * h * ((0.5 - beta) * qdd + beta * a_new)
