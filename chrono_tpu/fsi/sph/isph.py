@@ -37,7 +37,7 @@ from chrono_tpu.collision.cell_list import GridSpec, min_image, wrap_positions
 from chrono_tpu.fsi.sph.state import SPHParams, SPHState, FLUID
 from chrono_tpu.fsi.sph.kernels import KERNELS, grad_w
 from chrono_tpu.fsi.sph import wcsph
-from chrono_tpu.solver.krylov import solve_cg
+from chrono_tpu.solver.krylov import solve_cg, solve_bicgstab
 
 
 def _pair_geometry(params: SPHParams, grid: GridSpec, pos, nbr_idx, nbr_valid):
@@ -75,7 +75,7 @@ def viscous_predictor(params: SPHParams, grid: GridSpec, pos, vel, rho, kind,
 def isph_substep(params: SPHParams, grid: GridSpec, state: SPHState,
                  body_acc=None, beta_density: float = 0.5,
                  cg_iters: int = 200, cg_tol: float = 1e-5,
-                 clamp_tensile: bool = True):
+                 clamp_tensile: bool = True, linear_solver: str = "cg"):
     """One projection step.  Returns (state⁺, pressure, cg_iterations)."""
     h_dt = params.dt
     m = wcsph.particle_mass(params)
@@ -146,8 +146,11 @@ def isph_substep(params: SPHParams, grid: GridSpec, state: SPHState,
 
     diag = jnp.where(interior, row_sum + alpha, scale)
     dinv = 1.0 / jnp.maximum(diag, 1e-30)
-    sol = solve_cg(A, b, Minv=lambda r_: dinv * r_, max_iter=cg_iters,
-                   tol=cg_tol)
+    # solver menu mirrors the reference's SphLinearSolver{BiCGStab,GMRES}
+    # (+ Jacobi-preconditioned CG, the symmetric default)
+    solve = {"cg": solve_cg, "bicgstab": solve_bicgstab}[linear_solver]
+    sol = solve(A, b, Minv=lambda r_: dinv * r_, max_iter=cg_iters,
+                tol=cg_tol)
     p = sol.x
     # pure-Neumann gauge: shift so min p = 0 (no-op when a surface exists)
     p_min = jnp.min(jnp.where(has_nbr, p, jnp.inf))
@@ -174,7 +177,8 @@ def isph_substep(params: SPHParams, grid: GridSpec, state: SPHState,
 
 def make_isph_advance_fn(params: SPHParams, grid: GridSpec,
                          beta_density: float = 0.5, cg_iters: int = 200,
-                         cg_tol: float = 1e-5, clamp_tensile: bool = True):
+                         cg_tol: float = 1e-5, clamp_tensile: bool = True,
+                         linear_solver: str = "cg"):
     """Jitted ``advance(state, n_cycles) -> (state, overflow, cg_iters)``."""
     from chrono_tpu.fsi.sph.system import rebuild_sph_neighbors
 
@@ -184,7 +188,7 @@ def make_isph_advance_fn(params: SPHParams, grid: GridSpec,
         def inner(st, __):
             st2, _, iters = isph_substep(params, grid, st, None,
                                          beta_density, cg_iters, cg_tol,
-                                         clamp_tensile)
+                                         clamp_tensile, linear_solver)
             return st2, iters
 
         state, iters = lax.scan(inner, state, None,

@@ -144,3 +144,22 @@ def test_isph_fsi_buoyancy():
     assert np.isfinite(np.asarray(state.fluid.pos)).all()
     # floats: stays in the upper half of the water column, doesn't sink
     assert z > 0.5 * H, f"block sank with ISPH coupling: z={z:.3f}"
+
+
+def test_bicgstab_matches_cg():
+    """The BiCGStab solver option (reference SphLinearSolverBiCGStab role)
+    reproduces the CG velocity field on the Poiseuille startup."""
+    from chrono_tpu.fsi.sph.isph import suggest_isph_dt
+
+    dt = float(suggest_isph_dt(_poiseuille_setup(1e-4)[0], v_max=0.05))
+    params, grid, state, L = _poiseuille_setup(dt)
+    adv_cg = make_isph_advance_fn(params, grid)
+    adv_bi = make_isph_advance_fn(params, grid, linear_solver="bicgstab")
+    cyc = int(0.3 / (dt * params.rebuild_every))
+    st_cg, ov1, _ = adv_cg(state, cyc)
+    st_bi, ov2, _ = adv_bi(state, cyc)
+    assert int(ov1) == 0 and int(ov2) == 0
+    v1 = np.asarray(st_cg.vel[:, 0])
+    v2 = np.asarray(st_bi.vel[:, 0])
+    scale = max(np.abs(v1).max(), 1e-9)
+    assert np.abs(v1 - v2).max() / scale < 5e-3
