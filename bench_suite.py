@@ -229,7 +229,17 @@ def bench_sph(n_target=None):
                           int(np.ceil((1.6 * H + 8 * d0) / cell))))
     state = make_sph_state(params, fluid, boundary_pts=floor)
     n = int(fluid.shape[0])
-    adv = make_sph_advance_fn(params, grid)
+    engine = os.environ.get("SUITE_SPH_ENGINE",
+                            "gather" if jax.default_backend() == "cpu"
+                            else "pencil")
+    if engine == "pencil":
+        # dense-pencil Pallas sweeps (ops.pallas.sph_pencil_kernel) — the
+        # only path whose memory scales to 1M markers on TPU (the gather
+        # neighbor lists compile to a 107 GB allocation at N=100k)
+        from chrono_tpu.fsi.sph.pencil import make_sph_advance_pencil
+        adv = make_sph_advance_pencil(params, grid, capacity=32, Bxy=4)
+    else:
+        adv = make_sph_advance_fn(params, grid)
     state, ovf = adv(state, 1)
     state.pos.block_until_ready()
     assert int(ovf) == 0
@@ -244,7 +254,7 @@ def bench_sph(n_target=None):
     return dict(metric="SPH dam-break particle-steps/sec (WCSPH)",
                 value=round(n * steps / dt, 1), unit="particle-steps/s",
                 n_particles=n, n_steps=steps, wall_s=round(dt, 2),
-                backend=jax.default_backend())
+                engine=engine, backend=jax.default_backend())
 
 
 def main():

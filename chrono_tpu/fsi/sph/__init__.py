@@ -11,3 +11,4 @@ from chrono_tpu.fsi.sph.crm import (
     CRMParams, CRMState, make_crm_state, crm_step, make_crm_advance_fn,
     drucker_prager_return, lithostatic_init,
 )
+from chrono_tpu.fsi.sph.pencil import make_sph_advance_pencil
