@@ -63,7 +63,8 @@ def bench_mbs():
     model, state = bld.finalize()
 
     h, n = 1e-3, 2000
-    st, _ = simulate(model, state, h, 10, SolverSettings(solver="direct"))
+    # warm with the SAME static scan length (a different n recompiles)
+    st, _ = simulate(model, state, h, n, SolverSettings(solver="direct"))
     st.x.block_until_ready()
     t0 = time.perf_counter()
     st, _ = simulate(model, state, h, n, SolverSettings(solver="direct"))
@@ -163,8 +164,10 @@ def bench_mixer(n_spheres=None):
         return st, t, gam, its, ncs
 
     gamma0 = jnp.zeros((coll.max_contacts * 3 + _bilateral_rows(model),))
-    # settle, then measure
-    st, t, gam, its, ncs = run(state, 0.0, int(os.environ.get("SUITE_SETTLE", 150)), gamma0)
+    # settle + warm with the SAME static scan length as the measurement
+    # (k is a static arg: a different length is a different compile)
+    st, t, gam, its, ncs = run(state, 0.0, 100, gamma0)
+    st, t, gam, its, ncs = run(st, t, 100, gam)
     st.x.block_until_ready()
     t0 = time.perf_counter()
     st, t, gam, its, ncs = run(st, t, 100, gam)
@@ -259,7 +262,9 @@ def bench_sph(n_target=None):
 
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    if os.environ.get("SUITE_CPU") or not _tpu_alive():
+    force = os.environ.get("SUITE_BACKEND", "")      # "", cpu, tpu
+    if force == "cpu" or os.environ.get("SUITE_CPU") or (
+            force != "tpu" and not _tpu_alive()):
         import jax
         jax.config.update("jax_platforms", "cpu")
     fns = {"mbs": bench_mbs, "mixer": bench_mixer, "sph": bench_sph}

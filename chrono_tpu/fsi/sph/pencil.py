@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from chrono_tpu.collision.cell_list import GridSpec, cell_ijk
+from chrono_tpu.utils.pytree import pytree_dataclass, static_field
 from chrono_tpu.fsi.sph.state import SPHParams, SPHState, FLUID
 from chrono_tpu.ops.pallas.sph_pencil_kernel import (
     sph_substep_pencil, sph_static_params, F_FEAT,
@@ -31,7 +32,41 @@ from chrono_tpu.ops.pallas.sph_pencil_kernel import (
 from chrono_tpu.ops.pallas.dem_pencil_kernel import edge_ok_xy
 
 
-def bin_to_pencils(grid: GridSpec, capacity: int, nzp: int, pos, feats):
+@pytree_dataclass
+class PencilGrid:
+    """Anisotropic pencil binning grid: FLAT cells (cell_z = h, cell_xy =
+    2h) equalize slot occupancy between bulk fluid and stacked wall layers —
+    the kernel support is covered by dz ∈ ±2 lane rotations instead of a
+    taller cell, cutting the per-cell C² pair budget ~4x."""
+
+    origin: object = static_field()      # (3,) floats
+    cell_xy: float = static_field()
+    cell_z: float = static_field()
+    dims: object = static_field()        # (nx, ny, nz)
+
+    @staticmethod
+    def for_box(lo, hi, h, support=2.0):
+        cxy = support * h
+        cz = h
+        lo = tuple(float(v) for v in lo)
+        dims = (int(np.ceil((hi[0] - lo[0]) / cxy)),
+                int(np.ceil((hi[1] - lo[1]) / cxy)),
+                int(np.ceil((hi[2] - lo[2]) / cz)))
+        return PencilGrid(origin=lo, cell_xy=cxy, cell_z=cz, dims=dims)
+
+
+def _pencil_ijk(pg: PencilGrid, pos):
+    o = jnp.asarray(pg.origin, pos.dtype)
+    ix = jnp.clip(((pos[:, 0] - o[0]) / pg.cell_xy).astype(jnp.int32),
+                  0, pg.dims[0] - 1)
+    iy = jnp.clip(((pos[:, 1] - o[1]) / pg.cell_xy).astype(jnp.int32),
+                  0, pg.dims[1] - 1)
+    iz = jnp.clip(((pos[:, 2] - o[2]) / pg.cell_z).astype(jnp.int32),
+                  0, pg.dims[2] - 1)
+    return ix, iy, iz
+
+
+def bin_to_pencils(grid, capacity: int, nzp: int, pos, feats):
     """Sort markers into cell slots, scattered directly into pencil planes.
 
     ``feats``: list of (N,) feature channels (already split).  Returns
@@ -39,9 +74,13 @@ def bin_to_pencils(grid: GridSpec, capacity: int, nzp: int, pos, feats):
     perm (N,) flat plane index per marker, overflow)."""
     n = pos.shape[0]
     nx, ny, nz = grid.dims
-    ijk = cell_ijk(grid, pos)
-    pencil = ijk[..., 0] * ny + ijk[..., 1]
-    ids = pencil * nz + ijk[..., 2]
+    if isinstance(grid, PencilGrid):
+        ix, iy, iz = _pencil_ijk(grid, pos)
+    else:
+        ijk = cell_ijk(grid, pos)
+        ix, iy, iz = ijk[..., 0], ijk[..., 1], ijk[..., 2]
+    pencil = ix * ny + iy
+    ids = pencil * nz + iz
     order = jnp.argsort(ids)
     ids_sorted = ids[order]
     first = jnp.searchsorted(ids_sorted, ids_sorted)
@@ -84,17 +123,24 @@ def pencils_to_state(feat, perm, state: SPHState) -> SPHState:
 
 
 def make_sph_advance_pencil(params: SPHParams, grid: GridSpec,
-                            capacity: int = 16, Bxy: int = 4,
+                            capacity: int = 32, Bxy: int = 4,
                             interpret: bool = False):
     """advance(state, n_cycles) -> (state, overflow) on the pencil backend.
 
     Cell size must be ≥ the kernel support (2h for cubic); non-periodic."""
-    if any(grid.periodic):
-        raise ValueError("pencil SPH supports non-periodic boxes")
     support = 2.0 * float(params.h)
-    if float(grid.cell_size) < support - 1e-9:
-        raise ValueError(f"cell {grid.cell_size} < kernel support {support}")
-    nzp = ((grid.dims[2] + 1 + 127) // 128) * 128
+    if isinstance(grid, PencilGrid):
+        if float(grid.cell_xy) < support - 1e-9:
+            raise ValueError("cell_xy below kernel support")
+        n_dz = int(np.ceil(support / float(grid.cell_z) - 1e-9))
+    else:
+        if any(grid.periodic):
+            raise ValueError("pencil SPH supports non-periodic boxes")
+        if float(grid.cell_size) < support - 1e-9:
+            raise ValueError(
+                f"cell {grid.cell_size} < kernel support {support}")
+        n_dz = 1
+    nzp = ((grid.dims[2] + n_dz + 127) // 128) * 128
     edge = edge_ok_xy(grid.dims)
     sp = sph_static_params(params)
 
@@ -103,7 +149,7 @@ def make_sph_advance_pencil(params: SPHParams, grid: GridSpec,
 
         def substep(f, _):
             return sph_substep_pencil(f, edge, sp=sp, grid_dims=grid.dims,
-                                      C=capacity, Bxy=Bxy,
+                                      C=capacity, Bxy=Bxy, n_dz=n_dz,
                                       interpret=interpret), None
 
         feat, _ = lax.scan(substep, feat, None,

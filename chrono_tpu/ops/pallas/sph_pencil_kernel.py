@@ -67,14 +67,23 @@ def _tait_rho(p, rho0, c_s, gamma):
     return rho0 * jnp.maximum(1.0 + p / B, 0.1) ** (1.0 / gamma)
 
 
-def _make_sweep_kernel(F_in, n_out, C, NZ, Bxy, ny, G, pair_fn, post_fn):
+def _make_sweep_kernel(F_in, n_out, C, NZ, Bxy, ny, G, pair_fn, post_fn,
+                       n_dz=1):
     """Shared pencil-sweep scaffolding.
 
-    pair_fn(s: F_in planes (Bxy,C,1,NZ), n: F_in planes (Bxy,1,C,NZ),
-            ok: base pair mask, acc: tuple) -> acc
-    post_fn(self planes (Bxy,C,NZ) list, acc) -> n_out planes list
+    The self-slot axis is processed in chunks of CS = 8 (one sublane tile):
+    pair temporaries are (Bxy, 8, C, NZ) instead of (Bxy, C, C, NZ), which
+    keeps VMEM pressure flat as C grows (SPH cells hold up to 32 markers —
+    wall cells stack 3 BCE layers plus fluid — vs DEM's 8).
+
+    pair_fn(s: F_in planes (Bxy,CS,1,NZ), n: F_in planes (Bxy,1,C,NZ),
+            ok: base pair mask, acc: tuple of (Bxy,CS,NZ)) -> acc
+    post_fn(self planes (Bxy,C,NZ) list, acc of (Bxy,C,NZ)) -> n_out planes
     """
     xy_lin = [dx * ny + dy for (dx, dy) in _XY_OFFSETS]
+    CS = min(8, C)
+    n_chunks = (C + CS - 1) // CS
+    assert C % CS == 0
 
     def kernel(edge_ref, feat_ref, out_ref, self_buf, nbuf, self_sem, nsem):
         b = pl.program_id(0)
@@ -91,27 +100,38 @@ def _make_sweep_kernel(F_in, n_out, C, NZ, Bxy, ny, G, pair_fn, post_fn):
         nbr_dma(0, 0).start()
         cp_self.wait()
 
-        s = [self_buf[:, f][:, :, None, :] for f in range(F_in)]
-        acc = tuple(jnp.zeros((Bxy, C, NZ), jnp.float32)
-                    for _ in range(pair_fn.n_acc))
-        neq = (jax.lax.broadcasted_iota(jnp.int32, (C, C, NZ), 0)
-               != jax.lax.broadcasted_iota(jnp.int32, (C, C, NZ), 1)
-               ).astype(jnp.float32)
+        s_chunks = [
+            [self_buf[:, f, c * CS:(c + 1) * CS][:, :, None, :]
+             for f in range(F_in)]
+            for c in range(n_chunks)]
+        accs = [tuple(jnp.zeros((Bxy, CS, NZ), jnp.float32)
+                      for _ in range(pair_fn.n_acc))
+                for _ in range(n_chunks)]
+        neqs = [
+            (jax.lax.broadcasted_iota(jnp.int32, (CS, C, NZ), 0) + c * CS
+             != jax.lax.broadcasted_iota(jnp.int32, (CS, C, NZ), 1)
+             ).astype(jnp.float32)
+            for c in range(n_chunks)]
 
         for k in range(9):
             if k + 1 < 9:
                 nbr_dma((k + 1) % 2, k + 1).start()
             nbr_dma(k % 2, k).wait()
             slab = nbuf[k % 2]
-            ok_xy = edge_ref[:, k][:, None, None, None]
-            for dz in (-1, 0, 1):
+            ok_xy = edge_ref[0, :, k][:, None, None, None]
+            for dz in range(-n_dz, n_dz + 1):
                 sl = slab if dz == 0 else pltpu.roll(slab, (-dz) % NZ, 3)
                 n = [sl[:, f][:, None, :, :] for f in range(F_in)]
-                ok = s[_VAL] * n[_VAL] * ok_xy
-                if k == 4 and dz == 0:
-                    ok = ok * neq[None]
-                acc = pair_fn(s, n, ok, acc)
+                for c in range(n_chunks):
+                    s = s_chunks[c]
+                    ok = s[_VAL] * n[_VAL] * ok_xy
+                    if k == 4 and dz == 0:
+                        ok = ok * neqs[c][None]
+                    accs[c] = pair_fn(s, n, ok, accs[c])
 
+        acc = tuple(jnp.concatenate([accs[c][a] for c in range(n_chunks)],
+                                    axis=1)
+                    for a in range(pair_fn.n_acc))
         planes = [self_buf[:, f] for f in range(F_in)]
         outs = post_fn(planes, acc)
         for f in range(n_out):
@@ -121,30 +141,33 @@ def _make_sweep_kernel(F_in, n_out, C, NZ, Bxy, ny, G, pair_fn, post_fn):
 
 
 def _pencil_sweep(feat, edge_ok, *, grid_dims, C, Bxy, n_out, pair_fn,
-                  post_fn, interpret=False, flops_per_pair=40):
+                  post_fn, interpret=False, flops_per_pair=40, n_dz=1):
     nx, ny, nz = grid_dims
     nxy = nx * ny
     F_in = feat.shape[1]
     NZp = feat.shape[3]
-    if NZp % 128 or nz > NZp - 1:
-        raise ValueError(f"NZp={NZp} must be a 128-multiple > nz={nz}")
+    if NZp % 128 or nz > NZp - n_dz:
+        raise ValueError(f"NZp={NZp} must be a 128-multiple ≥ nz+{n_dz}")
     G = ny + 1
     nxy_pad = ((nxy + Bxy - 1) // Bxy) * Bxy
     pad_lo = jnp.zeros((G, F_in, C, NZp), jnp.float32)
     pad_hi = jnp.zeros((G + nxy_pad - nxy, F_in, C, NZp), jnp.float32)
     feat_p = jnp.concatenate([pad_lo, feat, pad_hi], axis=0)
+    # (n_blocks, Bxy, 9): per-block edge slabs — block shape (1, Bxy, 9)
+    # is alignment-legal for ANY Bxy (trailing dims equal the array dims)
     edge_p = jnp.concatenate(
-        [edge_ok, jnp.zeros((9, nxy_pad - nxy), jnp.float32)], axis=1).T
+        [edge_ok, jnp.zeros((9, nxy_pad - nxy), jnp.float32)],
+        axis=1).T.reshape(nxy_pad // Bxy, Bxy, 9)
 
     kernel = _make_sweep_kernel(F_in, n_out, C, NZp, Bxy, ny, G,
-                                pair_fn, post_fn)
+                                pair_fn, post_fn, n_dz=n_dz)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nxy_pad, n_out, C, NZp),
                                        jnp.float32),
         grid=(nxy_pad // Bxy,),
         in_specs=[
-            pl.BlockSpec((Bxy, 9), lambda b: (b, 0),
+            pl.BlockSpec((1, Bxy, 9), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -158,11 +181,14 @@ def _pencil_sweep(feat, edge_ok, *, grid_dims, C, Bxy, n_out, pair_fn,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=flops_per_pair * 27 * C * C * nxy_pad * NZp,
+            flops=flops_per_pair * 9 * (2 * n_dz + 1) * C * C * nxy_pad
+            * NZp,
             bytes_accessed=(9 + 1) * F_in * C * NZp * nxy_pad * 4
             + n_out * C * NZp * nxy_pad * 4,
-            transcendentals=3 * 27 * C * C * nxy_pad * NZp,
+            transcendentals=3 * 9 * (2 * n_dz + 1) * C * C * nxy_pad * NZp,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(edge_p, feat_p)
     return out[:nxy]
@@ -178,9 +204,9 @@ def _pair_geom(s, n, h):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "sp", "grid_dims", "C", "Bxy", "interpret"))
+    "sp", "grid_dims", "C", "Bxy", "interpret", "n_dz"))
 def sph_substep_pencil(feat, edge_ok, *, sp, grid_dims, C, Bxy=4,
-                       interpret=False):
+                       interpret=False, n_dz=1):
     """One symplectic WCSPH substep on pencil planes.
 
     ``sp``: hashable dict-like (tuple of pairs) of static python-float
@@ -229,7 +255,7 @@ def sph_substep_pencil(feat, edge_ok, *, sp, grid_dims, C, Bxy=4,
 
     outA = _pencil_sweep(feat, edge_ok, grid_dims=grid_dims, C=C, Bxy=Bxy,
                          n_out=4, pair_fn=pairA, post_fn=postA,
-                         interpret=interpret)
+                         interpret=interpret, n_dz=n_dz)
 
     # ---- sweep B: momentum + kick ----
     _P, _VBX, _VBY, _VBZ = 9, 10, 11, 12
@@ -290,7 +316,7 @@ def sph_substep_pencil(feat, edge_ok, *, sp, grid_dims, C, Bxy=4,
 
     velB = _pencil_sweep(featB, edge_ok, grid_dims=grid_dims, C=C, Bxy=Bxy,
                          n_out=3, pair_fn=pairB, post_fn=postB,
-                         interpret=interpret, flops_per_pair=60)
+                         interpret=interpret, flops_per_pair=60, n_dz=n_dz)
 
     featC = jnp.concatenate(
         [feat[:, 0:3], velB, feat[:, 6:9]], axis=1)
@@ -320,7 +346,7 @@ def sph_substep_pencil(feat, edge_ok, *, sp, grid_dims, C, Bxy=4,
 
     rhoC = _pencil_sweep(featC, edge_ok, grid_dims=grid_dims, C=C, Bxy=Bxy,
                          n_out=1, pair_fn=pairC, post_fn=postC,
-                         interpret=interpret)
+                         interpret=interpret, n_dz=n_dz)
 
     featD = jnp.concatenate(
         [feat[:, 0:3], velB, rhoC, feat[:, 7:9]], axis=1)
@@ -348,7 +374,7 @@ def sph_substep_pencil(feat, edge_ok, *, sp, grid_dims, C, Bxy=4,
 
     posD = _pencil_sweep(featD, edge_ok, grid_dims=grid_dims, C=C, Bxy=Bxy,
                          n_out=3, pair_fn=pairD, post_fn=postD,
-                         interpret=interpret)
+                         interpret=interpret, n_dz=n_dz)
 
     return jnp.concatenate([posD, velB, rhoC, feat[:, 7:9]], axis=1)
 

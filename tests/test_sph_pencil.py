@@ -85,3 +85,28 @@ def test_pencil_multi_cycle_stays_physical():
     assert float(state.pos[state.kind == FLUID, 0].max()) > x0_max + 1e-5
     np.testing.assert_array_equal(np.asarray(state.pos[state.kind != FLUID]),
                                   bpos0)
+
+
+def test_flat_cell_grid_parity():
+    """Flat-cell PencilGrid (cell_z = h, dz ∈ ±2) reproduces the gather
+    backend exactly — the C=16 slot-budget layout used on TPU."""
+    from chrono_tpu.fsi.sph.pencil import PencilGrid
+
+    params, grid, state = _mini_dam()
+    ref = rebuild_sph_neighbors(params, grid, state)
+    ref = sph_substep(params, grid, ref)
+
+    lo = np.asarray(grid.origin)
+    hi = lo + np.asarray(grid.dims) * grid.cell_size
+    pg = PencilGrid.for_box(lo, hi, float(params.h))
+    adv = make_sph_advance_pencil(
+        params.replace(rebuild_every=1), pg, capacity=24, interpret=True)
+    got, ovf = adv(state, 1)
+    assert int(ovf) == 0
+    np.testing.assert_allclose(np.asarray(got.rho), np.asarray(ref.rho),
+                               rtol=2e-5, atol=1e-3)
+    v_scale = max(float(jnp.abs(ref.vel).max()), 1e-6)
+    np.testing.assert_allclose(np.asarray(got.vel), np.asarray(ref.vel),
+                               rtol=1e-4, atol=2e-5 * v_scale)
+    np.testing.assert_allclose(np.asarray(got.pos), np.asarray(ref.pos),
+                               rtol=1e-6, atol=1e-7)
