@@ -218,7 +218,10 @@ def bench_sph(n_target=None):
         integrator="symplectic", viscosity_model="artificial",
     )
     params = params.replace(dt=jnp.asarray(suggest_sph_dt(params)))
-    fluid = grid_sample_box((0, 0, 0), (W / 2, W, H), d0)[:n_target]
+    # jitter breaks the exact-lattice cell-occupancy worst case (3·3·2 per
+    # flat cell) so the pencil engine runs at C = 16
+    fluid = grid_sample_box((0, 0, 0), (W / 2, W, H), d0,
+                            jitter=0.05, seed=3)[:n_target]
     walls = []
     for k in range(3):                     # 3 boundary layers
         o = (k + 1) * d0
@@ -238,9 +241,19 @@ def bench_sph(n_target=None):
     if engine == "pencil":
         # dense-pencil Pallas sweeps (ops.pallas.sph_pencil_kernel) — the
         # only path whose memory scales to 1M markers on TPU (the gather
-        # neighbor lists compile to a 107 GB allocation at N=100k)
-        from chrono_tpu.fsi.sph.pencil import make_sph_advance_pencil
-        adv = make_sph_advance_pencil(params, grid, capacity=32, Bxy=4)
+        # neighbor lists compile to a 107 GB allocation at N=100k).
+        # Flat cells (cell_z = h) equalize wall/fluid occupancy → C = 16.
+        from chrono_tpu.fsi.sph.pencil import (
+            make_sph_advance_pencil, PencilGrid,
+        )
+        if os.environ.get("SUITE_SPH_FLAT"):
+            lo = np.asarray(grid.origin)
+            hi = lo + np.asarray(grid.dims) * grid.cell_size
+            pgrid = PencilGrid.for_box(lo, hi, float(params.h))
+        else:
+            pgrid = grid
+        cap = int(os.environ.get("SUITE_SPH_C", 32))
+        adv = make_sph_advance_pencil(params, pgrid, capacity=cap, Bxy=4)
     else:
         adv = make_sph_advance_fn(params, grid)
     state, ovf = adv(state, 1)
