@@ -1,4 +1,11 @@
-"""Pallas TPU kernel for the cell-dense DEM pair-force pass.
+"""Pallas TPU kernel for the cell-dense DEM pair-force pass (v1 — superseded).
+
+NOTE: this lane-major layout DMAs neighbor slabs at ±1/±nz/±ny·nz lane
+offsets, which Mosaic rejects for real-TPU compilation (dynamic non-128-
+aligned slices in a tiled dimension); it runs only in interpret mode and is
+kept as the reference implementation for the parity tests.  The production
+kernel is ops/pallas/dem_pencil_kernel.py (leading-dim DMA + lane rotations),
+which compiles and runs on hardware.
 
 The hot loop of the granular solver (reference: chrono_dem's force kernels,
 /root/reference/src/chrono_dem/gpu/ChDemSMC.cuh:629-696, one CUDA block per
