@@ -127,3 +127,53 @@ class SocketSync:
         self.sock.close()
         if self.server:
             self._listener.close()
+
+
+# ---------------- SCM terrain patch synchronization ----------------
+#
+# Role of the reference's SynSCMTerrainAgent
+# (/root/reference/src/chrono_synchrono/agent/SynSCMTerrainAgent.cpp): each
+# rank simulates its own vehicles on a SHARED deformable terrain; at every
+# heartbeat the accumulated plastic-sinkage deltas are exchanged and merged
+# so every rank sees the ruts carved by every other vehicle.  Merging takes
+# the element-wise MAXIMUM of plastic sinkage — soil does not heal, and max
+# is associative/commutative/idempotent, so patch merging is
+# order-independent exactly like the reference's diff application.
+
+def scm_patch_diff(state, baseline):
+    """Sparse update vs the last heartbeat: (flat indices, sinkage values)
+    of nodes whose plastic sinkage deepened."""
+    import numpy as np
+
+    cur = np.asarray(state.sinkage)
+    base = np.asarray(baseline)
+    changed = np.nonzero((cur > base + 1e-9).ravel())[0]
+    return changed.tolist(), cur.ravel()[changed].tolist()
+
+
+def scm_patch_merge(state, diffs):
+    """Apply heartbeat diffs from other agents: max-merge plastic sinkage
+    and recompute the eroded surface height."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    sink = np.asarray(state.sinkage).copy()
+    flat = sink.ravel()
+    for idx, vals in diffs:
+        idx = np.asarray(idx, int)
+        if idx.size:
+            flat[idx] = np.maximum(flat[idx], np.asarray(vals))
+    sink = flat.reshape(sink.shape)
+    return state.replace(sinkage=jnp.asarray(sink, state.z0.dtype))
+
+
+def sync_scm_over_socket(sock: "SocketSync", state, baseline):
+    """One heartbeat: send my diff, receive the peer's, merge both ways.
+    Returns (merged state, new baseline array)."""
+    import numpy as np
+
+    idx, vals = scm_patch_diff(state, baseline)
+    reply = sock.exchange({"scm_idx": idx, "scm_vals": vals})
+    merged = scm_patch_merge(
+        state, [(reply.get("scm_idx", []), reply.get("scm_vals", []))])
+    return merged, np.asarray(merged.sinkage)
