@@ -50,6 +50,7 @@ class SystemBuilder:
         self._shaft_cons = {}   # kind -> list of dicts
         self._shaft_elems = []  # clutch/spring/torque elements
         self._couplers = {}     # kind -> list of dicts (gear/pulley/rack/screw)
+        self._bushings = []
         self.gravity = np.array([0.0, 0.0, -9.81])
 
     # ---------------- bodies ----------------
@@ -279,6 +280,19 @@ class SystemBuilder:
 
     # ---------------- force elements ----------------
 
+    def add_bushing(self, body_a, body_b, world_pos, world_axis=(0, 0, 1),
+                    k_t=(1e5,) * 3, c_t=(1e3,) * 3, k_r=(1e3,) * 3,
+                    c_r=(10.0,) * 3):
+        """Compliant 6-DOF bushing (ChLinkBushing): per-axis stiffness /
+        damping in the bushing frame placed at a WORLD anchor."""
+        rot = _quat_z_to(world_axis)
+        fa_pos, fa_rot = self._world_to_local(body_a, _as3(world_pos), rot)
+        fb_pos, fb_rot = self._world_to_local(body_b, _as3(world_pos), rot)
+        self._bushings.append(dict(
+            a=body_a, b=body_b, fa_pos=fa_pos, fa_rot=fa_rot,
+            fb_pos=fb_pos, fb_rot=fb_rot,
+            k_t=_as3(k_t), c_t=_as3(c_t), k_r=_as3(k_r), c_r=_as3(c_r)))
+
     def add_tsda(self, body_a, body_b, pa_world, pb_world, k=0.0, c=0.0,
                  rest_length=None, f_actuation=0.0):
         pa_loc, _ = self._world_to_local(body_a, _as3(pa_world), None)
@@ -427,6 +441,22 @@ class SystemBuilder:
                         axis_local=jnp.asarray(
                             np.stack([i["axis"] for i in items]), dt))
 
+        bushings = None
+        if self._bushings:
+            from chrono_tpu.physics.force_elements import BushingData
+
+            e = self._bushings
+            arr3 = lambda k: jnp.asarray(np.stack([i[k] for i in e]), dt)
+            bushings = BushingData(
+                body_a=jnp.asarray([i["a"] for i in e], jnp.int32),
+                body_b=jnp.asarray([i["b"] for i in e], jnp.int32),
+                fa_pos=arr3("fa_pos"),
+                fa_rot=jnp.asarray(np.stack([_as4(i["fa_rot"]) for i in e]), dt),
+                fb_pos=arr3("fb_pos"),
+                fb_rot=jnp.asarray(np.stack([_as4(i["fb_rot"]) for i in e]), dt),
+                k_t=arr3("k_t"), c_t=arr3("c_t"),
+                k_r=arr3("k_r"), c_r=arr3("c_r"))
+
         shaft_elems = None
         if self._shaft_elems:
             from chrono_tpu.physics.shafts import ShaftTorqueElements
@@ -446,6 +476,7 @@ class SystemBuilder:
             tsda=tsda, rsda=rsda,
             shaft_constraints=shaft_cons, shaft_elements=shaft_elems,
             couplers={k: joint_data(v) for k, v in self._couplers.items()},
+            bushings=bushings,
         )
         return model, state
 

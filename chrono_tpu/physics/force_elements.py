@@ -108,3 +108,59 @@ def tsda_length(data: TSDAData, state) -> Array:
     pa = state.x[a] + Q.qrotate(state.q[a], data.pa_loc)
     pb = state.x[b] + Q.qrotate(state.q[b], data.pb_loc)
     return jnp.linalg.norm(pb - pa, axis=-1)
+
+
+@pytree_dataclass
+class BushingData:
+    """K compliant 6-DOF bushings between body frames (reference
+    ChLinkBushing, /root/reference/src/chrono/physics/ChLinkBushing.h):
+    diagonal translational/rotational stiffness + damping expressed in the
+    body-a bushing frame — the smooth alternative to a joint for mounts,
+    silent-blocks, engine mounts."""
+
+    body_a: Array   # (K,) int32
+    body_b: Array   # (K,) int32
+    fa_pos: Array   # (K, 3) frame origin in body-a local coords
+    fa_rot: Array   # (K, 4)
+    fb_pos: Array   # (K, 3)
+    fb_rot: Array   # (K, 4)
+    k_t: Array      # (K, 3) translational stiffness along frame axes
+    c_t: Array      # (K, 3)
+    k_r: Array      # (K, 3) rotational stiffness about frame axes
+    c_r: Array      # (K, 3)
+
+
+def accumulate_bushing(data: BushingData, state, f_world: Array,
+                       tau_local: Array):
+    """Add bushing forces/moments into the accumulators."""
+    a, b = data.body_a, data.body_b
+    qa = Q.qmul(state.q[a], data.fa_rot)          # world bushing frame (on a)
+    qb = Q.qmul(state.q[b], data.fb_rot)
+    ra = Q.qrotate(state.q[a], data.fa_pos)
+    rb = Q.qrotate(state.q[b], data.fb_pos)
+    pa = state.x[a] + ra
+    pb = state.x[b] + rb
+
+    # translational: displacement of b's anchor in a's bushing frame
+    d_world = pb - pa
+    d_loc = Q.qrotate_inv(qa, d_world)
+    va = state.v[a] + jnp.cross(Q.qrotate(state.q[a], state.w[a]), ra)
+    vb = state.v[b] + jnp.cross(Q.qrotate(state.q[b], state.w[b]), rb)
+    dv_loc = Q.qrotate_inv(qa, vb - va)
+    f_loc = -(data.k_t * d_loc + data.c_t * dv_loc)
+    f_w = Q.qrotate(qa, f_loc)                    # force ON body b
+
+    # rotational: small-rotation chart of the relative frame rotation
+    q_rel = Q.qmul(Q.qconj(qa), qb)
+    q_rel = jnp.where(q_rel[..., 0:1] < 0, -q_rel, q_rel)
+    th = 2.0 * q_rel[..., 1:4]                    # ≈ rotation vector (a frame)
+    w_rel = Q.qrotate_inv(qa, Q.qrotate(state.q[b], state.w[b])
+                          - Q.qrotate(state.q[a], state.w[a]))
+    m_loc = -(data.k_r * th + data.c_r * w_rel)
+    m_w = Q.qrotate(qa, m_loc)                    # moment ON body b (world)
+
+    f_world = f_world.at[b].add(f_w).at[a].add(-f_w)
+    tau_b = Q.qrotate_inv(state.q[b], m_w + jnp.cross(rb, f_w))
+    tau_a = Q.qrotate_inv(state.q[a], -m_w + jnp.cross(ra, -f_w))
+    tau_local = tau_local.at[b].add(tau_b).at[a].add(tau_a)
+    return f_world, tau_local

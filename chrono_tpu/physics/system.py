@@ -62,6 +62,7 @@ class Model:
     shaft_constraints: dict = None      # {kind: Shaft*Data} (physics.shafts)
     shaft_elements: object = None       # ShaftTorqueElements
     couplers: dict = None               # {kind: JointData} velocity-level rows
+    bushings: object = None             # fe.BushingData compliant mounts
 
     @property
     def n_bodies(self) -> int:
@@ -97,6 +98,8 @@ def applied_forces(model: Model, state: BodyState, t, f_ext=None, tau_ext=None):
         f, tau = fe.accumulate_tsda(model.tsda, state, f, tau)
     if model.rsda is not None:
         f, tau = fe.accumulate_rsda(model.rsda, state, f, tau)
+    if model.bushings is not None:
+        f, tau = fe.accumulate_bushing(model.bushings, state, f, tau)
     for kind, data in model.load_motors.items():
         fa, ta, fb, tb = motor_loads(kind, data, state.x, state.q, t)
         f = f.at[data.body_a].add(fa).at[data.body_b].add(fb)
