@@ -356,6 +356,8 @@ def dem_pencil_substep_pallas(feat, edge_ok, *, radius, kn, gn, kt=0.0,
             bytes_accessed=(9 + 2) * F_FEAT * C * NZp * nxy_pad * 4,
             transcendentals=5 * 27 * C * C * nxy_pad * NZp,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(edge_p, feat_p)
     return out[:nxy]
