@@ -185,6 +185,124 @@ def bench_mixer(n_spheres=None):
                 backend=__import__("jax").default_backend())
 
 
+def bench_mixer_pencil(n_spheres=None):
+    """Config #2 on the TPU-native engine: rotating-drum NSC granular flow,
+    APGD on the pencil multiplier lattice (chrono_tpu.solver.nsc_pencil).
+
+    The scene is the analytic-wall equivalent of the reference's mixerNSC
+    (btest_CH_mixerNSC): a spinning drum (friction-driven tumbling) instead
+    of a box+paddle, since the pencil engine's movers are analytic walls.
+    Gravity is set perpendicular to the drum's z-axis so the long axis fills
+    the lane dimension.  Reports DVI iterations/sec (the BASELINE metric).
+    """
+    import jax
+    import jax.numpy as jnp
+    from chrono_tpu.collision.cell_list import GridSpec
+    from chrono_tpu.solver.nsc_pencil import (
+        NSCPencilParams, make_nsc_pencil_advance,
+    )
+
+    n_target = n_spheres or int(os.environ.get("SUITE_N", 10_000))
+    radius = 0.03
+    fill = 0.55                      # drum volume fraction filled (settled)
+    vol = n_target * (4.0 / 3.0) * np.pi * radius ** 3 / 0.58 / fill
+    aspect = float(os.environ.get("SUITE_DRUM_ASPECT", 4.0))  # L / R
+    R = (vol / (np.pi * aspect)) ** (1 / 3)
+    L = aspect * R
+    cell = 2.1 * radius
+    nx = int(np.ceil(2 * (R + cell) / cell))
+    nz = int(np.ceil(L / cell))
+    grid = GridSpec(origin=(0.0, 0.0, 0.0), cell_size=cell,
+                    dims=(nx, nx, nz))
+    c = nx * cell / 2
+    spin = 2.0
+    walls = (
+        ("cyl", 2, (c, c, 0.0), R, spin, 0.5),
+        ("plane", (0.0, 0.0, 1.0), 0.0, (0.0, 0.0, 0.0), 0.3),
+        ("plane", (0.0, 0.0, -1.0), -L, (0.0, 0.0, 0.0), 0.3),
+    )
+    p = NSCPencilParams(radius=radius, mass=0.2, mu=0.4,
+                        gravity=(-9.81, 0.0, 0.0),   # ⊥ drum axis (z)
+                        dt=2e-3, n_iter=int(os.environ.get("SUITE_IT", 50)),
+                        envelope=0.1 * radius, omega=0.3)
+
+    # settle a blocky fill in the lower (−x) half of the drum
+    rng = np.random.default_rng(4)
+    pts = []
+    s = 2.02 * radius
+    for ix in np.arange(c - R + radius, c + R, s):
+        for iy in np.arange(c - R + radius, c + R, s):
+            for iz in np.arange(radius * 1.5, L - radius, s):
+                if (ix - c) ** 2 + (iy - c) ** 2 < (R - radius) ** 2 \
+                        and ix < c + 0.2 * R:
+                    pts.append((ix, iy, iz))
+    pts = np.asarray(pts)[:n_target]
+    pts += rng.uniform(-0.005, 0.005, pts.shape) * radius
+    n = len(pts)
+
+    adv = make_nsc_pencil_advance(p, grid, walls, backend="pallas",
+                                  Bxy=int(os.environ.get("SUITE_BXY", 1)))
+    pos = jnp.asarray(pts, jnp.float32)
+    vel = jnp.zeros((n, 3), jnp.float32)
+    om = jnp.zeros((n, 3), jnp.float32)
+    # settle + warm the compile
+    pos, vel, om, ovf = adv(pos, vel, om, 25)
+    pos.block_until_ready()
+    assert int(ovf) == 0, f"cell overflow {int(ovf)}"
+    steps = int(os.environ.get("SUITE_STEPS", 25))
+    t0 = time.perf_counter()
+    pos, vel, om, ovf = adv(pos, vel, om, steps)
+    pos.block_until_ready()
+    dt = time.perf_counter() - t0
+    assert int(ovf) == 0
+    assert bool(np.isfinite(np.asarray(pos)).all())
+
+    # count actual contacts once (pairs, each counted once) for the record
+    from chrono_tpu.dem.cell_dense import to_cells
+    field = to_cells(grid, 8, pos, vel, om)
+    npairs = _count_pairs(field, grid, radius, p.envelope)
+    return dict(metric="NSC drum DVI iterations/sec (pencil APGD)",
+                value=round(p.n_iter * steps / dt, 1), unit="iters/s",
+                ms_per_step=round(dt / steps * 1e3, 2),
+                rtf=round(dt / (steps * p.dt), 2),
+                contacts=int(npairs), n_spheres=n,
+                iters_per_step=p.n_iter,
+                grid=f"{nx}x{nx}x{nz}",
+                backend=jax.default_backend())
+
+
+def _count_pairs(field, grid, radius, envelope):
+    """Active pair-contact count (each pair once) via dense rolls."""
+    import jax.numpy as jnp
+    pos, mask = field.pos, field.mask.astype(jnp.float32)
+    total = jnp.zeros(())
+    offs = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            for dz in (-1, 0, 1)]
+    nx, ny, nz = grid.dims
+    for (dx, dy, dz) in offs:
+        npos = jnp.roll(pos, (-dx, -dy, -dz), axis=(0, 1, 2))
+        nmask = jnp.roll(mask, (-dx, -dy, -dz), axis=(0, 1, 2))
+        d = npos[..., None, :, :] - pos[..., :, None, :]
+        dist = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-18)
+        ok = (mask[..., :, None] * nmask[..., None, :]
+              * (dist < 2 * radius + envelope))
+        if (dx, dy, dz) == (0, 0, 0):
+            C = mask.shape[3]
+            ok = ok * (1 - jnp.eye(C))
+        # crude edge masking via validity of rolled cells
+        def ok1(nn, off):
+            idx = jnp.arange(nn)
+            if off == -1:
+                return idx > 0
+            if off == 1:
+                return idx < nn - 1
+            return jnp.ones((nn,), bool)
+        okc = (ok1(nx, dx)[:, None, None] & ok1(ny, dy)[None, :, None]
+               & ok1(nz, dz)[None, None, :]).astype(jnp.float32)
+        total = total + jnp.sum(ok * okc[..., None, None])
+    return float(total) / 2.0
+
+
 def _bilateral_rows(model):
     from chrono_tpu.physics.joints import JOINT_TYPES
     rows = sum(JOINT_TYPES[k][1] * d.n for k, d in model.joints.items())
@@ -280,7 +398,8 @@ def main():
             force != "tpu" and not _tpu_alive()):
         import jax
         jax.config.update("jax_platforms", "cpu")
-    fns = {"mbs": bench_mbs, "mixer": bench_mixer, "sph": bench_sph}
+    fns = {"mbs": bench_mbs, "mixer": bench_mixer, "sph": bench_sph,
+           "mixer_pencil": bench_mixer_pencil}
     names = list(fns) if which == "all" else [which]
     for name in names:
         out = fns[name]()

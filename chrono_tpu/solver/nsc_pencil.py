@@ -1,0 +1,383 @@
+"""NSC/DVI many-body stepper on the pencil lattice (BASELINE config #2).
+
+TPU-native replacement for the reference's NSC many-body path (core
+``ChSystem`` + ``ChSolverAPGD``/``ChSolverPSOR`` + the multicore data-parallel
+assembly, /root/reference/src/chrono/solver/ChSolverAPGD.cpp:30,
+src/chrono_multicore/solver/ChIterativeSolverMulticoreNSC.cpp:22) for scenes of
+many uniform spheres (mixers, drums, hoppers): the whole DVI step — binning,
+implicit contact detection, the accelerated projected-gradient cone solve and
+the velocity update — runs on the dense cell lattice with zero gathers inside
+the iteration.  See chrono_tpu.ops.pallas.nsc_pencil_kernel for the layout and
+the bitwise-symmetric duplicated-multiplier scheme.
+
+Two backends:
+  * ``pallas`` — the TPU hot path (two Pallas sweeps per iteration);
+  * ``xla``    — a roll-based dense reference (same math, same lattice),
+                 used for tests and CPU runs.
+
+The iteration is APGD (Nesterov recurrence, /root/reference/src/chrono/solver/
+ChSolverAPGD.cpp:115) with a per-cone diagonal ("Jacobi") preconditioner in
+place of the reference's adaptive-L backtracking: the step for each contact is
+``s = ω / diag_t(N)`` which is exact per-cone scaling, with the global safety
+factor ω absorbing the off-diagonal coupling.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax, Array
+
+from chrono_tpu.utils.pytree import pytree_dataclass, static_field
+from chrono_tpu.collision.cell_list import GridSpec
+from chrono_tpu.dem.cell_dense import (
+    to_cells, from_cells, field_to_pencils,
+)
+from chrono_tpu.ops.pallas.nsc_pencil_kernel import (
+    pair_geometry, pair_velocity, contact_rhs, cone_project, wall_geometry,
+    nsc_sweep_u_pallas, nsc_sweep_g_pallas, _k27,
+)
+from chrono_tpu.ops.pallas.dem_pencil_kernel import edge_ok_xy
+
+
+@pytree_dataclass
+class NSCPencilParams:
+    """Static parameters of the uniform-sphere NSC scene."""
+
+    radius: float = static_field(default=0.01)
+    mass: float = static_field(default=1.0)
+    mu: float = static_field(default=0.3)
+    gravity: tuple = static_field(default=(0.0, 0.0, -9.81))
+    dt: float = static_field(default=1e-3)
+    envelope: float = static_field(default=0.0)   # detection margin (m)
+    stab_factor: float = static_field(default=0.2)
+    max_recovery: float = static_field(default=0.5)
+    omega: float = static_field(default=0.3)      # relaxation safety
+    n_iter: int = static_field(default=50)
+
+    @property
+    def inertia(self) -> float:
+        return 0.4 * self.mass * self.radius * self.radius
+
+    def phys_tuple(self) -> tuple:
+        d = dict(radius=self.radius, inv_m=1.0 / self.mass,
+                 inv_I=1.0 / self.inertia, envelope=self.envelope,
+                 mu=self.mu, omega=self.omega,
+                 stab_over_h=self.stab_factor / self.dt,
+                 inv_h=1.0 / self.dt, max_recovery=self.max_recovery)
+        return tuple(sorted(d.items()))
+
+
+class APGDState(NamedTuple):
+    gam: Array      # γ_{k-1}
+    gprev: Array    # γ_{k-2}
+    wgam: Array
+    wgprev: Array
+    beta: Array     # β_{k-1} (forms y_k from the two lattices)
+    theta: Array    # θ_k
+
+
+def theta_next(theta):
+    return 0.5 * (-theta * theta
+                  + theta * jnp.sqrt(theta * theta + 4.0))
+
+
+_OFFSETS_XY = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+
+# --------------------------------------------------------------------------
+# XLA-dense reference backend (rolls over (nx,ny,nz,C) blocks)
+# --------------------------------------------------------------------------
+
+def _edge_ok_dense(grid: GridSpec, dx, dy, dz):
+    nx, ny, nz = grid.dims
+
+    def ok1(n, off):
+        idx = jnp.arange(n)
+        if off == -1:
+            return idx > 0
+        if off == 1:
+            return idx < n - 1
+        return jnp.ones((n,), bool)
+
+    return (ok1(nx, dx)[:, None, None] & ok1(ny, dy)[None, :, None]
+            & ok1(nz, dz)[None, None, :]).astype(jnp.float32)
+
+
+# offsets in γ-lattice order: k27 = kxy*3 + (dz+1)
+_OFFSETS_27 = [(dx, dy, dz) for (dx, dy) in _OFFSETS_XY for dz in (-1, 0, 1)]
+_SELF_K27 = _OFFSETS_27.index((0, 0, 0))
+
+
+def _neighbor_stack(grid: GridSpec, arrs):
+    """Stack all 27 rolled-neighbor views (leading axis = k27) of each array,
+    plus the (27, nx, ny, nz) edge-validity stack.  One vectorized pair block
+    over the offset axis keeps the XLA graph ~27× smaller than unrolled
+    offset loops (compile time on 1 host core is the binding constraint for
+    the dense test backend)."""
+    outs = [jnp.stack([jnp.roll(a, (-dx, -dy, -dz), axis=(0, 1, 2))
+                       for (dx, dy, dz) in _OFFSETS_27], axis=0)
+            for a in arrs]
+    edge = jnp.stack([_edge_ok_dense(grid, dx, dy, dz)
+                      for (dx, dy, dz) in _OFFSETS_27], axis=0)
+    return outs, edge
+
+
+def _pair_block(p, grid, pos, maskf, nstack_extra=()):
+    """Shared 27-offset pair tensors: geometry + validity.
+
+    Returns (nhat, gap, arm, t1, t2, ok, extras) with leading axis k27 and
+    pair axes (..., C_self, C_nbr)."""
+    C = maskf.shape[3]
+    (npos, nmask, *extras), edge = _neighbor_stack(
+        grid, (pos, maskf) + tuple(nstack_extra))
+    spx = pos[None, ..., :, None, 0]
+    spy = pos[None, ..., :, None, 1]
+    spz = pos[None, ..., :, None, 2]
+    nhat, gap, arm, t1, t2 = pair_geometry(
+        spx, spy, spz, npos[..., None, :, 0], npos[..., None, :, 1],
+        npos[..., None, :, 2], p.radius)
+    ok = (maskf[None, ..., :, None] * nmask[..., None, :]
+          * edge[..., None, None]
+          * (gap < p.envelope).astype(pos.dtype))
+    neq = (~jnp.eye(C, dtype=bool)).astype(pos.dtype)
+    sel = jnp.zeros((27,) + (1,) * 5, pos.dtype).at[_SELF_K27].set(1.0)
+    ok = ok * ((1.0 - sel) + sel * neq)
+    return nhat, gap, arm, t1, t2, ok, extras
+
+
+def dense_sweep_u(p: NSCPencilParams, grid: GridSpec, walls, pos, ufree_v,
+                  ufree_w, mask, gam, gprev, wgam, wgprev, beta):
+    """u(y) on the dense (nx,ny,nz,C) lattice.  gam: (nx,ny,nz,27,3,C,C)."""
+    inv_m = 1.0 / p.mass
+    inv_I = 1.0 / p.inertia
+    maskf = mask.astype(pos.dtype)
+    y_all = gam + beta * (gam - gprev)
+
+    nhat, gap, arm, t1, t2, ok, _ = _pair_block(p, grid, pos, maskf)
+    y = jnp.moveaxis(y_all, 3, 0)                    # (27,...,3,C,C)
+    yn, yu, yv = y[..., 0, :, :], y[..., 1, :, :], y[..., 2, :, :]
+    pf = [ok * -(yn * nhat[i] + yu * t1[i] + yv * t2[i]) for i in range(3)]
+    pt = [ok * arm * (yv * t1[i] - yu * t2[i]) for i in range(3)]
+    f = jnp.stack([jnp.sum(c, axis=(0, -1)) for c in pf], axis=-1)
+    tau = jnp.stack([jnp.sum(c, axis=(0, -1)) for c in pt], axis=-1)
+
+    # walls
+    px, py, pz = pos[..., 0], pos[..., 1], pos[..., 2]
+    yw_all = wgam + beta * (wgam - wgprev)
+    for w, wall in enumerate(walls):
+        nhat, gap, _ = wall_geometry(wall, px, py, pz, p.radius)
+        okw = maskf * (gap < p.envelope).astype(pos.dtype)
+        armw = p.radius + 0.5 * jnp.minimum(gap, 0.0)
+        t1, t2 = _wall_tangents(nhat)
+        yn = yw_all[..., w, 0]
+        yu = yw_all[..., w, 1]
+        yv = yw_all[..., w, 2]
+        f = f + jnp.stack(
+            [okw * -(yn * nhat[i] + yu * t1[i] + yv * t2[i])
+             for i in range(3)], axis=-1)
+        tau = tau + jnp.stack(
+            [okw * armw * (yv * t1[i] - yu * t2[i]) for i in range(3)],
+            axis=-1)
+
+    m = maskf[..., None]
+    return (ufree_v + inv_m * f) * m, (ufree_w + inv_I * tau) * m
+
+
+def _wall_tangents(nhat):
+    nx, ny, nz = nhat
+    use_x = (jnp.abs(nx) < 0.9).astype(nx.dtype)
+    t1x = (1.0 - use_x) * (-nz)
+    t1y = use_x * nz
+    t1z = use_x * (-ny) + (1.0 - use_x) * nx
+    tn = jax.lax.rsqrt(t1x * t1x + t1y * t1y + t1z * t1z + 1e-18)
+    t1 = (t1x * tn, t1y * tn, t1z * tn)
+    t2 = (ny * t1[2] - nz * t1[1], nz * t1[0] - nx * t1[2],
+          nx * t1[1] - ny * t1[0])
+    return t1, t2
+
+
+def dense_sweep_g(p: NSCPencilParams, grid: GridSpec, walls, pos, u_v, u_w,
+                  mask, gam, gprev, wgam, wgprev, beta):
+    """Projected-gradient update on the dense lattice → (gam⁺, wgam⁺)."""
+    inv_m = 1.0 / p.mass
+    inv_I = 1.0 / p.inertia
+    maskf = mask.astype(pos.dtype)
+    y_all = gam + beta * (gam - gprev)
+
+    nhat, gap, arm, t1, t2, ok, (nuv, nuw) = _pair_block(
+        p, grid, pos, maskf, (u_v, u_w))
+    sv = tuple(u_v[None, ..., :, None, i] for i in range(3))
+    sw = tuple(u_w[None, ..., :, None, i] for i in range(3))
+    nv = tuple(nuv[..., None, :, i] for i in range(3))
+    nw = tuple(nuw[..., None, :, i] for i in range(3))
+    gn_v, gu_v, gv_v = pair_velocity(nhat, t1, t2, arm, sv, nv, sw, nw)
+    bn = contact_rhs(gap, p.stab_factor / p.dt, 1.0 / p.dt, p.max_recovery)
+    y = jnp.moveaxis(y_all, 3, 0)
+    s = p.omega / (2.0 * inv_m + 2.0 * arm * arm * inv_I)
+    pn, pu, pv = cone_project(
+        y[..., 0, :, :] - s * (gn_v - bn),
+        y[..., 1, :, :] - s * gu_v,
+        y[..., 2, :, :] - s * gv_v, p.mu)
+    out = jnp.moveaxis(
+        jnp.stack([ok * pn, ok * pu, ok * pv], axis=-3), 0, 3)
+
+    wout = jnp.zeros_like(wgam)
+    px, py, pz = pos[..., 0], pos[..., 1], pos[..., 2]
+    v0 = tuple(u_v[..., i] for i in range(3))
+    w0 = tuple(u_w[..., i] for i in range(3))
+    yw_all = wgam + beta * (wgam - wgprev)
+    for w, wall in enumerate(walls):
+        mu_w = wall[4] if wall[0] == "plane" else wall[5]
+        nhat, gap, vsurf = wall_geometry(wall, px, py, pz, p.radius)
+        okw = maskf * (gap < p.envelope).astype(pos.dtype)
+        armw = p.radius + 0.5 * jnp.minimum(gap, 0.0)
+        t1, t2 = _wall_tangents(nhat)
+        gn_v, gu_v, gv_v = pair_velocity(
+            nhat, t1, t2, armw, v0, vsurf, w0,
+            (jnp.zeros_like(px),) * 3)
+        bn = contact_rhs(gap, p.stab_factor / p.dt, 1.0 / p.dt,
+                         p.max_recovery)
+        s = p.omega / (1.0 / p.mass + armw * armw / p.inertia)
+        pn, pu, pv = cone_project(
+            yw_all[..., w, 0] - s * (gn_v - bn),
+            yw_all[..., w, 1] - s * gu_v,
+            yw_all[..., w, 2] - s * gv_v, mu_w)
+        wout = wout.at[..., w, :].set(
+            jnp.stack([okw * pn, okw * pu, okw * pv], axis=-1))
+    return out, wout
+
+
+# --------------------------------------------------------------------------
+# drivers
+# --------------------------------------------------------------------------
+
+def make_nsc_pencil_advance(p: NSCPencilParams, grid: GridSpec, walls,
+                            capacity: int = 8, backend: str = "pallas",
+                            Bxy: int = 1, interpret: bool = False):
+    """Build ``advance(pos, vel, omega, n_steps) -> (pos, vel, omega, info)``.
+
+    One DVI step = re-bin → ``n_iter`` APGD iterations on the multiplier
+    lattice (cold start) → velocity update → explicit position update —
+    the lattice equivalent of ``ChSystem::AdvanceDynamics``
+    (/root/reference/src/chrono/physics/ChSystem.cpp:1581).
+    """
+    nx, ny, nz = grid.dims
+    if any(grid.periodic):
+        raise ValueError("nsc pencil supports non-periodic boxes")
+    nxy = nx * ny
+    nxy_pad = ((nxy + Bxy - 1) // Bxy) * Bxy
+    nzp = ((nz + 1 + 127) // 128) * 128
+    phys = p.phys_tuple()
+    W = len(walls)
+    lat = 27 * 3 * capacity
+    gvec = jnp.asarray(p.gravity, jnp.float32)
+
+    if backend == "pallas":
+        edge_table = edge_ok_xy(grid.dims)
+
+        def solve(field):
+            feat = field_to_pencils(field, nzp)
+
+            def one_iter(st: APGDState, _):
+                u = nsc_sweep_u_pallas(
+                    feat, edge_table, st.gam, st.gprev, st.wgam, st.wgprev,
+                    st.beta, phys=phys, walls=walls, grid_dims=grid.dims,
+                    C=capacity, Bxy=Bxy, interpret=interpret)
+                featU = jnp.concatenate(
+                    [feat[:, :3], u, feat[:, 9:]], axis=1)
+                gnew, wnew = nsc_sweep_g_pallas(
+                    featU, edge_table, st.gam, st.gprev, st.wgam, st.wgprev,
+                    st.beta, phys=phys, walls=walls, grid_dims=grid.dims,
+                    C=capacity, Bxy=Bxy, interpret=interpret)
+                th_n = theta_next(st.theta)
+                beta = st.theta * (1.0 - st.theta) / (
+                    st.theta * st.theta + th_n)
+                return APGDState(gam=gnew, gprev=st.gam, wgam=wnew,
+                                 wgprev=st.wgam, beta=beta, theta=th_n), None
+
+            st0 = APGDState(
+                gam=jnp.zeros((nxy_pad, lat, capacity, nzp), jnp.float32),
+                gprev=jnp.zeros((nxy_pad, lat, capacity, nzp), jnp.float32),
+                wgam=jnp.zeros((nxy_pad, 3 * max(W, 1), capacity, nzp),
+                               jnp.float32),
+                wgprev=jnp.zeros((nxy_pad, 3 * max(W, 1), capacity, nzp),
+                                 jnp.float32),
+                beta=jnp.zeros((), jnp.float32),
+                theta=jnp.ones((), jnp.float32))
+            st, _ = lax.scan(one_iter, st0, None, length=p.n_iter)
+            u = nsc_sweep_u_pallas(
+                feat, edge_table, st.gam, st.gam, st.wgam, st.wgam,
+                jnp.zeros((), jnp.float32), phys=phys, walls=walls,
+                grid_dims=grid.dims, C=capacity, Bxy=Bxy,
+                interpret=interpret)
+
+            def grab(a, f0):  # (NXY, 6, C, NZp) → (nx,ny,nz,C,3)
+                return a[:, f0:f0 + 3, :, :nz].transpose(0, 3, 2, 1).reshape(
+                    nx, ny, nz, capacity, 3)
+
+            return grab(u, 0), grab(u, 3)
+
+    elif backend == "xla":
+
+        def solve(field):
+            pos, ufv, ufw, mask = field.pos, field.vel, field.omega, \
+                field.mask
+
+            def one_iter(st: APGDState, _):
+                uv, uw = dense_sweep_u(p, grid, walls, pos, ufv, ufw, mask,
+                                       st.gam, st.gprev, st.wgam, st.wgprev,
+                                       st.beta)
+                gnew, wnew = dense_sweep_g(p, grid, walls, pos, uv, uw, mask,
+                                           st.gam, st.gprev, st.wgam,
+                                           st.wgprev, st.beta)
+                th_n = theta_next(st.theta)
+                beta = st.theta * (1.0 - st.theta) / (
+                    st.theta * st.theta + th_n)
+                return APGDState(gam=gnew, gprev=st.gam, wgam=wnew,
+                                 wgprev=st.wgam, beta=beta, theta=th_n), None
+
+            C = capacity
+            st0 = APGDState(
+                gam=jnp.zeros((nx, ny, nz, 27, 3, C, C), jnp.float32),
+                gprev=jnp.zeros((nx, ny, nz, 27, 3, C, C), jnp.float32),
+                wgam=jnp.zeros((nx, ny, nz, C, max(W, 1), 3), jnp.float32),
+                wgprev=jnp.zeros((nx, ny, nz, C, max(W, 1), 3), jnp.float32),
+                beta=jnp.zeros((), jnp.float32),
+                theta=jnp.ones((), jnp.float32))
+            st, _ = lax.scan(one_iter, st0, None, length=p.n_iter)
+            uv, uw = dense_sweep_u(p, grid, walls, pos, ufv, ufw, mask,
+                                   st.gam, st.gam, st.wgam, st.wgam,
+                                   jnp.zeros((), jnp.float32))
+            return uv, uw
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+
+    def step(pos, vel, omega):
+        ufree = vel + p.dt * gvec
+        field = to_cells(grid, capacity, pos, ufree, omega)
+        uv_f, uw_f = solve(field)
+        vel2, om2 = from_cells(field, uv_f, uw_f)
+        pos2 = pos + p.dt * vel2
+        return pos2, vel2, om2, field.overflow
+
+    step_jit = jax.jit(step)
+
+    def advance(pos, vel, omega, n_steps: int):
+        ovf = jnp.zeros((), jnp.int32)
+        for _ in range(n_steps):
+            pos, vel, omega, ov = step_jit(pos, vel, omega)
+            ovf = jnp.maximum(ovf, ov)
+        return pos, vel, omega, ovf
+
+    return advance
+
+
+# dense-lattice wall γ layout differs between backends (the dense backend
+# keeps (..., C, W, 3) for convenience); only the pencil/Pallas layout is
+# performance-relevant.

@@ -1,0 +1,215 @@
+"""Tests for the NSC/DVI pencil-lattice stepper (BASELINE config #2 engine).
+
+Physics fixtures in the spirit of the reference's NSC unit tests
+(utest_SMC/utest_CH contact tests): rest on plane, stack equilibrium,
+momentum conservation, friction-cone behavior — plus cross-backend parity
+(XLA dense rolls vs the Pallas kernels in interpret mode) and the
+duplicated-multiplier bitwise-symmetry invariant.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from chrono_tpu.collision.cell_list import GridSpec
+from chrono_tpu.solver.nsc_pencil import (
+    NSCPencilParams, make_nsc_pencil_advance, dense_sweep_g, dense_sweep_u,
+    APGDState,
+)
+from chrono_tpu.dem.cell_dense import to_cells
+
+R = 0.05
+
+
+def _grid(n=6, cell_mult=2.1):
+    return GridSpec(origin=(0.0, 0.0, 0.0), cell_size=cell_mult * R,
+                    dims=(n, n, n))
+
+
+FLOOR = (("plane", (0.0, 0.0, 1.0), 0.0, (0.0, 0.0, 0.0), 0.4),)
+
+
+def test_sphere_rest_on_plane():
+    p = NSCPencilParams(radius=R, mass=0.5, mu=0.4, dt=1e-3, n_iter=40,
+                        envelope=0.002 * R)
+    adv = make_nsc_pencil_advance(p, _grid(4), FLOOR, backend="xla")
+    pos = jnp.asarray([[0.2, 0.2, R]])
+    vel = jnp.zeros((1, 3))
+    om = jnp.zeros((1, 3))
+    pos, vel, om, ovf = adv(pos, vel, om, 40)
+    assert int(ovf) == 0
+    # stays on the floor: small residual velocity, penetration < 5% R
+    assert abs(float(vel[0, 2])) < 0.02
+    assert float(pos[0, 2]) > 0.95 * R
+
+
+def test_two_sphere_stack_equilibrium():
+    p = NSCPencilParams(radius=R, mass=0.5, mu=0.4, dt=1e-3, n_iter=60,
+                        envelope=0.002 * R)
+    adv = make_nsc_pencil_advance(p, _grid(4), FLOOR, backend="xla")
+    pos = jnp.asarray([[0.2, 0.2, R], [0.2, 0.2, 3.0 * R]])
+    vel = jnp.zeros((2, 3))
+    om = jnp.zeros((2, 3))
+    pos, vel, om, ovf = adv(pos, vel, om, 60)
+    assert int(ovf) == 0
+    assert np.all(np.abs(np.asarray(vel)) < 0.05)
+    # stack preserved (top sphere supported by bottom)
+    assert float(pos[1, 2] - pos[0, 2]) > 1.8 * R
+    assert float(pos[0, 2]) > 0.9 * R
+
+
+def test_head_on_momentum_conservation():
+    # no gravity, no walls: DVI contact conserves linear momentum exactly
+    p = NSCPencilParams(radius=R, mass=0.5, mu=0.3, gravity=(0.0, 0.0, 0.0),
+                        dt=1e-3, n_iter=40, envelope=0.1 * R)
+    adv = make_nsc_pencil_advance(p, _grid(5), (), backend="xla")
+    pos = jnp.asarray([[0.2, 0.25, 0.25], [0.2 + 2.05 * R, 0.25, 0.25]])
+    vel = jnp.asarray([[0.5, 0.0, 0.0], [-0.5, 0.0, 0.0]])
+    om = jnp.zeros((2, 3))
+    ptot0 = jnp.sum(vel, axis=0) * p.mass
+    for _ in range(3):
+        pos, vel, om, _ = adv(pos, vel, om, 10)
+    ptot = jnp.sum(vel, axis=0) * p.mass
+    np.testing.assert_allclose(np.asarray(ptot), np.asarray(ptot0),
+                               atol=1e-5)
+    # inelastic normal impact (DVI, zero restitution): relative normal
+    # velocity killed up to the Baumgarte penetration-recovery push-out
+    # (the reference's max_penetration_recovery_speed artifact,
+    # ChSystem.cpp:1626 — separation ≤ stab_factor·pen/h)
+    assert abs(float(vel[1, 0] - vel[0, 0])) < 0.15
+
+
+def test_friction_slows_slider():
+    # sphere sliding on the floor decelerates at ~ mu g while slipping
+    p = NSCPencilParams(radius=R, mass=0.5, mu=0.3, dt=1e-3, n_iter=40,
+                        envelope=0.002 * R)
+    adv = make_nsc_pencil_advance(p, _grid(4), FLOOR, backend="xla")
+    pos = jnp.asarray([[0.12, 0.2, R * 0.999]])
+    vel = jnp.asarray([[1.0, 0.0, 0.0]])
+    om = jnp.zeros((1, 3))
+    n = 100  # travels ≤ 0.1 m, stays inside the 0.42 m box
+    pos, vel, om, _ = adv(pos, vel, om, n)
+    v1 = float(vel[0, 0])
+    # friction transfers slip into rolling: terminal state rolls at 5/7 v0
+    # (sphere on plane, sliding→rolling transition), never accelerates
+    assert v1 < 1.0
+    assert v1 > 0.4
+    # rolling direction consistent: ω_y > 0 for +x motion
+    assert float(om[0, 1]) > 0.0
+
+    # frictionless: keeps sliding at v0
+    p0 = NSCPencilParams(radius=R, mass=0.5, mu=0.0, dt=1e-3, n_iter=40,
+                         envelope=0.002 * R)
+    adv0 = make_nsc_pencil_advance(p0, _grid(4), (
+        ("plane", (0.0, 0.0, 1.0), 0.0, (0.0, 0.0, 0.0), 0.0),),
+        backend="xla")
+    pos = jnp.asarray([[0.12, 0.2, R * 0.999]])
+    vel = jnp.asarray([[1.0, 0.0, 0.0]])
+    om = jnp.zeros((1, 3))
+    pos, vel, om, _ = adv0(pos, vel, om, n)
+    np.testing.assert_allclose(float(vel[0, 0]), 1.0, rtol=2e-3)
+
+
+def test_backend_parity_pallas_interpret():
+    # identical few-step trajectories from the dense-roll and Pallas paths
+    rng = np.random.default_rng(3)
+    n = 14
+    p = NSCPencilParams(radius=R, mass=0.5, mu=0.3, dt=1e-3, n_iter=10,
+                        envelope=0.002 * R)
+    grid = _grid(5)
+    pos0 = jnp.asarray(rng.uniform(0.12, 0.4, (n, 3)))
+    vel0 = jnp.asarray(rng.normal(0.0, 0.2, (n, 3)))
+    om0 = jnp.zeros((n, 3))
+    adv_x = make_nsc_pencil_advance(p, grid, FLOOR, backend="xla")
+    adv_p = make_nsc_pencil_advance(p, grid, FLOOR, backend="pallas",
+                                    interpret=True)
+    px, vx, ox, ovx = adv_x(pos0, vel0, om0, 2)
+    pp, vp, op_, ovp = adv_p(pos0, vel0, om0, 2)
+    assert int(ovx) == 0 and int(ovp) == 0
+    np.testing.assert_allclose(np.asarray(px), np.asarray(pp), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(vx), np.asarray(vp), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ox), np.asarray(op_), atol=2e-3)
+
+
+def test_duplicated_multiplier_symmetry():
+    """γ stored from either side of a pair stays consistent: mirrored slot
+    with (n, u) equal and v negated."""
+    rng = np.random.default_rng(5)
+    n = 16
+    p = NSCPencilParams(radius=R, mass=0.5, mu=0.3, dt=1e-3, n_iter=12,
+                        envelope=0.002 * R)
+    grid = _grid(5)
+    pos = jnp.asarray(rng.uniform(0.12, 0.4, (n, 3)))
+    vel = jnp.asarray(rng.normal(0.0, 0.3, (n, 3)))
+    om = jnp.zeros((n, 3))
+    field = to_cells(grid, 8, pos, vel, om)
+
+    C = 8
+
+    @jax.jit
+    def one_iter(st):
+        uv, uw = dense_sweep_u(p, grid, FLOOR, field.pos, field.vel,
+                               field.omega, field.mask, st.gam, st.gprev,
+                               st.wgam, st.wgprev, st.beta)
+        gnew, wnew = dense_sweep_g(p, grid, FLOOR, field.pos, uv, uw,
+                                   field.mask, st.gam, st.gprev, st.wgam,
+                                   st.wgprev, st.beta)
+        return APGDState(gam=gnew, gprev=st.gam, wgam=wnew, wgprev=st.wgam,
+                         beta=jnp.asarray(0.3), theta=st.theta)
+
+    st = APGDState(
+        gam=jnp.zeros(grid.dims + (27, 3, C, C), jnp.float32),
+        gprev=jnp.zeros(grid.dims + (27, 3, C, C), jnp.float32),
+        wgam=jnp.zeros(grid.dims + (C, 1, 3), jnp.float32),
+        wgprev=jnp.zeros(grid.dims + (C, 1, 3), jnp.float32),
+        beta=jnp.zeros(()), theta=jnp.ones(()))
+    for _ in range(p.n_iter):
+        st = one_iter(st)
+
+    gam = np.asarray(st.gam)
+    offs = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            for dz in (-1, 0, 1)]
+    nx, ny, nz = grid.dims
+    checked = 0
+    for k, (dx, dy, dz) in enumerate(offs):
+        km = offs.index((-dx, -dy, -dz))
+        for ix in range(max(0, -dx), min(nx, nx - dx)):
+            for iy in range(max(0, -dy), min(ny, ny - dy)):
+                for iz in range(max(0, -dz), min(nz, nz - dz)):
+                    a = gam[ix, iy, iz, k]            # (3, C, C)
+                    b = gam[ix + dx, iy + dy, iz + dz, km]
+                    if not np.any(a):
+                        continue
+                    np.testing.assert_array_equal(a[0], b[0].T)
+                    np.testing.assert_array_equal(a[1], b[1].T)
+                    np.testing.assert_array_equal(a[2], -b[2].T)
+                    checked += 1
+    assert checked > 0
+
+
+def test_rotating_drum_entrains():
+    # a spinning drum (axis y) drags particles up the wall via friction
+    p = NSCPencilParams(radius=R, mass=0.2, mu=0.5, dt=2e-3, n_iter=30,
+                        envelope=0.002 * R)
+    grid = GridSpec(origin=(0.0, 0.0, 0.0), cell_size=2.1 * R,
+                    dims=(10, 4, 10))
+    cx, cz = 5 * 2.1 * R, 5 * 2.1 * R
+    drum = (("cyl", 1, (cx, 0.0, cz), 4.5 * 2.1 * R, 3.0, 0.5),
+            ("plane", (0.0, 1.0, 0.0), 0.0, (0.0, 0.0, 0.0), 0.2),
+            ("plane", (0.0, -1.0, 0.0), -4 * 2.1 * R, (0.0, 0.0, 0.0), 0.2))
+    rng = np.random.default_rng(7)
+    n = 40
+    pos = np.stack([rng.uniform(cx - 0.2, cx + 0.2, n),
+                    rng.uniform(0.1, 0.3, n),
+                    rng.uniform(0.12, 0.3, n)], axis=1)
+    adv = make_nsc_pencil_advance(p, grid, drum, backend="xla")
+    pos, vel, om, ovf = adv(jnp.asarray(pos), jnp.zeros((n, 3)),
+                            jnp.zeros((n, 3)), 60)
+    assert int(ovf) == 0
+    # wall friction entrains the touching particles, and none escaped
+    sp = np.linalg.norm(np.asarray(vel), axis=1)
+    assert float(np.max(sp)) > 0.1
+    rad = np.sqrt((np.asarray(pos)[:, 0] - cx) ** 2
+                  + (np.asarray(pos)[:, 2] - cz) ** 2)
+    assert float(rad.max()) < 4.5 * 2.1 * R
