@@ -59,6 +59,8 @@ class NSCPencilParams:
     max_recovery: float = static_field(default=0.5)
     omega: float = static_field(default=0.3)      # relaxation safety
     n_iter: int = static_field(default=50)
+    restart_every: int = static_field(default=0)  # Nesterov θ reset (0=off)
+    track_residual: bool = static_field(default=False)  # per-iter ‖Δγ‖
 
     @property
     def inertia(self) -> float:
@@ -85,6 +87,24 @@ class APGDState(NamedTuple):
 def theta_next(theta):
     return 0.5 * (-theta * theta
                   + theta * jnp.sqrt(theta * theta + 4.0))
+
+
+def _momentum_update(st: APGDState, gnew, wnew, p: NSCPencilParams, k):
+    """Shared Nesterov recurrence (+ optional periodic restart) and the
+    per-iteration Δγ stagnation metric (the role of the reference's Δλ
+    history, ChIterativeSolverVI.h:74)."""
+    theta = st.theta
+    if p.restart_every:
+        theta = jnp.where((k > 0) & (k % p.restart_every == 0), 1.0, theta)
+    th_n = theta_next(theta)
+    beta = theta * (1.0 - theta) / (theta * theta + th_n)
+    if p.track_residual:
+        dg = jnp.sqrt(jnp.sum((gnew - st.gam) ** 2)
+                      + jnp.sum((wnew - st.wgam) ** 2))
+    else:
+        dg = jnp.zeros(())
+    return APGDState(gam=gnew, gprev=st.gam, wgam=wnew, wgprev=st.wgam,
+                     beta=beta, theta=th_n), dg
 
 
 _OFFSETS_XY = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
@@ -284,7 +304,7 @@ def make_nsc_pencil_advance(p: NSCPencilParams, grid: GridSpec, walls,
         def solve(field):
             feat = field_to_pencils(field, nzp)
 
-            def one_iter(st: APGDState, _):
+            def one_iter(st: APGDState, k):
                 u = nsc_sweep_u_pallas(
                     feat, edge_table, st.gam, st.gprev, st.wgam, st.wgprev,
                     st.beta, phys=phys, walls=walls, grid_dims=grid.dims,
@@ -295,11 +315,7 @@ def make_nsc_pencil_advance(p: NSCPencilParams, grid: GridSpec, walls,
                     featU, edge_table, st.gam, st.gprev, st.wgam, st.wgprev,
                     st.beta, phys=phys, walls=walls, grid_dims=grid.dims,
                     C=capacity, Bxy=Bxy, interpret=interpret)
-                th_n = theta_next(st.theta)
-                beta = st.theta * (1.0 - st.theta) / (
-                    st.theta * st.theta + th_n)
-                return APGDState(gam=gnew, gprev=st.gam, wgam=wnew,
-                                 wgprev=st.wgam, beta=beta, theta=th_n), None
+                return _momentum_update(st, gnew, wnew, p, k)
 
             st0 = APGDState(
                 gam=jnp.zeros((nxy_pad, lat, capacity, nzp), jnp.float32),
@@ -310,7 +326,7 @@ def make_nsc_pencil_advance(p: NSCPencilParams, grid: GridSpec, walls,
                                  jnp.float32),
                 beta=jnp.zeros((), jnp.float32),
                 theta=jnp.ones((), jnp.float32))
-            st, _ = lax.scan(one_iter, st0, None, length=p.n_iter)
+            st, dgam = lax.scan(one_iter, st0, jnp.arange(p.n_iter))
             u = nsc_sweep_u_pallas(
                 feat, edge_table, st.gam, st.gam, st.wgam, st.wgam,
                 jnp.zeros((), jnp.float32), phys=phys, walls=walls,
@@ -321,7 +337,7 @@ def make_nsc_pencil_advance(p: NSCPencilParams, grid: GridSpec, walls,
                 return a[:, f0:f0 + 3, :, :nz].transpose(0, 3, 2, 1).reshape(
                     nx, ny, nz, capacity, 3)
 
-            return grab(u, 0), grab(u, 3)
+            return grab(u, 0), grab(u, 3), dgam
 
     elif backend == "xla":
 
@@ -329,18 +345,14 @@ def make_nsc_pencil_advance(p: NSCPencilParams, grid: GridSpec, walls,
             pos, ufv, ufw, mask = field.pos, field.vel, field.omega, \
                 field.mask
 
-            def one_iter(st: APGDState, _):
+            def one_iter(st: APGDState, k):
                 uv, uw = dense_sweep_u(p, grid, walls, pos, ufv, ufw, mask,
                                        st.gam, st.gprev, st.wgam, st.wgprev,
                                        st.beta)
                 gnew, wnew = dense_sweep_g(p, grid, walls, pos, uv, uw, mask,
                                            st.gam, st.gprev, st.wgam,
                                            st.wgprev, st.beta)
-                th_n = theta_next(st.theta)
-                beta = st.theta * (1.0 - st.theta) / (
-                    st.theta * st.theta + th_n)
-                return APGDState(gam=gnew, gprev=st.gam, wgam=wnew,
-                                 wgprev=st.wgam, beta=beta, theta=th_n), None
+                return _momentum_update(st, gnew, wnew, p, k)
 
             C = capacity
             st0 = APGDState(
@@ -350,29 +362,32 @@ def make_nsc_pencil_advance(p: NSCPencilParams, grid: GridSpec, walls,
                 wgprev=jnp.zeros((nx, ny, nz, C, max(W, 1), 3), jnp.float32),
                 beta=jnp.zeros((), jnp.float32),
                 theta=jnp.ones((), jnp.float32))
-            st, _ = lax.scan(one_iter, st0, None, length=p.n_iter)
+            st, dgam = lax.scan(one_iter, st0, jnp.arange(p.n_iter))
             uv, uw = dense_sweep_u(p, grid, walls, pos, ufv, ufw, mask,
                                    st.gam, st.gam, st.wgam, st.wgam,
                                    jnp.zeros((), jnp.float32))
-            return uv, uw
+            return uv, uw, dgam
     else:
         raise ValueError(f"unknown backend {backend!r}")
 
     def step(pos, vel, omega):
         ufree = vel + p.dt * gvec
         field = to_cells(grid, capacity, pos, ufree, omega)
-        uv_f, uw_f = solve(field)
+        uv_f, uw_f, dgam = solve(field)
         vel2, om2 = from_cells(field, uv_f, uw_f)
         pos2 = pos + p.dt * vel2
-        return pos2, vel2, om2, field.overflow
+        return pos2, vel2, om2, field.overflow, dgam
 
     step_jit = jax.jit(step)
 
     def advance(pos, vel, omega, n_steps: int):
         ovf = jnp.zeros((), jnp.int32)
+        dgam = None
         for _ in range(n_steps):
-            pos, vel, omega, ov = step_jit(pos, vel, omega)
+            pos, vel, omega, ov, dgam = step_jit(pos, vel, omega)
             ovf = jnp.maximum(ovf, ov)
+        if p.track_residual:
+            return pos, vel, omega, ovf, dgam   # last step's ‖Δγ‖ series
         return pos, vel, omega, ovf
 
     return advance

@@ -188,6 +188,24 @@ def test_duplicated_multiplier_symmetry():
     assert checked > 0
 
 
+def test_residual_history_converges():
+    """track_residual returns the per-iteration ‖Δγ‖ series (the reference's
+    ChIterativeSolverVI Δλ history role) and it decays over the solve."""
+    p = NSCPencilParams(radius=R, mass=0.5, mu=0.4, dt=1e-3, n_iter=30,
+                        envelope=0.002 * R, track_residual=True,
+                        restart_every=12)
+    adv = make_nsc_pencil_advance(p, _grid(4), FLOOR, backend="xla")
+    pos = jnp.asarray([[0.2, 0.2, R], [0.2, 0.2, 3.0 * R],
+                       [0.2 + 2.02 * R, 0.2, R]])
+    out = adv(pos, jnp.zeros((3, 3)), jnp.zeros((3, 3)), 8)
+    pos2, vel2, om2, ovf, dgam = out
+    dgam = np.asarray(dgam)
+    assert dgam.shape == (30,)
+    assert np.isfinite(dgam).all()
+    # stagnation metric decays by the end of the solve
+    assert dgam[-1] < 0.5 * (dgam[1:6].max() + 1e-12)
+
+
 def test_rotating_drum_entrains():
     # a spinning drum (axis y) drags particles up the wall via friction
     p = NSCPencilParams(radius=R, mass=0.2, mu=0.5, dt=2e-3, n_iter=30,
