@@ -144,6 +144,141 @@ def neighbor_candidates(
     return cand.reshape(Q, -1), valid.reshape(Q, -1)
 
 
+def build_slot_table(grid: GridSpec, pos: Array, max_per_cell: int):
+    """Dense per-cell slot table — the TPU-layout-friendly broadphase.
+
+    Replaces the sort+searchsorted lookup (:func:`neighbor_candidates`) whose
+    composed XLA program lowers ``searchsorted`` to 4 ms while-loops and pushes
+    the downstream gathers onto the scalar core (measured on v5e: 61 ms for a
+    2 000-sphere detect).  Here cell membership is materialized once as a
+    ``(n_cells, K)`` table via one flat scatter, so every later lookup is plain
+    index arithmetic + a tiled 2-D row gather (the fast TPU gather pattern).
+
+    Same role as the reference multicore broadphase's count/scan/fill
+    (/root/reference/src/chrono/collision/multicore/ChBroadphase.cpp) with the
+    CUB scan replaced by sort + boundary-rank.
+
+    Returns ``(table (n_cells, K) int32 with -1 fill, overflow () int32)``.
+    """
+    n = pos.shape[0]
+    ids = cell_index(grid, pos)
+    order = jnp.argsort(ids)
+    ids_sorted = ids[order]
+    # rank within cell, without searchsorted: segment starts via cummax
+    arange = jnp.arange(n, dtype=jnp.int32)
+    boundary = jnp.concatenate([
+        jnp.ones((1,), bool), ids_sorted[1:] != ids_sorted[:-1]])
+    first = jax.lax.cummax(jnp.where(boundary, arange, 0))
+    rank = arange - first
+    overflow = jnp.maximum(
+        (rank.max() + 1 if n else 0) - max_per_cell, 0).astype(jnp.int32)
+    K = max_per_cell
+    flat = ids_sorted * K + jnp.minimum(rank, K - 1)
+    table = jnp.full((grid.n_cells * K,), -1, jnp.int32)
+    table = table.at[flat].set(
+        jnp.where(rank < K, order.astype(jnp.int32), -1),
+        mode="drop")
+    return table.reshape(grid.n_cells, K), overflow
+
+
+def neighbor_candidates_table(grid: GridSpec, table: Array,
+                              query_ijk: Array) -> tuple[Array, Array]:
+    """3×3×3 neighborhood candidates from a :func:`build_slot_table` table.
+
+    Returns ``(cand (Q, 27·K) int32, valid (Q, 27·K) bool)`` like
+    :func:`neighbor_candidates`, with no searchsorted anywhere — one row
+    gather from the table.
+    """
+    nx, ny, nz = grid.dims
+    for ax in range(3):
+        if grid.periodic[ax] and grid.dims[ax] < 3:
+            raise ValueError(
+                f"periodic axis {ax} needs >=3 cells (got {grid.dims[ax]})")
+    dims = jnp.asarray(grid.dims, jnp.int32)
+    periodic = jnp.asarray(grid.periodic)
+    offs = jnp.asarray(_OFFSETS_27, jnp.int32)
+    nb = query_ijk[:, None, :] + offs[None, :, :]          # (Q, 27, 3)
+    in_range = jnp.all((nb >= 0) & (nb < dims) | periodic[None, None, :],
+                       axis=-1)
+    nb = jnp.mod(nb, dims)
+    cells = (nb[..., 0] * ny + nb[..., 1]) * nz + nb[..., 2]
+    cand = table[cells]                                    # (Q, 27, K)
+    valid = (cand >= 0) & in_range[..., None]
+    Q = query_ijk.shape[0]
+    return cand.reshape(Q, -1), valid.reshape(Q, -1)
+
+
+def build_feature_table(grid: GridSpec, pos: Array, feat: Array,
+                        max_per_cell: int):
+    """Scatter per-particle feature rows into the cell-slot table.
+
+    ``feat``: (N, ch).  Returns ``(table (n_cells, K·ch) float32, overflow)``
+    where each table row packs K slots × ch channels contiguously — so a
+    3×3×3 neighborhood fetch is 27 *row* gathers of K·ch consecutive floats
+    (the TPU-fast gather pattern; element gathers from 1-D sources lower to
+    the scalar core, measured 6 ms per 864 k-element gather on v5e).
+    Slots beyond a cell's occupancy are all-zero; callers should carry an
+    explicit validity channel in ``feat``.
+    """
+    n, ch = feat.shape
+    ids = cell_index(grid, pos)
+    order = jnp.argsort(ids)
+    ids_sorted = ids[order]
+    arange = jnp.arange(n, dtype=jnp.int32)
+    boundary = jnp.concatenate([
+        jnp.ones((1,), bool), ids_sorted[1:] != ids_sorted[:-1]])
+    first = jax.lax.cummax(jnp.where(boundary, arange, 0))
+    rank = arange - first
+    overflow = jnp.maximum(rank.max() + 1 - max_per_cell, 0).astype(jnp.int32)
+    K = max_per_cell
+    flat = ids_sorted * K + jnp.minimum(rank, K - 1)
+    rows = jnp.where((rank < K)[:, None], feat[order], 0.0)
+    table = jnp.zeros((grid.n_cells * K, ch), feat.dtype)
+    table = table.at[flat].set(rows, mode="drop")
+    return table.reshape(grid.n_cells, K * ch), overflow
+
+
+def neighbor_feature_rows(grid: GridSpec, table: Array, query_ijk: Array,
+                          max_per_cell: int, ch: int):
+    """Fetch the 3×3×3 neighborhood's packed feature rows per query.
+
+    Returns ``(feat (Q, 27, K, ch), in_range (Q, 27) bool)``.
+    """
+    nx, ny, nz = grid.dims
+    dims = jnp.asarray(grid.dims, jnp.int32)
+    periodic = jnp.asarray(grid.periodic)
+    offs = jnp.asarray(_OFFSETS_27, jnp.int32)
+    nb = query_ijk[:, None, :] + offs[None, :, :]
+    in_range = jnp.all((nb >= 0) & (nb < dims) | periodic[None, None, :],
+                       axis=-1)
+    nb = jnp.mod(nb, dims)
+    cells = (nb[..., 0] * ny + nb[..., 1]) * nz + nb[..., 2]
+    rows = table[cells]                       # (Q, 27, K·ch) row gather
+    Q = query_ijk.shape[0]
+    return rows.reshape(Q, 27, max_per_cell, ch), in_range
+
+
+def topk_select(ok: Array, capacity: int):
+    """Indices of the first ``capacity`` True entries of ``ok`` (stable).
+
+    Drop-in for ``jnp.nonzero(ok, size=capacity, fill_value=n)`` which lowers
+    to a scalar-core scatter on TPU (measured 7.5 ms at 864 k);  a stable
+    argsort on the validity key keeps everything on the vector units
+    (measured 0.22 ms).  Returns ``(sel (capacity,) int32, active (capacity,)
+    bool, count () int32)``; inactive slots point at entry n−1.
+    """
+    n = ok.shape[0]
+    order = jnp.argsort(jnp.where(ok, 0, 1).astype(jnp.int8),
+                        stable=True).astype(jnp.int32)
+    if capacity > n:
+        order = jnp.concatenate(
+            [order, jnp.full((capacity - n,), n - 1, jnp.int32)])
+    sel = order[:capacity]
+    active = jnp.zeros((capacity,), bool).at[: min(capacity, n)].set(
+        ok[sel[: min(capacity, n)]])
+    return jnp.where(active, sel, n - 1), active, jnp.sum(ok).astype(jnp.int32)
+
+
 def cell_occupancy_max(grid: GridSpec, pos: Array) -> Array:
     """Max particles in any cell (for capacity asserts / auto-tuning)."""
     ids = cell_index(grid, pos)

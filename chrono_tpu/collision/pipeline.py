@@ -23,7 +23,8 @@ from chrono_tpu.physics.body import BodyState
 from chrono_tpu.physics.constraints import ConstraintRows
 from chrono_tpu.collision import narrowphase as nphase
 from chrono_tpu.collision.cell_list import (
-    GridSpec, build_cell_list, cell_ijk, neighbor_candidates,
+    GridSpec, cell_ijk, build_feature_table, neighbor_feature_rows,
+    topk_select,
 )
 from chrono_tpu.collision.mpr import (
     ConvexShape, mpr_contact_batch, SPHERE as _MPR_SPHERE,
@@ -120,42 +121,61 @@ def _sphere_world(shapes: SphereShapes, state: BodyState):
 def detect_contacts(coll: CollisionModel, state: BodyState) -> Contacts:
     """Broadphase (uniform grid) + narrowphase → masked contact buffer.
 
-    Sphere–sphere via the cell list; sphere–box dense (few boxes). Friction is
-    combined with the minimum rule (conservative; the reference's composition
-    strategy is configurable — ChContactMaterial composition).
+    Sphere–sphere via a packed-feature cell-slot table; sphere–box dense (few
+    boxes). Friction is combined with the minimum rule (conservative; the
+    reference's composition strategy is configurable — ChContactMaterial
+    composition).
+
+    TPU layout notes (measured on v5e, see cell_list.build_feature_table):
+    every per-candidate quantity is fetched through ONE wide row gather of
+    channel-packed table rows — per-channel 1-D gathers and ``jnp.nonzero``
+    lower to the scalar core and cost milliseconds each at ~1e6 candidates.
+    Per-segment results are packed as 10-channel rows
+    ``[gap, n(3), p(3), mu, body_a, body_b]`` and compacted by one stable
+    argsort (:func:`~chrono_tpu.collision.cell_list.topk_select`).
     """
     sp = coll.spheres
     S = sp.n
     centers = _sphere_world(sp, state)                     # (S,3)
 
-    # per-segment flat buffers [ok, body_a, body_b, gap, normal, point, mu];
-    # all segments concatenate, then ONE fixed-capacity nonzero select
-    segs = []
-    if S > 0:
-        cl = build_cell_list(coll.grid, centers)
-        qijk = cell_ijk(coll.grid, centers)
-        cand, valid = neighbor_candidates(coll.grid, cl, qijk,
-                                          coll.max_per_cell)
-        C = cand.shape[1]
+    segs_pack, segs_ok = [], []
 
-        # sphere-sphere candidate filtering
-        i_idx = jnp.broadcast_to(jnp.arange(S)[:, None], (S, C))
-        j_idx = cand
-        pair_ok = valid & (j_idx > i_idx)                  # dedupe i<j
-        # no self-body contacts (e.g. multi-sphere rigid clusters)
-        pair_ok &= sp.body[i_idx] != sp.body[jnp.maximum(j_idx, 0)]
+    def pack(ok, a, b, gap, n, p, mu):
+        rows = jnp.stack([
+            gap, n[..., 0], n[..., 1], n[..., 2],
+            p[..., 0], p[..., 1], p[..., 2], mu,
+            a.astype(jnp.float32), b.astype(jnp.float32)], axis=-1)
+        segs_pack.append(rows.reshape(-1, 10))
+        segs_ok.append(ok.reshape(-1))
+
+    if S > 0:
+        # channels: [x, y, z, radius, mu, body, index, valid]
+        feat = jnp.stack([
+            centers[:, 0], centers[:, 1], centers[:, 2],
+            sp.radius, sp.mu, sp.body.astype(jnp.float32),
+            jnp.arange(S, dtype=jnp.float32), jnp.ones((S,), jnp.float32),
+        ], axis=1)
+        table, _ovf = build_feature_table(coll.grid, centers, feat,
+                                          coll.max_per_cell)
+        qijk = cell_ijk(coll.grid, centers)
+        nf, in_range = neighbor_feature_rows(coll.grid, table, qijk,
+                                             coll.max_per_cell, 8)
+        # neighbor channels (S, 27, K); self quantities broadcast (S, 1, 1)
+        cb = jnp.stack([nf[..., 0], nf[..., 1], nf[..., 2]], axis=-1)
+        ca = centers[:, None, None, :]
         gap, n, p = nphase.sphere_sphere(
-            centers[i_idx], sp.radius[i_idx],
-            centers[jnp.maximum(j_idx, 0)],
-            sp.radius[jnp.maximum(j_idx, 0)],
-        )
-        j_safe = jnp.maximum(j_idx, 0)
-        segs.append(dict(
-            ok=(pair_ok & (gap < coll.envelope)).reshape(-1),
-            a=sp.body[i_idx].reshape(-1), b=sp.body[j_safe].reshape(-1),
-            gap=gap.reshape(-1), n=n.reshape(-1, 3), p=p.reshape(-1, 3),
-            mu=jnp.minimum(sp.mu[i_idx], sp.mu[j_safe]).reshape(-1),
-        ))
+            ca, sp.radius[:, None, None], cb, nf[..., 3])
+        i_f = jnp.arange(S, dtype=jnp.float32)[:, None, None]
+        pair_ok = ((nf[..., 7] > 0.0) & in_range[..., None]
+                   & (nf[..., 6] > i_f)                    # dedupe i<j
+                   & (nf[..., 5] != sp.body.astype(jnp.float32)[
+                       :, None, None])                     # no self-body
+                   & (gap < coll.envelope))
+        pack(pair_ok,
+             jnp.broadcast_to(sp.body.astype(jnp.float32)[:, None, None],
+                              gap.shape),
+             nf[..., 5], gap, n, p,
+             jnp.minimum(sp.mu[:, None, None], nf[..., 4]))
 
     # sphere-box dense pairs
     if S > 0 and coll.boxes is not None and coll.boxes.n > 0:
@@ -169,13 +189,11 @@ def detect_contacts(coll: CollisionModel, state: BodyState) -> Contacts:
         )                                                   # (S, B)
         sb_ok = (gap_b < coll.envelope) & (
             sp.body[:, None] != bx.body[None, :])
-        segs.append(dict(
-            ok=sb_ok.reshape(-1),
-            a=jnp.broadcast_to(sp.body[:, None], (S, B)).reshape(-1),
-            b=jnp.broadcast_to(bx.body[None, :], (S, B)).reshape(-1),
-            gap=gap_b.reshape(-1), n=n_b.reshape(-1, 3), p=p_b.reshape(-1, 3),
-            mu=jnp.minimum(sp.mu[:, None], bx.mu[None, :]).reshape(-1),
-        ))
+        pack(sb_ok,
+             jnp.broadcast_to(sp.body[:, None], (S, B)),
+             jnp.broadcast_to(bx.body[None, :], (S, B)),
+             gap_b, n_b, p_b,
+             jnp.minimum(sp.mu[:, None], bx.mu[None, :]))
 
     # general convex shapes via MPR: convex-convex (dense i<j) + convex-sphere
     if coll.convex is not None and coll.convex.n > 0:
@@ -197,11 +215,8 @@ def detect_contacts(coll: CollisionModel, state: BodyState) -> Contacts:
             if cv.family is not None:
                 fam = cv.family
                 cc_ok &= ~((fam[iu] == fam[ju]) & (fam[iu] > 0))
-            segs.append(dict(
-                ok=cc_ok, a=cv.body[iu], b=cv.body[ju],
-                gap=gap_cc, n=n_cc, p=p_cc,
-                mu=jnp.minimum(cv.mu[iu], cv.mu[ju]),
-            ))
+            pack(cc_ok, cv.body[iu], cv.body[ju], gap_cc, n_cc, p_cc,
+                 jnp.minimum(cv.mu[iu], cv.mu[ju]))
         if S > 0:
             V = cv.verts.shape[1]
             ii = jnp.repeat(jnp.arange(S), K)
@@ -217,26 +232,19 @@ def detect_contacts(coll: CollisionModel, state: BodyState) -> Contacts:
             gap_sc, n_sc, p_sc = mpr_contact_batch(sph, cvx)
             sc_ok = (gap_sc < jnp.minimum(coll.envelope, 0.0)) & (
                 sp.body[ii] != cv.body[jj])
-            segs.append(dict(
-                ok=sc_ok, a=sp.body[ii], b=cv.body[jj],
-                gap=gap_sc, n=n_sc, p=p_sc,
-                mu=jnp.minimum(sp.mu[ii], cv.mu[jj]),
-            ))
+            pack(sc_ok, sp.body[ii], cv.body[jj], gap_sc, n_sc, p_sc,
+                 jnp.minimum(sp.mu[ii], cv.mu[jj]))
 
-    all_ok = jnp.concatenate([s["ok"] for s in segs])
-    n_tot = all_ok.shape[0]
-    K_cap = coll.max_contacts
-    sel = jnp.nonzero(all_ok, size=K_cap, fill_value=n_tot)[0]
-    safe = jnp.minimum(sel, n_tot - 1)
-
-    def gather(key):
-        return jnp.concatenate([s[key] for s in segs])[safe]
+    all_ok = jnp.concatenate(segs_ok)
+    all_rows = jnp.concatenate(segs_pack, axis=0)          # (n_tot, 10)
+    sel, active, count = topk_select(all_ok, coll.max_contacts)
+    got = all_rows[sel]                                    # one row gather
 
     return Contacts(
-        body_a=gather("a"), body_b=gather("b"), point=gather("p"),
-        normal=gather("n"), gap=gather("gap"), mu=gather("mu"),
-        active=sel < n_tot,
-        count=jnp.sum(all_ok).astype(jnp.int32),
+        body_a=got[:, 8].astype(jnp.int32),
+        body_b=got[:, 9].astype(jnp.int32),
+        point=got[:, 4:7], normal=got[:, 1:4], gap=got[:, 0],
+        mu=got[:, 7], active=active, count=count,
     )
 
 

@@ -147,8 +147,21 @@ def _solve(rows: ConstraintRows, model: Model, v_free, w_free,
         gamma = solve_dense_schur(rows, model.props, v_free, w_free)
         return gamma, jnp.ones((), jnp.int32), jnp.zeros((), v_free.dtype)
 
-    Nop = lambda g: desc.schur_product(rows, model.props, g)
-    r = desc.schur_rhs(rows, v_free, w_free)
+    packed = desc.pack_rows(rows)
+    minv8 = desc.pack_minv(model.props)
+    # Solver-iteration hot path: Dᵀγ through the per-body incidence gather
+    # (vector-unit friendly); if any movable body exceeds the valence bound
+    # the whole solve falls back to the scatter-add form (correct, slower).
+    plan = desc.build_gather_plan(packed, minv8)
+
+    def Nop(g):
+        return jax.lax.cond(
+            plan.overflow == 0,
+            lambda gg: desc.schur_product_plan(packed, minv8, plan, gg),
+            lambda gg: desc.schur_product_packed(packed, minv8, gg),
+            g)
+
+    r = desc.schur_rhs_packed(packed, desc.pack_u(v_free, w_free))
     project = make_projector(m - 3 * n_contacts, n_contacts, mu)
     g0 = jnp.zeros((m,), v_free.dtype) if gamma0 is None else gamma0
     if settings.solver == "apgd":
@@ -162,7 +175,7 @@ def _solve(rows: ConstraintRows, model: Model, v_free, w_free,
                                     settings.max_iter, settings.tol)
     elif settings.solver == "pjacobi":
         sol = vi_solvers.solve_pjacobi(
-            Nop, r, project, g0, desc.diag_N(rows, model.props),
+            Nop, r, project, g0, desc.diag_N_packed(packed, minv8),
             settings.max_iter, settings.tol)
     elif settings.solver in ("cg", "minres", "gmres"):
         # Krylov LS menu for BILATERAL-ONLY systems (the reference's
@@ -170,7 +183,7 @@ def _solve(rows: ConstraintRows, model: Model, v_free, w_free,
         # projection needs the VI solvers above
         from chrono_tpu.solver import krylov
 
-        dinv = 1.0 / desc.diag_N(rows, model.props)
+        dinv = 1.0 / desc.diag_N_packed(packed, minv8)
         if settings.solver == "cg":
             ls = krylov.solve_cg(Nop, -r, Minv=lambda x: dinv * x,
                                  max_iter=settings.max_iter,
@@ -232,8 +245,9 @@ def step_euler_implicit_linearized(
         n_contacts=n_contacts, mu=contact_mu, gamma0=gamma_warm,
     )
     if rows.m > 0:
-        v_new, w_new = desc.velocity_update(rows, model.props, gamma,
-                                            v_free, w_free)
+        v_new, w_new = desc.velocity_update_packed(
+            desc.pack_rows(rows), desc.pack_minv(model.props), gamma,
+            desc.pack_u(v_free, w_free))
     else:
         v_new, w_new = v_free, w_free
 
