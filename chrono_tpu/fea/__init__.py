@@ -4,3 +4,5 @@ from chrono_tpu.fea.modal import fea_modes, eigenmodes, craig_bampton, linearize
 from chrono_tpu.fea.beam import BeamMesh, BeamProps, BeamBuilder
 from chrono_tpu.fea.tetra import TetraMesh, TetraProps, TetraBuilder
 from chrono_tpu.fea.contact import NodeCloudContact, make_contact_force_fn
+from chrono_tpu.fea.ancf import (ANCFElement, ANCFMesh, beam_material_D0_Dv,
+                                 build_ancf_element, build_ancf_mesh)

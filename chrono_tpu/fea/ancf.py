@@ -1,0 +1,404 @@
+"""Fully-parameterized ANCF elements, continuum-mechanics formulation.
+
+TPU-native counterpart of the reference's ANCF element family built on the
+Enhanced Continuum Mechanics / Selective Reduced Integration (ECM/SRI)
+method (Gerstmayr & Shabana):
+
+* ChElementBeamANCF_3243 (/root/reference/src/chrono/fea/
+  ChElementBeamANCF_3243.cpp:2943 shape set, :1412 internal forces) —
+  2-node fully parameterized beam, 8 shape functions (position + 3 gradient
+  vectors per node).
+* ChElementBeamANCF_3333 (ChElementBeamANCF_3333.cpp Calc_Sxi_compact) —
+  3-node beam, 9 shape functions (position + 2 transverse gradients).
+
+Design differences from the reference (this is NOT a translation):
+the reference hand-derives the internal force and Jacobian assembly
+(~2 000 lines per element of unrolled matrix algebra).  Here each element
+is defined ONLY by (a) its compact shape-function derivative table and
+(b) the D0/Dv stiffness split; the Green strain at every quadrature point
+is a closed-form function of the nodal-coordinate matrix, and forces /
+Jacobians come from jax.vjp / jax.jvp / jax.jacfwd over that function.
+Precomputation (reference-configuration Jacobians, GQ weights, mass
+matrices) runs once in numpy float64; the runtime path is fp32-safe
+because strains are built from the DELTA of the nodal coordinates against
+the reference (the F0/E0 residuals are precomputed in float64), the same
+pattern as fea/solid.py and fea/tetra.py.
+
+Conventions (must match the golden data layout,
+/root/reference/data/testing/fea/UT_ANCFBeam_*):
+  e         (NSF, 3) nodal coordinate matrix, rows = [pos_A, grad vectors A,
+            pos_B, ...]; flattening row-major gives the reference's 3·NSF
+            generalized coordinate vector.
+  Voigt     eps = [E11, E22, E33, 2·E23, 2·E13, 2·E12]
+  Fi        internal force = −∂U/∂e (restoring); golden K = −∂Fi/∂e,
+            golden R = −∂Fi/∂ė.
+Damping is the reference's single-coefficient structural model
+(sigma += alpha · D · eps_dot).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from chrono_tpu.utils.pytree import pytree_dataclass, static_field
+
+
+# --------------------------------------------------------------------------
+# materials
+# --------------------------------------------------------------------------
+
+
+def beam_material_D0_Dv(E, nu, G=None, k1=1.0, k2=1.0):
+    """ChMaterialBeamANCF's D0 (diagonal, no Poisson) / Dv (3×3 normal-strain
+    Poisson coupling) split (/root/reference/src/chrono/fea/
+    ChMaterialBeamANCF.cpp:56-94).  Isotropic unless E/nu/G are 3-vectors."""
+    E = np.broadcast_to(np.asarray(E, np.float64), (3,))
+    nu = np.broadcast_to(np.asarray(nu, np.float64), (3,))
+    if G is None:
+        G = E / (2.0 * (1.0 + nu))
+    G = np.broadcast_to(np.asarray(G, np.float64), (3,))
+    nu12, nu13, nu23 = nu
+    nu21 = nu12 * E[1] / E[0]
+    nu31 = nu13 * E[2] / E[0]
+    nu32 = nu23 * E[2] / E[1]
+    k = (1.0 - nu23 * nu32 - nu12 * nu21 - nu13 * nu31
+         - nu12 * nu23 * nu31 - nu21 * nu32 * nu13)
+    D0 = np.array([E[0], E[1], E[2], G[2], G[1] * k1, G[0] * k2])
+    Dv = np.array([
+        [E[0] * (1 - nu23 * nu32) / k - D0[0],
+         E[0] * (nu23 * nu31 + nu21) / k,
+         E[0] * (nu21 * nu32 + nu31) / k],
+        [E[1] * (nu13 * nu32 + nu12) / k,
+         E[1] * (1 - nu13 * nu31) / k - D0[1],
+         E[1] * (nu12 * nu31 + nu32) / k],
+        [E[2] * (nu12 * nu23 + nu13) / k,
+         E[2] * (nu13 * nu21 + nu23) / k,
+         E[2] * (1 - nu12 * nu21) / k - D0[2]],
+    ])
+    # the reference stores Dv transposed relative to the usual symmetric
+    # layout (rows are strain components) — for isotropic materials it is
+    # symmetric anyway; keep the row convention of the source.
+    return D0, Dv
+
+
+# --------------------------------------------------------------------------
+# shape-function tables (compact form + derivatives), numpy float64
+# --------------------------------------------------------------------------
+
+
+def _sxi_3243(xi, eta, zeta, lx, ly, lz):
+    return np.array([
+        0.25 * (xi ** 3 - 3 * xi + 2),
+        0.125 * lx * (xi ** 3 - xi ** 2 - xi + 1),
+        0.25 * ly * eta * (1 - xi),
+        0.25 * lz * zeta * (1 - xi),
+        0.25 * (-xi ** 3 + 3 * xi + 2),
+        0.125 * lx * (xi ** 3 + xi ** 2 - xi - 1),
+        0.25 * ly * eta * (1 + xi),
+        0.25 * lz * zeta * (1 + xi),
+    ])
+
+
+def _sxi_d_3243(xi, eta, zeta, lx, ly, lz):
+    d_xi = [0.75 * (xi ** 2 - 1),
+            0.125 * lx * (3 * xi ** 2 - 2 * xi - 1),
+            -0.25 * ly * eta,
+            -0.25 * lz * zeta,
+            0.75 * (-xi ** 2 + 1),
+            0.125 * lx * (3 * xi ** 2 + 2 * xi - 1),
+            0.25 * ly * eta,
+            0.25 * lz * zeta]
+    d_eta = [0, 0, 0.25 * ly * (1 - xi), 0, 0, 0, 0.25 * ly * (1 + xi), 0]
+    d_zeta = [0, 0, 0, 0.25 * lz * (1 - xi), 0, 0, 0, 0.25 * lz * (1 + xi)]
+    return np.stack([d_xi, d_eta, d_zeta], axis=1)
+
+
+def _sxi_3333(xi, eta, zeta, lx, ly, lz):
+    return np.array([
+        0.5 * (xi ** 2 - xi),
+        0.25 * ly * eta * (xi ** 2 - xi),
+        0.25 * lz * zeta * (xi ** 2 - xi),
+        0.5 * (xi ** 2 + xi),
+        0.25 * ly * eta * (xi ** 2 + xi),
+        0.25 * lz * zeta * (xi ** 2 + xi),
+        1.0 - xi ** 2,
+        0.5 * ly * eta * (1 - xi ** 2),
+        0.5 * lz * zeta * (1 - xi ** 2),
+    ])
+
+
+def _sxi_d_3333(xi, eta, zeta, lx, ly, lz):
+    d_xi = [0.5 * (2 * xi - 1),
+            0.25 * ly * eta * (2 * xi - 1),
+            0.25 * lz * zeta * (2 * xi - 1),
+            0.5 * (2 * xi + 1),
+            0.25 * ly * eta * (2 * xi + 1),
+            0.25 * lz * zeta * (2 * xi + 1),
+            -2.0 * xi,
+            -ly * eta * xi,
+            -lz * zeta * xi]
+    d_eta = [0, 0.25 * ly * (xi ** 2 - xi), 0,
+             0, 0.25 * ly * (xi ** 2 + xi), 0,
+             0, 0.5 * ly * (1 - xi ** 2), 0]
+    d_zeta = [0, 0, 0.25 * lz * (xi ** 2 - xi),
+              0, 0, 0.25 * lz * (xi ** 2 + xi),
+              0, 0, 0.5 * lz * (1 - xi ** 2)]
+    return np.stack([d_xi, d_eta, d_zeta], axis=1)
+
+
+#: family name → (NSF, S, S_D, NP axis GQ points, NT cross GQ points)
+#:
+#: GQ orders are FULL integration (5×3×3), not the reference's runtime-reduced
+#: 3×2×2 (ChElementBeamANCF_3243.h:74-75): the recorded golden data
+#: (UT_ANCFBeam_*_IntFrc*/Jac*) was generated with full integration — verified
+#: numerically: at the golden small-displacement state the 3×2×2 rule is off by
+#: exact rational factors (1.05, 1.225) on the geometric-coupling entries while
+#: 5×3×3 matches to ~1e-7 relative.  The extra points are nearly free here
+#: (batched einsum over NIP).
+FAMILIES = {
+    "beam_3243": (8, _sxi_3243, _sxi_d_3243, 5, 3),
+    "beam_3333": (9, _sxi_3333, _sxi_d_3333, 5, 3),
+}
+
+
+# --------------------------------------------------------------------------
+# per-element precompute (numpy float64)
+# --------------------------------------------------------------------------
+
+
+@pytree_dataclass
+class ANCFElement:
+    """One precomputed ANCF element (batch with jax.vmap over a stacked
+    pytree for meshes)."""
+
+    SD: Array        # (NIP, NSF, 3)  shape derivs · J0⁻¹ at each GQ point
+    kgq: Array       # (NIP,)  det(J0)·weight (positive)
+    F0: Array        # (NIP, 3, 3) reference deformation gradient (≈ I)
+    E0: Array        # (NIP, 6) reference Voigt strain residual (≈ 0)
+    D0: Array        # (6,)
+    Dv: Array        # (3, 3)
+    mass: Array      # (NSF, NSF) compact mass matrix (exact GQ)
+    mlump: Array     # (NSF,) HRZ diagonal-scaled lumped mass (all positive)
+    gvec: Array      # (NSF,) ∫ρ S dV  (gravity force = outer(gvec, g))
+    e0: Array        # (NSF, 3) reference nodal coordinates
+    n_ip_d0: int = static_field()
+    alpha: Array = 0.0     # structural damping coefficient
+
+
+def build_ancf_element(family: str, e0, dims, rho, D0, Dv,
+                       alpha=0.0) -> ANCFElement:
+    """Precompute one element against reference coords ``e0`` (NSF, 3).
+
+    ``dims`` = (lenX, thicknessY, thicknessZ) as passed to the reference's
+    SetDimensions.  All heavy lifting in float64; outputs stored fp32-ready
+    (kept float64 here, cast where used — tests may run either precision).
+    """
+    nsf, sfun, sdfun, NP, NT = FAMILIES[family]
+    e0 = np.asarray(e0, np.float64)
+    assert e0.shape == (nsf, 3)
+    lx, ly, lz = (float(d) for d in dims)
+
+    xs, wxs = np.polynomial.legendre.leggauss(NP)
+    ts, wts = np.polynomial.legendre.leggauss(NT)
+
+    SD, kgq, F0, E0 = [], [], [], []
+
+    def add_point(xi, eta, zeta, w):
+        Sd = sdfun(xi, eta, zeta, lx, ly, lz)          # (NSF, 3)
+        J0 = e0.T @ Sd                                 # (3, 3)
+        Sd_adj = Sd @ np.linalg.inv(J0)
+        F = e0.T @ Sd_adj                              # ≈ I
+        Egl = 0.5 * (F.T @ F - np.eye(3))
+        SD.append(Sd_adj)
+        kgq.append(np.linalg.det(J0) * w)
+        F0.append(F)
+        E0.append(np.array([Egl[0, 0], Egl[1, 1], Egl[2, 2],
+                            2 * Egl[1, 2], 2 * Egl[0, 2], 2 * Egl[0, 1]]))
+
+    # D0 block: full NP × NT × NT integration (reference loop order:
+    # index = it_zeta + it_eta·NT + it_xi·NT² — zeta fastest)
+    for ix in range(NP):
+        for ie in range(NT):
+            for iz in range(NT):
+                add_point(xs[ix], ts[ie], ts[iz], wxs[ix] * wts[ie] * wts[iz])
+    n_ip_d0 = NP * NT * NT
+    # Dv block: reduced 1-point cross section (eta = zeta = 0, weight 2·2)
+    for ix in range(NP):
+        add_point(xs[ix], 0.0, 0.0, wxs[ix] * 4.0)
+
+    # exact mass matrix + gravity vector (high-order GQ; the integrands are
+    # polynomials so any sufficiently high order is exact — reference uses
+    # 5-6 pts axial, 2 pts cross)
+    xm, wxm = np.polynomial.legendre.leggauss(8)
+    tm, wtm = np.polynomial.legendre.leggauss(3)
+    M = np.zeros((nsf, nsf))
+    gvec = np.zeros((nsf,))
+    m_elem = 0.0
+    for ix in range(8):
+        for ie in range(3):
+            for iz in range(3):
+                S = sfun(xm[ix], tm[ie], tm[iz], lx, ly, lz)
+                Sd = sdfun(xm[ix], tm[ie], tm[iz], lx, ly, lz)
+                detJ = np.linalg.det(e0.T @ Sd)
+                w = rho * detJ * wxm[ix] * wtm[ie] * wtm[iz]
+                M += w * np.outer(S, S)
+                gvec += w * S
+                m_elem += w
+    # HRZ lumping: row-sum lumping of ANCF mass matrices yields near-zero and
+    # NEGATIVE gradient-DOF masses (verified: −3.6e-4 on a 4-element
+    # cantilever), unusable for explicit stepping/preconditioning.  Scale the
+    # (always positive) diagonal so the lumped total equals the element mass.
+    mlump = np.diag(M) * (m_elem / np.trace(M))
+
+    f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
+    return ANCFElement(
+        SD=f32(np.stack(SD)), kgq=f32(np.asarray(kgq)),
+        F0=f32(np.stack(F0)), E0=f32(np.stack(E0)),
+        D0=f32(D0), Dv=f32(Dv), mass=f32(M), mlump=f32(mlump),
+        gvec=f32(gvec), e0=f32(e0),
+        n_ip_d0=n_ip_d0, alpha=jnp.asarray(alpha, jnp.float32),
+    )
+
+
+# --------------------------------------------------------------------------
+# runtime (jittable)
+# --------------------------------------------------------------------------
+
+
+def element_strains(el: ANCFElement, e: Array) -> Array:
+    """Green–Lagrange Voigt strain at every GQ point, (NIP, 6).
+
+    Delta form: F = F0 + de·SD with de = e − e0, so the reference state
+    contributes exactly the float64-precomputed E0 (no fp32 cancellation)."""
+    de = e - el.e0
+    dF = jnp.einsum("na,inb->iab", de, el.SD)          # (NIP, 3, 3) dFᵀ? no:
+    # F columns are ∂r/∂X_j: F = eᵀ·SD ⇒ dF[a,b] = Σ_n de[n,a]·SD[n,b]
+    M = (jnp.einsum("iab,iac->ibc", el.F0, dF)         # F0ᵀ·dF
+         + jnp.einsum("iab,iac->ibc", dF, el.F0)       # dFᵀ·F0
+         + jnp.einsum("iab,iac->ibc", dF, dF))         # dFᵀ·dF
+    Egl = 0.5 * M
+    return el.E0 + jnp.stack([
+        Egl[:, 0, 0], Egl[:, 1, 1], Egl[:, 2, 2],
+        2 * Egl[:, 1, 2], 2 * Egl[:, 0, 2], 2 * Egl[:, 0, 1]], axis=1)
+
+
+def _weighted_stress(el: ANCFElement, eps: Array, eps_dot=None) -> Array:
+    """kgq-weighted 2nd-PK stress per GQ point in Voigt layout (NIP, 6):
+    diagonal D0 on the first block, normal-strain Dv coupling on the
+    reduced-integration tail block."""
+    total = eps if eps_dot is None else eps + el.alpha * eps_dot
+    n0 = el.n_ip_d0
+    sig0 = total[:n0] * el.D0[None, :]
+    sigv_n = jnp.einsum("ab,ib->ia", el.Dv, total[n0:, :3])
+    sigv = jnp.concatenate(
+        [sigv_n, jnp.zeros((total.shape[0] - n0, 3), total.dtype)], axis=1)
+    return jnp.concatenate([sig0, sigv], axis=0) * el.kgq[:, None]
+
+
+def element_internal_force(el: ANCFElement, e: Array,
+                           edot: Array | None = None) -> Array:
+    """Fi = −∂U/∂e (NSF, 3); with ``edot`` adds the structural-damping
+    stress alpha·D·ε̇ (reference ComputeInternalForcesContIntDamping)."""
+    eps_fn = lambda ee: element_strains(el, ee)
+    if edot is None:
+        eps = eps_fn(e)
+        sig = _weighted_stress(el, eps)
+    else:
+        eps, eps_dot = jax.jvp(eps_fn, (e,), (edot,))
+        sig = _weighted_stress(el, eps, eps_dot)
+    _, vjp = jax.vjp(eps_fn, e)
+    return -vjp(sig)[0]
+
+
+def element_jacobians(el: ANCFElement, e: Array, edot: Array):
+    """Golden-data Jacobians: K = −∂Fi/∂e, R = −∂Fi/∂ė, both (3·NSF, 3·NSF)
+    in the row-major flattening of (NSF, 3)."""
+    nsf = e.shape[0]
+
+    def fi_flat(ef, edf):
+        return element_internal_force(
+            el, ef.reshape(nsf, 3), edf.reshape(nsf, 3)).reshape(-1)
+
+    K = -jax.jacfwd(fi_flat, argnums=0)(e.reshape(-1), edot.reshape(-1))
+    R = -jax.jacfwd(fi_flat, argnums=1)(e.reshape(-1), edot.reshape(-1))
+    return K, R
+
+
+def element_mass_full(el: ANCFElement) -> Array:
+    """(3·NSF, 3·NSF) sparse-expanded mass matrix (compact ⊗ I₃)."""
+    return jnp.kron(el.mass, jnp.eye(3, dtype=el.mass.dtype))
+
+
+def element_gravity_force(el: ANCFElement, g) -> Array:
+    """Generalized gravity force (NSF, 3) = outer(∫ρS dV, g)."""
+    return el.gvec[:, None] * jnp.asarray(g)[None, :]
+
+
+# --------------------------------------------------------------------------
+# mesh-level assembly: elements share a cloud of coordinate triplets
+# --------------------------------------------------------------------------
+
+
+@pytree_dataclass
+class ANCFMesh:
+    """A batch of same-family elements over a shared coordinate cloud.
+
+    ``coords`` rows are generic ANCF coordinate triplets (positions AND
+    gradient vectors both live here); ``conn[k]`` lists the NSF coordinate
+    rows of element k in shape-function order.  This unifies every ANCF
+    family under one assembly (the reference needs one node class per
+    gradient-vector count: ChNodeFEAxyzD/DD/DDD)."""
+
+    conn: Array          # (E, NSF) int32
+    els: ANCFElement     # stacked pytree, leading dim E
+    fixed: Array         # (Nc,) bool — fixed coordinate rows
+
+
+def build_ancf_mesh(family: str, coords0, conn, dims, rho, D0, Dv,
+                    alpha=0.0, fixed=None) -> ANCFMesh:
+    coords0 = np.asarray(coords0, np.float64)
+    conn = np.asarray(conn, np.int32)
+    els = [build_ancf_element(family, coords0[c], dims, rho, D0, Dv, alpha)
+           for c in conn]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *els)
+    stacked = stacked.replace(n_ip_d0=els[0].n_ip_d0)
+    if fixed is None:
+        fixed = np.zeros((coords0.shape[0],), bool)
+    return ANCFMesh(conn=jnp.asarray(conn), els=stacked,
+                    fixed=jnp.asarray(fixed))
+
+
+def mesh_internal_forces(mesh: ANCFMesh, coords: Array,
+                         coords_dot: Array | None = None) -> Array:
+    """Assembled −∂U/∂coords (Nc, 3) with optional structural damping."""
+    e = coords[mesh.conn]                                 # (E, NSF, 3)
+    if coords_dot is None:
+        fi = jax.vmap(element_internal_force)(mesh.els, e)
+    else:
+        fi = jax.vmap(element_internal_force)(mesh.els, e,
+                                              coords_dot[mesh.conn])
+    out = jnp.zeros_like(coords)
+    return out.at[mesh.conn.reshape(-1)].add(
+        fi.reshape(-1, 3)) * (~mesh.fixed)[:, None]
+
+
+def mesh_gravity_forces(mesh: ANCFMesh, coords: Array, g) -> Array:
+    fg = jax.vmap(lambda el: element_gravity_force(el, g))(mesh.els)
+    out = jnp.zeros_like(coords)
+    return out.at[mesh.conn.reshape(-1)].add(
+        fg.reshape(-1, 3)) * (~mesh.fixed)[:, None]
+
+
+def mesh_lumped_mass(mesh: ANCFMesh, n_coords: int) -> Array:
+    """HRZ-lumped mass per coordinate triplet (explicit integration /
+    preconditioning; consistent per-element matrices remain in els.mass).
+    All entries strictly positive — plain row-sum lumping gives negative
+    gradient-DOF masses for ANCF elements."""
+    out = jnp.zeros((n_coords,), mesh.els.mlump.dtype)
+    return out.at[mesh.conn.reshape(-1)].add(mesh.els.mlump.reshape(-1))
