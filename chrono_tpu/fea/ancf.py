@@ -1,15 +1,26 @@
 """Fully-parameterized ANCF elements, continuum-mechanics formulation.
 
 TPU-native counterpart of the reference's ANCF element family built on the
-Enhanced Continuum Mechanics / Selective Reduced Integration (ECM/SRI)
-method (Gerstmayr & Shabana):
+Enhanced Continuum Mechanics method (Gerstmayr & Shabana), with Selective
+Reduced Integration for the beam Poisson terms:
 
 * ChElementBeamANCF_3243 (/root/reference/src/chrono/fea/
   ChElementBeamANCF_3243.cpp:2943 shape set, :1412 internal forces) —
   2-node fully parameterized beam, 8 shape functions (position + 3 gradient
-  vectors per node).
+  vectors per node).  SRI: diagonal D0 everywhere + 3x3 Dv Poisson coupling
+  on beam-axis points only.
 * ChElementBeamANCF_3333 (ChElementBeamANCF_3333.cpp Calc_Sxi_compact) —
   3-node beam, 9 shape functions (position + 2 transverse gradients).
+* ChElementShellANCF_3443 (ChElementShellANCF_3443.cpp:2746 stiffness
+  rotation/reorder, :900 layer precompute) — 4-node fully parameterized
+  shell, 16 shape functions; full 6x6 rotated stiffness at every point
+  (no SRI split), single layer here (multi-layer = stack elements).
+* ChElementShellANCF_3833 (ChElementShellANCF_3833.cpp Calc_Sxi_compact) —
+  8-node serendipity shell with curvature coordinates, 24 shape functions;
+  per node (N, N*(tz/2)*zeta, N*(tz^2/8)*zeta^2) over one serendipity base.
+* ChElementHexaANCF_3843 (ChElementHexaANCF_3843.cpp Calc_Sxi_compact,
+  ChMaterialHexaANCF.cpp:41 Calc_D) — 8-node fully parameterized brick,
+  32 shape functions, full orthotropic 6x6 D.
 
 Design differences from the reference (this is NOT a translation):
 the reference hand-derives the internal force and Jacobian assembly
@@ -87,6 +98,88 @@ def beam_material_D0_Dv(E, nu, G=None, k1=1.0, k2=1.0):
     return D0, Dv
 
 
+def _ortho_nu_terms(E, nu):
+    E = np.broadcast_to(np.asarray(E, np.float64), (3,))
+    nu = np.broadcast_to(np.asarray(nu, np.float64), (3,))
+    nu12, nu13, nu23 = nu
+    nu21 = nu12 * E[1] / E[0]
+    nu31 = nu13 * E[2] / E[0]
+    nu32 = nu23 * E[2] / E[1]
+    return E, nu, nu21, nu31, nu32
+
+
+def hexa_material_D(E, nu, G=None):
+    """Full orthotropic 6x6 stiffness in the element Voigt order
+    eps = [E11,E22,E33,2E23,2E13,2E12] (ChMaterialHexaANCF::Calc_D,
+    /root/reference/src/chrono/fea/ChMaterialHexaANCF.cpp:41-72)."""
+    E, nu, nu21, nu31, nu32 = _ortho_nu_terms(E, nu)
+    nu12, nu13, nu23 = nu
+    if G is None:
+        G = E / (2.0 * (1.0 + nu))
+    G = np.broadcast_to(np.asarray(G, np.float64), (3,))
+    k = (1.0 - nu23 * nu32 - nu12 * nu21 - nu13 * nu31
+         - nu12 * nu23 * nu31 - nu21 * nu32 * nu13)
+    D = np.zeros((6, 6))
+    D[0, 0] = E[0] * (1 - nu23 * nu32) / k
+    D[1, 0] = E[1] * (nu13 * nu32 + nu12) / k
+    D[2, 0] = E[2] * (nu12 * nu23 + nu13) / k
+    D[0, 1] = E[0] * (nu23 * nu31 + nu21) / k
+    D[1, 1] = E[1] * (1 - nu13 * nu31) / k
+    D[2, 1] = E[2] * (nu13 * nu21 + nu23) / k
+    D[0, 2] = E[0] * (nu21 * nu32 + nu31) / k
+    D[1, 2] = E[1] * (nu12 * nu31 + nu32) / k
+    D[2, 2] = E[2] * (1 - nu12 * nu21) / k
+    D[3, 3] = G[2]
+    D[4, 4] = G[1]
+    D[5, 5] = G[0]
+    return D
+
+
+def shell_material_D(E, nu, G=None, theta=0.0):
+    """Per-layer full 6x6 shell stiffness in the element Voigt order,
+    rotated in the midsurface by fiber angle ``theta``
+    (ChMaterialShellANCF::Calc_E_eps + ChElementShellANCF_3443::
+    RotateReorderStiffnessMatrix, ChElementShellANCF_3443.cpp:2746-2772).
+
+    The shell material eliminates nothing (it is a 3-D law with a modified
+    normal-coupling block); the reference stores it in the order
+    [E11,E22,2E12,E33,2E13,2E23] and reorders per element."""
+    E = np.broadcast_to(np.asarray(E, np.float64), (3,))
+    nu = np.broadcast_to(np.asarray(nu, np.float64), (3,))
+    if G is None:
+        G = E / (2.0 * (1.0 + nu))
+    G = np.broadcast_to(np.asarray(G, np.float64), (3,))
+    nux, nuy, nuz = nu
+    delta = (1.0 - nux * nux * E[1] / E[0] - nuy * nuy * E[2] / E[0]
+             - nuz * nuz * E[2] / E[1]
+             - 2.0 * nux * nuy * nuz * E[2] / E[0])
+    # material order: [E11, E22, 2E12, E33, 2E13, 2E23]
+    M = np.zeros((6, 6))
+    M[0, 0] = E[0] * (1.0 - nuz * nuz * E[2] / E[1]) / delta
+    M[1, 1] = E[1] * (1.0 - nuy * nuy * E[2] / E[0]) / delta
+    M[3, 3] = E[2] * (1.0 - nux * nux * E[1] / E[0]) / delta
+    M[0, 1] = M[1, 0] = E[1] * (nux + nuy * nuz * E[2] / E[1]) / delta
+    M[0, 3] = M[3, 0] = E[2] * (nuy + nuz * nux) / delta
+    M[1, 3] = M[3, 1] = E[2] * (nuz + nuy * nux * E[1] / E[0]) / delta
+    M[2, 2] = G[0]
+    M[4, 4] = G[1]
+    M[5, 5] = G[2]
+    # reorder material → element Voigt [E11,E22,E33,2E23,2E13,2E12]
+    perm = [0, 1, 3, 5, 4, 2]
+    D = M[np.ix_(perm, perm)]
+    # midsurface fiber rotation (Bond transformation about local z)
+    c, s = np.cos(theta), np.sin(theta)
+    K = np.array([
+        [c * c, s * s, 0, 0, 0, 2 * c * s],
+        [s * s, c * c, 0, 0, 0, -2 * c * s],
+        [0, 0, 1, 0, 0, 0],
+        [0, 0, 0, c, s, 0],
+        [0, 0, 0, -s, c, 0],
+        [-c * s, c * s, 0, 0, 0, c * c - s * s],
+    ])
+    return K @ D @ K.T
+
+
 # --------------------------------------------------------------------------
 # shape-function tables (compact form + derivatives), numpy float64
 # --------------------------------------------------------------------------
@@ -152,18 +245,92 @@ def _sxi_d_3333(xi, eta, zeta, lx, ly, lz):
     return np.stack([d_xi, d_eta, d_zeta], axis=1)
 
 
-#: family name → (NSF, S, S_D, NP axis GQ points, NT cross GQ points)
+#: corner sign tables (xi, eta[, zeta]) in the reference node order
+_CORNERS4 = [(-1, -1), (1, -1), (1, 1), (-1, 1)]                 # A B C D
+_CORNERS8 = [(-1, -1, -1), (1, -1, -1), (1, 1, -1), (-1, 1, -1),
+             (-1, -1, 1), (1, -1, 1), (1, 1, 1), (-1, 1, 1)]     # A..H
+
+
+def _sxi_shell_3443(xi, eta, zeta, lx, ly, tz):
+    """16 shape functions: per corner (pos, lx-gradient, ly-gradient,
+    thickness-gradient), single layer spanning the full thickness
+    (layer z-term reduces to −tz·zeta)."""
+    out = []
+    for sx, sy in _CORNERS4:
+        out += [
+            -0.125 * sx * sy * (xi + sx) * (eta + sy)
+            * (xi * xi - sx * xi + eta * eta - sy * eta - 2),
+            sy * lx / 16.0 * (xi - sx) * (xi + sx) ** 2 * (eta + sy),
+            sx * ly / 16.0 * (eta - sy) * (eta + sy) ** 2 * (xi + sx),
+            sx * sy * tz / 8.0 * zeta * (xi + sx) * (eta + sy),
+        ]
+    return np.array(out)
+
+
+def _sxi_shell_3833(xi, eta, zeta, lx, ly, tz):
+    """24 shape functions: per node (N, N·(tz/2)·zeta, N·(tz²/8)·zeta²) over
+    the 8-node serendipity base (single layer: layer z-term = −tz·zeta)."""
+    base = [0.25 * sx * sy * (xi + sx) * (eta + sy)
+            * (sx * xi + sy * eta - 1) for sx, sy in _CORNERS4]
+    base += [-(-1) * 0.5 * (xi * xi - 1) * (eta - 1),     # E  (sy=−1)
+             -(+1) * 0.5 * (eta * eta - 1) * (xi + 1),    # F  (sx=+1)
+             -(+1) * 0.5 * (xi * xi - 1) * (eta + 1),     # G  (sy=+1)
+             -(-1) * 0.5 * (eta * eta - 1) * (xi - 1)]    # H  (sx=−1)
+    out = []
+    for N in base:
+        out += [N, N * (tz / 2.0) * zeta, N * (tz * tz / 8.0) * zeta * zeta]
+    return np.array(out)
+
+
+def _sxi_hexa_3843(xi, eta, zeta, lx, ly, lz):
+    """32 shape functions: per corner (pos + 3 gradient-vector functions)."""
+    out = []
+    for sx, sy, sz in _CORNERS8:
+        out += [
+            -sx * sy * sz / 16.0 * (xi + sx) * (eta + sy) * (zeta + sz)
+            * (xi * xi - sx * xi + eta * eta - sy * eta
+               + zeta * zeta - sz * zeta - 2),
+            sy * sz * lx / 32.0 * (xi - sx) * (xi + sx) ** 2
+            * (eta + sy) * (zeta + sz),
+            sx * sz * ly / 32.0 * (eta - sy) * (eta + sy) ** 2
+            * (xi + sx) * (zeta + sz),
+            sx * sy * lz / 32.0 * (zeta - sz) * (zeta + sz) ** 2
+            * (xi + sx) * (eta + sy),
+        ]
+    return np.array(out)
+
+
+def _numdiff_sd(sfun, xi, eta, zeta, lx, ly, lz):
+    """Shape-derivative table via complex-step differentiation (the shape
+    functions are polynomials, so this is exact to float64 roundoff) —
+    avoids hand-deriving NSF×3 derivative polynomials per family."""
+    h = 1e-30
+    cols = []
+    for dxi, deta, dzeta in ((1, 0, 0), (0, 1, 0), (0, 0, 1)):
+        val = sfun(xi + 1j * h * dxi, eta + 1j * h * deta,
+                   zeta + 1j * h * dzeta, lx, ly, lz)
+        cols.append(np.imag(val) / h)
+    return np.stack(cols, axis=1)
+
+
+#: family name → (NSF, S, S_D | None→complex-step, NP, NT, kind)
+#: kind: 'beam' = SRI split (D0 diag on NP×NT×NT + Dv tail on the NP axis
+#: points), 'shell' = full 6×6 D on NP×NP×NT (ξ,η midsurface × ζ thickness),
+#: 'hexa' = full 6×6 D on NP³.
 #:
-#: GQ orders are FULL integration (5×3×3), not the reference's runtime-reduced
-#: 3×2×2 (ChElementBeamANCF_3243.h:74-75): the recorded golden data
-#: (UT_ANCFBeam_*_IntFrc*/Jac*) was generated with full integration — verified
-#: numerically: at the golden small-displacement state the 3×2×2 rule is off by
-#: exact rational factors (1.05, 1.225) on the geometric-coupling entries while
-#: 5×3×3 matches to ~1e-7 relative.  The extra points are nearly free here
-#: (batched einsum over NIP).
+#: GQ orders are FULL integration, not the reference's runtime-reduced rules
+#: (3×2×2 beams / 4×4×2 shells / 4³ brick): the recorded golden data
+#: (UT_ANCF*_IntFrc*/Jac*) was generated with full integration — verified
+#: numerically: at the golden small-displacement state the reduced rules are
+#: off by exact rational factors (1.05, 1.225) on the geometric-coupling
+#: entries while full rules match to ~1e-7 relative.  The extra points are
+#: nearly free here (batched einsum over NIP).
 FAMILIES = {
-    "beam_3243": (8, _sxi_3243, _sxi_d_3243, 5, 3),
-    "beam_3333": (9, _sxi_3333, _sxi_d_3333, 5, 3),
+    "beam_3243": (8, _sxi_3243, _sxi_d_3243, 5, 3, "beam"),
+    "beam_3333": (9, _sxi_3333, _sxi_d_3333, 5, 3, "beam"),
+    "shell_3443": (16, _sxi_shell_3443, None, 6, 3, "shell"),
+    "shell_3833": (24, _sxi_shell_3833, None, 6, 3, "shell"),
+    "hexa_3843": (32, _sxi_hexa_3843, None, 6, 6, "hexa"),
 }
 
 
@@ -181,28 +348,36 @@ class ANCFElement:
     kgq: Array       # (NIP,)  det(J0)·weight (positive)
     F0: Array        # (NIP, 3, 3) reference deformation gradient (≈ I)
     E0: Array        # (NIP, 6) reference Voigt strain residual (≈ 0)
-    D0: Array        # (6,)
-    Dv: Array        # (3, 3)
+    D0: Array        # (6,)    SRI diagonal block ('sri' mode; zeros otherwise)
+    Dv: Array        # (3, 3)  SRI Poisson tail block ('sri' mode)
+    Dm: Array        # (6, 6)  full stiffness ('full' mode; zeros otherwise)
     mass: Array      # (NSF, NSF) compact mass matrix (exact GQ)
     mlump: Array     # (NSF,) HRZ diagonal-scaled lumped mass (all positive)
     gvec: Array      # (NSF,) ∫ρ S dV  (gravity force = outer(gvec, g))
     e0: Array        # (NSF, 3) reference nodal coordinates
     n_ip_d0: int = static_field()
+    sri: bool = static_field(default=True)
     alpha: Array = 0.0     # structural damping coefficient
 
 
-def build_ancf_element(family: str, e0, dims, rho, D0, Dv,
+def build_ancf_element(family: str, e0, dims, rho, D, Dv=None,
                        alpha=0.0) -> ANCFElement:
     """Precompute one element against reference coords ``e0`` (NSF, 3).
 
-    ``dims`` = (lenX, thicknessY, thicknessZ) as passed to the reference's
-    SetDimensions.  All heavy lifting in float64; outputs stored fp32-ready
-    (kept float64 here, cast where used — tests may run either precision).
+    ``dims`` = the reference's SetDimensions arguments: beams
+    (lenX, thickY, thickZ), shells (lenX, lenY, thickness), hexa
+    (lenX, lenY, lenZ).  Stiffness: for 'beam' (SRI) families pass
+    ``D`` = D0 (6,) and ``Dv`` (3,3) from :func:`beam_material_D0_Dv`;
+    for shells/hexa pass ``D`` = full (6,6) from :func:`shell_material_D` /
+    :func:`hexa_material_D`.  All heavy lifting in float64; outputs stored
+    fp32 (tests may re-cast to float64).
     """
-    nsf, sfun, sdfun, NP, NT = FAMILIES[family]
+    nsf, sfun, sdfun, NP, NT, kind = FAMILIES[family]
     e0 = np.asarray(e0, np.float64)
     assert e0.shape == (nsf, 3)
     lx, ly, lz = (float(d) for d in dims)
+    if sdfun is None:
+        sdfun = functools.partial(_numdiff_sd, sfun)
 
     xs, wxs = np.polynomial.legendre.leggauss(NP)
     ts, wts = np.polynomial.legendre.leggauss(NT)
@@ -221,35 +396,60 @@ def build_ancf_element(family: str, e0, dims, rho, D0, Dv,
         E0.append(np.array([Egl[0, 0], Egl[1, 1], Egl[2, 2],
                             2 * Egl[1, 2], 2 * Egl[0, 2], 2 * Egl[0, 1]]))
 
-    # D0 block: full NP × NT × NT integration (reference loop order:
-    # index = it_zeta + it_eta·NT + it_xi·NT² — zeta fastest)
-    for ix in range(NP):
-        for ie in range(NT):
-            for iz in range(NT):
-                add_point(xs[ix], ts[ie], ts[iz], wxs[ix] * wts[ie] * wts[iz])
-    n_ip_d0 = NP * NT * NT
-    # Dv block: reduced 1-point cross section (eta = zeta = 0, weight 2·2)
-    for ix in range(NP):
-        add_point(xs[ix], 0.0, 0.0, wxs[ix] * 4.0)
+    if kind == "beam":
+        # D0 block: full NP (axis) × NT × NT; then the SRI Dv tail on the
+        # beam-axis points only (eta = zeta = 0, cross-section weight 2·2)
+        for ix in range(NP):
+            for ie in range(NT):
+                for iz in range(NT):
+                    add_point(xs[ix], ts[ie], ts[iz],
+                              wxs[ix] * wts[ie] * wts[iz])
+        n_ip_d0 = NP * NT * NT
+        for ix in range(NP):
+            add_point(xs[ix], 0.0, 0.0, wxs[ix] * 4.0)
+        sri = True
+        assert Dv is not None and np.shape(D) == (6,)
+        D0m, Dvm, Dm = np.asarray(D), np.asarray(Dv), np.zeros((6, 6))
+    else:
+        # full 6×6 D at every point; shells: NP×NP midsurface × NT thickness,
+        # hexa: NP³
+        nz = NT if kind == "shell" else NP
+        zs, wzs = (ts, wts) if kind == "shell" else (xs, wxs)
+        for ix in range(NP):
+            for ie in range(NP):
+                for iz in range(nz):
+                    add_point(xs[ix], xs[ie], zs[iz],
+                              wxs[ix] * wxs[ie] * wzs[iz])
+        n_ip_d0 = NP * NP * nz
+        sri = False
+        assert np.shape(D) == (6, 6) and Dv is None
+        D0m, Dvm, Dm = np.zeros((6,)), np.zeros((3, 3)), np.asarray(D)
 
     # exact mass matrix + gravity vector (high-order GQ; the integrands are
-    # polynomials so any sufficiently high order is exact — reference uses
-    # 5-6 pts axial, 2 pts cross)
-    xm, wxm = np.polynomial.legendre.leggauss(8)
-    tm, wtm = np.polynomial.legendre.leggauss(3)
+    # polynomials so a sufficiently high order is exact)
+    n1, n2 = (8, 3) if kind == "beam" else (7, 4)
+    xm, wxm = np.polynomial.legendre.leggauss(n1)
+    tm, wtm = np.polynomial.legendre.leggauss(n2)
+    if kind == "beam":
+        mass_pts = [(xm[i], tm[j], tm[k], wxm[i] * wtm[j] * wtm[k])
+                    for i in range(n1) for j in range(n2) for k in range(n2)]
+    elif kind == "shell":
+        mass_pts = [(xm[i], xm[j], tm[k], wxm[i] * wxm[j] * wtm[k])
+                    for i in range(n1) for j in range(n1) for k in range(n2)]
+    else:
+        mass_pts = [(xm[i], xm[j], xm[k], wxm[i] * wxm[j] * wxm[k])
+                    for i in range(n1) for j in range(n1) for k in range(n1)]
     M = np.zeros((nsf, nsf))
     gvec = np.zeros((nsf,))
     m_elem = 0.0
-    for ix in range(8):
-        for ie in range(3):
-            for iz in range(3):
-                S = sfun(xm[ix], tm[ie], tm[iz], lx, ly, lz)
-                Sd = sdfun(xm[ix], tm[ie], tm[iz], lx, ly, lz)
-                detJ = np.linalg.det(e0.T @ Sd)
-                w = rho * detJ * wxm[ix] * wtm[ie] * wtm[iz]
-                M += w * np.outer(S, S)
-                gvec += w * S
-                m_elem += w
+    for xi, eta, zeta, wq in mass_pts:
+        S = np.real(sfun(xi, eta, zeta, lx, ly, lz))
+        Sd = sdfun(xi, eta, zeta, lx, ly, lz)
+        detJ = np.linalg.det(e0.T @ Sd)
+        w = rho * detJ * wq
+        M += w * np.outer(S, S)
+        gvec += w * S
+        m_elem += w
     # HRZ lumping: row-sum lumping of ANCF mass matrices yields near-zero and
     # NEGATIVE gradient-DOF masses (verified: −3.6e-4 on a 4-element
     # cantilever), unusable for explicit stepping/preconditioning.  Scale the
@@ -260,9 +460,9 @@ def build_ancf_element(family: str, e0, dims, rho, D0, Dv,
     return ANCFElement(
         SD=f32(np.stack(SD)), kgq=f32(np.asarray(kgq)),
         F0=f32(np.stack(F0)), E0=f32(np.stack(E0)),
-        D0=f32(D0), Dv=f32(Dv), mass=f32(M), mlump=f32(mlump),
+        D0=f32(D0m), Dv=f32(Dvm), Dm=f32(Dm), mass=f32(M), mlump=f32(mlump),
         gvec=f32(gvec), e0=f32(e0),
-        n_ip_d0=n_ip_d0, alpha=jnp.asarray(alpha, jnp.float32),
+        n_ip_d0=n_ip_d0, sri=sri, alpha=jnp.asarray(alpha, jnp.float32),
     )
 
 
@@ -289,10 +489,14 @@ def element_strains(el: ANCFElement, e: Array) -> Array:
 
 
 def _weighted_stress(el: ANCFElement, eps: Array, eps_dot=None) -> Array:
-    """kgq-weighted 2nd-PK stress per GQ point in Voigt layout (NIP, 6):
-    diagonal D0 on the first block, normal-strain Dv coupling on the
-    reduced-integration tail block."""
+    """kgq-weighted 2nd-PK stress per GQ point in Voigt layout (NIP, 6).
+
+    'sri' mode (beams): diagonal D0 on the first block, normal-strain Dv
+    coupling on the reduced-integration tail block.  'full' mode
+    (shells/hexa): full 6×6 Dm at every point."""
     total = eps if eps_dot is None else eps + el.alpha * eps_dot
+    if not el.sri:
+        return jnp.einsum("ab,ib->ia", el.Dm, total) * el.kgq[:, None]
     n0 = el.n_ip_d0
     sig0 = total[:n0] * el.D0[None, :]
     sigv_n = jnp.einsum("ab,ib->ia", el.Dv, total[n0:, :3])
@@ -360,14 +564,14 @@ class ANCFMesh:
     fixed: Array         # (Nc,) bool — fixed coordinate rows
 
 
-def build_ancf_mesh(family: str, coords0, conn, dims, rho, D0, Dv,
+def build_ancf_mesh(family: str, coords0, conn, dims, rho, D, Dv=None,
                     alpha=0.0, fixed=None) -> ANCFMesh:
     coords0 = np.asarray(coords0, np.float64)
     conn = np.asarray(conn, np.int32)
-    els = [build_ancf_element(family, coords0[c], dims, rho, D0, Dv, alpha)
+    els = [build_ancf_element(family, coords0[c], dims, rho, D, Dv, alpha)
            for c in conn]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *els)
-    stacked = stacked.replace(n_ip_d0=els[0].n_ip_d0)
+    stacked = stacked.replace(n_ip_d0=els[0].n_ip_d0, sri=els[0].sri)
     if fixed is None:
         fixed = np.zeros((coords0.shape[0],), bool)
     return ANCFMesh(conn=jnp.asarray(conn), els=stacked,

@@ -57,11 +57,52 @@ def _beam_3333():
     return el, e0
 
 
+def _shell_3443():
+    L, W, t = 1.0, 1.0, 0.01
+    rho, E, nu = 7850.0, 210e9, 0.3
+    D = ancf.shell_material_D(E, nu)
+    e0 = []
+    for px, py in [(0, 0), (L, 0), (L, W), (0, W)]:
+        e0 += [[px, py, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]]
+    e0 = np.asarray(e0, float)
+    el = ancf.build_ancf_element("shell_3443", e0, (L, W, t), rho, D)
+    return el, e0
+
+
+def _shell_3833():
+    L, W, t = 1.0, 1.0, 0.01
+    rho, E, nu = 7850.0, 210e9, 0.3
+    D = ancf.shell_material_D(E, nu)
+    e0 = []
+    for px, py in [(0, 0), (L, 0), (L, W), (0, W),
+                   (L / 2, 0), (L, W / 2), (L / 2, W), (0, W / 2)]:
+        e0 += [[px, py, 0], [0, 0, 1], [0, 0, 0]]
+    e0 = np.asarray(e0, float)
+    el = ancf.build_ancf_element("shell_3833", e0, (L, W, t), rho, D)
+    return el, e0
+
+
+def _hexa_3843():
+    L = W = H = 1.0
+    rho, E, nu = 7850.0, 210e9, 0.3
+    D = ancf.hexa_material_D(E, nu)
+    e0 = []
+    for px, py, pz in [(0, 0, 0), (L, 0, 0), (L, W, 0), (0, W, 0),
+                       (0, 0, H), (L, 0, H), (L, W, H), (0, W, H)]:
+        e0 += [[px, py, pz], [1, 0, 0], [0, 1, 0], [0, 0, 1]]
+    e0 = np.asarray(e0, float)
+    el = ancf.build_ancf_element("hexa_3843", e0, (L, W, H), rho, D)
+    return el, e0
+
+
 CASES = {
     # family: (builder, NSF, golden prefix, index of the node-position row
     #          displaced/velocitized by the reference test)
-    "beam_3243": (_beam_3243, 8, "UT_ANCFBeam_3243", 4),   # node B
-    "beam_3333": (_beam_3333, 9, "UT_ANCFBeam_3333", 6),   # node C
+    "beam_3243": (_beam_3243, 8, "UT_ANCFBeam_3243", 4),    # node B
+    "beam_3333": (_beam_3333, 9, "UT_ANCFBeam_3333", 6),    # node C
+    "shell_3443": (_shell_3443, 16, "UT_ANCFShell_3443", 4),  # node B
+    "shell_3833": (_shell_3833, 24, "UT_ANCFShell_3833", 3),  # node B
+    "hexa_3843": (_hexa_3843, 32, "UT_ANCFBrick_3843", 4),  # node B
 }
 
 
