@@ -1,5 +1,5 @@
 from chrono_tpu.models.hmmwv import create_hmmwv
-from chrono_tpu.models.rover import create_rover, set_wheel_speeds, rover_step_scm, Rover
+from chrono_tpu.models.rover import create_rover, create_curiosity, set_wheel_speeds, rover_step_scm, Rover
 from chrono_tpu.models.sedan import create_sedan
 from chrono_tpu.models.polaris import create_polaris
 from chrono_tpu.models.decks import (

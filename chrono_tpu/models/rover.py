@@ -96,3 +96,68 @@ def rover_step_scm(rover: Rover, state, scm_params, scm_state, t, h,
     new_state, info = step_euler_implicit_linearized(
         rover.model, state, t, h, settings, f_ext=f_ext, tau_ext=tau_ext)
     return new_state, out.new_state, info
+
+
+def create_curiosity(body_mass=500.0, wheel_mass=10.0, wheel_radius=0.25,
+                     wheel_width=0.25, track=2.2, clearance=0.6,
+                     gravity=(0, 0, -9.81)):
+    """Curiosity-class 6-wheel rocker-bogie rover
+    (/root/reference/src/chrono_models/robot/curiosity/Curiosity.h role).
+
+    Kinematics: per side, a ROCKER pivots on the chassis (revolute about y)
+    and carries the front wheel plus a BOGIE (revolute about y) that carries
+    the middle and rear wheels.  The left/right rockers are tied through the
+    body-mounted differential — here the reference's own shafts idiom
+    (ChShaftsBody + ChShaftsPlanetary): one shaft per rocker about the pivot
+    axis, chassis shaft as carrier, Willis ratio ψ=1 ⇒
+    2·ω_chassis = ω_L + ω_R, i.e. the rockers counter-rotate relative to
+    the chassis so the body pitch averages the terrain."""
+    b = SystemBuilder()
+    b.set_gravity(gravity)
+    r = wheel_radius
+    s = track / 2
+    zc = clearance + r                   # chassis center height
+    chassis = b.add_body(mass=body_mass, inertia=(250.0, 350.0, 400.0),
+                         pos=(0, 0, zc), name="chassis")
+    # wheel x-stations (front, mid, rear) and pivot points
+    xf, xm, xr = 1.1, 0.0, -1.1
+    x_rocker_piv, z_piv = 0.45, zc - 0.15      # rocker↔chassis
+    x_bogie_piv, z_bpiv = -0.5, r + 0.5 * (z_piv - r)   # bogie↔rocker
+
+    wheels, rockers = [], []
+    for side, sy in (("L", s), ("R", -s)):
+        rocker = b.add_body(mass=25.0, inertia=(2.0, 8.0, 8.0),
+                            pos=(x_rocker_piv, sy, z_piv),
+                            name=f"rocker_{side}")
+        b.add_joint("revolute", chassis, rocker,
+                    world_pos=(x_rocker_piv, sy, z_piv), world_axis=(0, 1, 0))
+        bogie = b.add_body(mass=15.0, inertia=(1.0, 4.0, 4.0),
+                           pos=(x_bogie_piv, sy, z_bpiv),
+                           name=f"bogie_{side}")
+        b.add_joint("revolute", rocker, bogie,
+                    world_pos=(x_bogie_piv, sy, z_bpiv), world_axis=(0, 1, 0))
+        for (carrier, wx, name) in ((rocker, xf, f"F{side}"),
+                                    (bogie, xm, f"M{side}"),
+                                    (bogie, xr, f"R{side}")):
+            w = b.add_body(mass=wheel_mass, inertia=(0.3, 0.5, 0.3),
+                           pos=(wx, sy, r), name=f"wheel_{name}")
+            b.add_motor_rotation_speed(carrier, w, world_pos=(wx, sy, r),
+                                       world_axis=(0, 1, 0),
+                                       profile=FConst(c=jnp.asarray(0.0)))
+            wheels.append(w)
+        rockers.append(rocker)
+
+    # differential: shafts bound to chassis/rockers about local y
+    sh_c = b.add_shaft(inertia=0.5)
+    sh_l = b.add_shaft(inertia=0.5)
+    sh_r = b.add_shaft(inertia=0.5)
+    b.add_shaft_body(sh_c, chassis, axis_local=(0, 1, 0))
+    b.add_shaft_body(sh_l, rockers[0], axis_local=(0, 1, 0))
+    b.add_shaft_body(sh_r, rockers[1], axis_local=(0, 1, 0))
+    b.add_shaft_planetary(sh_c, sh_l, sh_r, ratio=1.0)
+
+    model, state = b.finalize()
+    rover = Rover(model=model, wheel_radius=jnp.asarray(wheel_radius),
+                  wheel_width=jnp.asarray(wheel_width),
+                  chassis=chassis, wheels=tuple(wheels))
+    return rover, state

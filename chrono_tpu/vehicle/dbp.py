@@ -23,7 +23,7 @@ from chrono_tpu.vehicle.terrain import SCMParams, SCMState, scm_wheel_forces
 
 class DBPOut(NamedTuple):
     pull: jnp.ndarray       # (T,) drawbar pull [N] (+ = tractive)
-    sinkage: jnp.ndarray    # (T,) wheel-center drop below start [m]
+    sinkage: jnp.ndarray    # (T,) wheel-bottom depth below the virgin surface [m]
     torque: jnp.ndarray     # (T,) spin torque reaction [N·m]
     z: jnp.ndarray          # () final wheel-center height
     scm: SCMState
@@ -75,7 +75,11 @@ def run_dbp_rig(scm_params: SCMParams, scm_state: SCMState, *,
         return carry, z_ref, fx, zs, tq
 
     carry, z_ref, fx, zs, tq = drive(carry)
-    return DBPOut(pull=fx, sinkage=z_ref - zs, torque=tq, z=carry[0],
+    # sinkage = wheel-bottom depth below the VIRGIN surface (z_init puts the
+    # bottom exactly on it); measuring against the post-settle height would
+    # read ~0 once the soil is elastic-plastic (the wheel rides at constant
+    # equilibrium depth over fresh soil)
+    return DBPOut(pull=fx, sinkage=z_init - zs, torque=tq, z=carry[0],
                   scm=carry[3])
 
 

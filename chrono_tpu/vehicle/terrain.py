@@ -154,18 +154,26 @@ def scm_wheel_forces(params: SCMParams, state: SCMState,
     # cylinder lower surface height above the node
     surf_z = wheel_x[:, None, None, 2] - jnp.sqrt(
         jnp.maximum(r * r - u_lon**2, 1e-12))
-    pen = jnp.where(inside, terrain_z[None] - surf_z, 0.0)  # node sinkage
-    pen = jnp.maximum(pen, 0.0)                          # (W,nx,ny)
-    contact = pen > 0
-
-    # Bekker pressure: p = (Kc/b + Kphi) z^n with b = contact-patch width
+    # TOTAL sinkage below the UNDEFORMED surface (z0), elastic-plastic
+    # response exactly as the reference (SCMTerrain.cpp ComputeInternalForces
+    # plastic/elastic split): virgin loading follows the Bekker curve
+    # σ_B(z) = (Kc/b + Kφ) zⁿ; unload/reload is elastic with slope
+    # elastic_K against the stored plastic sinkage p.  The return-mapping
+    # form σ = clip(min(elastic_K·(z − p), σ_B(z)), 0) needs no branch
+    # bookkeeping and converges to a static equilibrium (the previous
+    # "add current pen to plastic sinkage each step" form had no
+    # equilibrium: the surface chased the wheel at a constant sink rate).
+    z_tot = jnp.where(inside, state.z0[None] - surf_z, 0.0)
+    z_tot = jnp.maximum(z_tot, 0.0)                      # (W,nx,ny)
     b = jnp.minimum(wheel_width, r)
-    sigma = (params.Kc / b + params.Kphi) * pen ** params.n_exp
+    sigma_B = (params.Kc / b + params.Kphi) * z_tot ** params.n_exp
+    sigma_e = params.elastic_K * (z_tot - state.sinkage[None])
+    sigma_st = jnp.clip(jnp.minimum(sigma_e, sigma_B), 0.0, None)
+    contact = sigma_st > 0
     # vertical damping from the approach rate of the wheel surface
     vz_node = (wheel_v[:, None, None, 2]
                - wheel_w_local[:, None, None, 1] * 0.0)
-    sigma = sigma + params.damping_R * jnp.maximum(-vz_node, 0.0) * contact
-    sigma = jnp.where(contact, sigma, 0.0)
+    sigma = sigma_st + params.damping_R * jnp.maximum(-vz_node, 0.0) * contact
 
     # slip velocity at the node: wheel surface velocity vs ground
     v_lon_w = jnp.sum(wheel_v * e_lon, axis=-1)          # (W,)
@@ -194,12 +202,15 @@ def scm_wheel_forces(params: SCMParams, state: SCMState,
     t_spin = jnp.sum(tau_lon * contact * jnp.sqrt(
         jnp.maximum(r * r - u_lon**2, 1e-12)), axis=(1, 2)) * cell_area
 
-    # plastic sinkage update: pen is measured from the CURRENT (already sunk)
-    # surface, so the wheel imprint simply accumulates
-    pen_any = jnp.max(pen, axis=0)                       # (nx,ny)
-    new_state = state.replace(sinkage=state.sinkage + pen_any)
+    # plastic sinkage update: on virgin (Bekker-branch) loading the plastic
+    # set-point moves to z − σ/elastic_K; elastic reload leaves it unchanged
+    # (max() keeps the deepest imprint across wheels and history)
+    p_new = jnp.max(jnp.where(contact, z_tot - sigma_st / params.elastic_K,
+                              0.0), axis=0)              # (nx,ny)
+    new_sink = jnp.maximum(state.sinkage, p_new)
+    new_state = state.replace(sinkage=new_sink)
     return SCMWheelOut(force=force, torque_spin=t_spin, new_state=new_state,
-                       sinkage_max=pen_any.max())
+                       sinkage_max=(new_sink - state.sinkage).max())
 
 
 def scm_erosion_step(state: SCMState, max_slope: float = 0.6) -> SCMState:

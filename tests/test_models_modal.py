@@ -101,3 +101,80 @@ class TestModal:
         T, Kr, Mr = craig_bampton(K, M, boundary, n_modes=12)
         f_red, _ = eigenmodes(Kr, Mr, 4)
         np.testing.assert_allclose(f_red, f_full, rtol=0.01)
+
+
+class TestCuriosity:
+    def test_rocker_bogie_drives_on_scm(self):
+        """6-wheel rocker-bogie (Curiosity-class): drives straight on SCM,
+        all six wheels load the soil, differential keeps the chassis level."""
+        from chrono_tpu.models import create_curiosity, set_wheel_speeds, \
+            rover_step_scm
+        from chrono_tpu.vehicle import SCMParams, make_scm_state
+
+        rover, state = create_curiosity()
+        assert len(rover.wheels) == 6
+        rover = set_wheel_speeds(rover, [3.0] * 6)
+        scm_p = SCMParams(Kphi=jnp.asarray(2e6), n_exp=jnp.asarray(1.0),
+                          friction_angle=jnp.asarray(0.8),
+                          janosi_k=jnp.asarray(0.01))
+        scm = make_scm_state((-2.5, -2.5), (6, 2.5), 0.06)
+        h = 2e-3
+
+        @jax.jit
+        def step(state, scm, t):
+            return rover_step_scm(rover, state, scm_p, scm, t, h)
+
+        t = 0.0
+        for k in range(1500):
+            state, scm, info = step(state, scm, t)
+            t += h
+        x = float(state.x[rover.chassis, 0])
+        assert x > 0.4, f"rover barely moved: x={x}"
+        assert float(scm.sinkage.max()) > 0.002
+        # every wheel near ground level (none dangling or buried)
+        wz = np.asarray(state.x[jnp.asarray(rover.wheels), 2])
+        assert (wz > 0.5 * float(rover.wheel_radius)).all()
+        assert (wz < 1.6 * float(rover.wheel_radius)).all()
+        from chrono_tpu.core import quaternion as Q
+        up = np.asarray(Q.qrotate(state.q[rover.chassis],
+                                  jnp.asarray([0.0, 0.0, 1.0])))
+        assert up[2] > 0.97
+
+    def test_differential_couples_rockers(self):
+        """Lift the left-front wheel with an external force (chassis welded
+        to ground so pitch angles are clean): the left rocker rotates; the
+        planetary differential forces the right rocker to counter-rotate,
+        θ_L = −θ_R (2 ω_c = ω_L + ω_R with ω_c = 0)."""
+        from chrono_tpu.models.rover import create_curiosity
+        from chrono_tpu.physics.builder import SystemBuilder
+        from chrono_tpu.physics.system import (
+            step_euler_implicit_linearized, SolverSettings)
+        from chrono_tpu.core import quaternion as Q
+
+        rover, state = create_curiosity(gravity=(0, 0, 0))
+        model = rover.model
+        n = model.n_bodies
+        # weld chassis: zero its inverse mass/inertia (fixed base)
+        props = model.props
+        model = model.replace(props=props.replace(
+            inv_mass=props.inv_mass.at[rover.chassis].set(0.0),
+            inv_inertia=props.inv_inertia.at[rover.chassis].set(0.0)))
+        f_ext = jnp.zeros((n, 3)).at[rover.wheels[0], 2].set(800.0)
+        settings = SolverSettings(solver="direct")
+        h = 2e-3
+        t = 0.0
+        for _ in range(120):
+            state, info = step_euler_implicit_linearized(
+                model, state, t, h, settings, f_ext=f_ext)
+            t += h
+
+        def pitch_y(q):
+            R_e1 = np.asarray(Q.qrotate(q, jnp.asarray([1.0, 0.0, 0.0])))
+            return float(np.arctan2(-R_e1[2], R_e1[0]))
+
+        # body order per side: rocker, bogie, 3 wheels → rocker_R = chassis+6
+        th_l = pitch_y(state.q[rover.chassis + 1])          # rocker_L
+        th_r = pitch_y(state.q[rover.chassis + 6])          # rocker_R
+        assert abs(th_l) > 5e-3, f"left rocker did not articulate: {th_l}"
+        # Willis ψ=1 with the carrier fixed: equal and opposite
+        assert abs(th_l + th_r) < 0.15 * abs(th_l - th_r), (th_l, th_r)
