@@ -143,43 +143,48 @@ def bench_mixer(n_spheres=None):
                     + (int(np.ceil(5 * box / cell)),))
     coll = CollisionModel(spheres=spheres, boxes=boxes, grid=grid,
                           max_per_cell=16,
-                          max_contacts=int(12 * n))
+                          max_contacts=int(float(os.environ.get("SUITE_MAXC", 12)) * n))
     settings = SolverSettings(solver="apgd", max_iter=50, tol=1e-4,
-                              stab_factor=0.2, max_recovery_speed=0.5)
-
-    import functools
+                              stab_factor=0.2, max_recovery_speed=0.5,
+                              valence_bound=int(os.environ.get(
+                                  "SUITE_VALENCE", 32)))
 
     h = 2e-3
 
-    @functools.partial(jax.jit, static_argnums=2)
-    def run(state, t, k, gamma):
-        def body(carry, _):
-            st, t, gam = carry
-            st, contacts, info = nsc_step(model, coll, st, t, h,
-                                          settings, gamma_warm=gam)
-            return (st, t + h, info.joint_reactions * h), (
-                info.iterations, contacts.count)
-        (st, t, gam), (its, ncs) = jax.lax.scan(body, (state, t, gamma),
-                                                None, length=k)
-        return st, t, gam, its, ncs
+    # python-loop stepping, one jitted step per call: a lax.scan of 100 NSC
+    # steps relayouts the large carried buffers every step AND faults the
+    # TPU device at N=10k (same scan-carry disease the DEM bench hit — see
+    # BENCH.md); the per-step dispatch overhead is negligible at these step
+    # costs.
+    @jax.jit
+    def one(state, t, gamma):
+        st, contacts, info = nsc_step(model, coll, state, t, h,
+                                      settings, gamma_warm=gamma)
+        return st, info.joint_reactions * h, info.iterations, contacts.count
 
     gamma0 = jnp.zeros((coll.max_contacts * 3 + _bilateral_rows(model),))
-    # settle + warm with the SAME static scan length as the measurement
-    # (k is a static arg: a different length is a different compile)
-    st, t, gam, its, ncs = run(state, 0.0, 100, gamma0)
-    st, t, gam, its, ncs = run(st, t, 100, gam)
+    st, t, gam = state, 0.0, gamma0
+    for _ in range(int(os.environ.get("SUITE_SETTLE", 150))):  # settle + warm
+        st, gam, its, ncs = one(st, t, gam)
+        t += h
     st.x.block_until_ready()
+    n_meas = 50
+    its_l, ncs_l = [], []
     t0 = time.perf_counter()
-    st, t, gam, its, ncs = run(st, t, 100, gam)
+    for _ in range(n_meas):
+        st, gam, its, ncs = one(st, t, gam)
+        its_l.append(its)
+        ncs_l.append(ncs)
+        t += h
     st.x.block_until_ready()
     dt = time.perf_counter() - t0
-    iters = float(np.asarray(its).mean())
-    contacts = float(np.asarray(ncs).mean())
+    iters = float(np.mean([np.asarray(i) for i in its_l]))
+    contacts = float(np.mean([np.asarray(c) for c in ncs_l]))
     assert bool(jnp.isfinite(st.x).all())
     return dict(metric="NSC mixer DVI iterations/sec (APGD)",
-                value=round(iters * 100 / dt, 1), unit="iters/s",
-                ms_per_step=round(dt / 100 * 1e3, 2),
-                rtf=round(dt / (100 * 2e-3), 2),
+                value=round(iters * n_meas / dt, 1), unit="iters/s",
+                ms_per_step=round(dt / n_meas * 1e3, 2),
+                rtf=round(dt / (n_meas * 2e-3), 2),
                 mean_contacts=int(contacts), n_spheres=n,
                 apgd_iters_per_step=round(iters, 1),
                 backend=__import__("jax").default_backend())

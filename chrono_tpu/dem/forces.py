@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from chrono_tpu.dem.params import DEMParams, hertz_coefficients
+from chrono_tpu.dem.params import DEMParams, hertz_coefficients, user_coefficients
 from chrono_tpu.dem.bc import (
     DEMBoundaries, plane_contacts, cylinder_contacts, sphere_bc_contacts,
     cone_contacts,
@@ -39,7 +39,10 @@ def _pair_force(params: DEMParams, n, overlap, v_rel, xi, active, kn, gn, kt, gt
     """
     delta = jnp.maximum(overlap, 0.0)
     sq = jnp.sqrt(delta)
-    q4 = jnp.sqrt(sq)  # δ^¼
+    # damping δ-scaling: matBased γ ∝ δ^¼ (Hertz S(δ) in √(S m*)); the
+    # reference's user-stiffness model multiplies Γ·m_eff by the same
+    # hertz_force_factor √(δ/R) as the stiffness (ChDemSMC.cuh:637) → δ^½
+    q4 = sq if params.force_model == "user" else jnp.sqrt(sq)
     vn_s = jnp.sum(v_rel * n, axis=-1)
     vn = vn_s[..., None] * n
     vt = v_rel - vn
@@ -82,7 +85,10 @@ def particle_forces(params: DEMParams, pos, vel, omega, nbr_idx, nbr_valid,
     r = params.radius
     m_eff = 0.5 * params.mass
     r_eff = 0.5 * r
-    kn, gn, kt, gt = hertz_coefficients(params.material, m_eff, r_eff)
+    if params.force_model == "user":
+        kn, gn, kt, gt = user_coefficients(params.material, m_eff, r)
+    else:
+        kn, gn, kt, gt = hertz_coefficients(params.material, m_eff, r_eff)
 
     j = jnp.maximum(nbr_idx, 0)
     pj = pos[j]                                             # (N,K,3)
@@ -108,9 +114,15 @@ def particle_forces(params: DEMParams, pos, vel, omega, nbr_idx, nbr_valid,
     if params.rolling_mode == "schwartz":
         w_rel = omega[j] - omega[:, None, :]
         w_mag = jnp.sqrt(jnp.sum(w_rel * w_rel, axis=-1) + 1e-12)
+        # dead zone below 1e-4 m/s rolling velocity, as in the reference
+        # (ChDemHelpers.cuh computeRollingAngAcc SCHWARTZ branch) — without
+        # it the constant-magnitude velocity-opposing torque chatters at
+        # w → 0 and the assembly never reaches KE rest
+        rolling = (arm * w_mag) > 1e-4
         t_roll = (params.material.mu_r * arm * fn_scalar / w_mag)[..., None] \
             * w_rel
-        tau = tau + jnp.sum(jnp.where(active[..., None], t_roll, 0.0), axis=1)
+        keep = (active & rolling)[..., None]
+        tau = tau + jnp.sum(jnp.where(keep, t_roll, 0.0), axis=1)
     elif params.rolling_mode == "elastic_plastic":
         # rolling spring with plastic cap (the reference's ELASTIC_PLASTIC
         # mode, ChDemDefines.h:48): the accumulated rolling displacement
@@ -140,7 +152,10 @@ def wall_forces(params: DEMParams, bcs: DEMBoundaries, pos, vel, omega,
     r = params.radius
     m_eff = params.mass                                     # wall: m* = m
     r_eff = r
-    kn, gn, kt, gt = hertz_coefficients(params.wall_material, m_eff, r_eff)
+    if params.force_model == "user":
+        kn, gn, kt, gt = user_coefficients(params.wall_material, m_eff, r)
+    else:
+        kn, gn, kt, gt = hertz_coefficients(params.wall_material, m_eff, r_eff)
 
     parts = []
     if bcs.planes is not None:
@@ -179,9 +194,11 @@ def wall_forces(params: DEMParams, bcs: DEMBoundaries, pos, vel, omega,
     if params.rolling_mode == "schwartz":
         w_rel = -omega[:, None, :]                       # walls don't spin
         w_mag = jnp.sqrt(jnp.sum(w_rel * w_rel, axis=-1) + 1e-12)
+        rolling = (arm * w_mag) > 1e-4                   # dead zone (see above)
         t_roll = (params.wall_material.mu_r * arm * fn_scalar
                   / w_mag)[..., None] * w_rel
-        tau = tau + jnp.sum(jnp.where(active[..., None], t_roll, 0.0), axis=1)
+        keep = (active & rolling)[..., None]
+        tau = tau + jnp.sum(jnp.where(keep, t_roll, 0.0), axis=1)
     elif params.rolling_mode == "elastic_plastic" and bc_roll_disp is not None:
         # rolling spring vs the (static) wall, plastic-capped at μ_r·Fn·arm
         xi_r = bc_roll_disp + (-omega[:, None, :]) * params.dt

@@ -32,6 +32,12 @@ class DEMMaterial:
     mu_r: Array = 0.0           # rolling resistance coefficient
     mu_sp: Array = 0.0          # spinning resistance coefficient
     adhesion: Array = 0.0       # constant adhesion force ratio (× m g)
+    # raw user stiffness/damping (the reference's default non-matBased model,
+    # ChSystemDem SetKn/SetGn/SetKt/SetGt) — used when force_model="user"
+    kn: Array = 0.0             # [N/m]
+    gn: Array = 0.0             # [1/s] (× m_eff)
+    kt: Array = 0.0             # [N/m]
+    gt: Array = 0.0             # [1/s] (× m_eff)
 
 
 @pytree_dataclass
@@ -52,6 +58,7 @@ class DEMParams:
     integrator: str = static_field(default="centered_difference")
     friction_mode: str = static_field(default="multi_step")  # frictionless|single_step|multi_step
     rolling_mode: str = static_field(default="none")  # none|schwartz|elastic_plastic
+    force_model: str = static_field(default="mat_based")  # mat_based|user
 
     @property
     def inertia(self):
@@ -84,6 +91,19 @@ def hertz_coefficients(mat: DEMMaterial, m_eff, r_eff):
     gt_pref = -2.0 * jnp.sqrt(5.0 / 6.0) * beta * jnp.sqrt(
         8.0 * G_star * sqrt_R * m_eff)
     return kn_pref, gn_pref, kt_pref, gt_pref
+
+
+def user_coefficients(mat: DEMMaterial, m_eff, radius):
+    """Prefactors for the reference's USER-stiffness force model
+    (ChDemSMC.cuh:629-637): F_n = K_n·δ·√(δ/R) − Γ_n·m*·√(δ/R)·v_n, and the
+    tangential pair analogously.  In the shared kernel convention (k = pref·√δ,
+    γ = pref·dampf with dampf=√δ in "user" mode):
+      kn_pref = K_n/√R,  gn_pref = Γ_n·m*/√R  (positive = dissipative, same
+    sign convention as the matBased prefactors).
+    """
+    inv_sqrt_r = 1.0 / jnp.sqrt(radius)
+    return (mat.kn * inv_sqrt_r, mat.gn * m_eff * inv_sqrt_r,
+            mat.kt * inv_sqrt_r, mat.gt * m_eff * inv_sqrt_r)
 
 
 def suggest_step_size(params: DEMParams, safety: float = 0.2) -> float:

@@ -219,6 +219,7 @@ class DEMSystem:
                  dt=None, max_neighbors=16, max_per_cell=8, rebuild_every=8,
                  skin=0.2, integrator="centered_difference",
                  friction_mode="multi_step", rolling_mode="none",
+                 force_model="mat_based",
                  gravity=(0, 0, -9.81), dtype=jnp.float32):
         self.dtype = dtype
         mass = density * 4.0 / 3.0 * math.pi * radius**3
@@ -234,7 +235,8 @@ class DEMSystem:
                             rebuild_every=rebuild_every, skin=skin,
                             integrator=integrator,
                             friction_mode=friction_mode,
-                            rolling_mode=rolling_mode)
+                            rolling_mode=rolling_mode,
+                            force_model=force_model)
         self._dt = dt
         self._extra_bcs = dict(planes=None, cylinders=None, spheres=None,
                                cones=None)
@@ -246,6 +248,42 @@ class DEMSystem:
 
     def set_wall_material(self, **kw):
         self._wall_mat.update(kw)
+
+    def retune(self, material=None, wall_material=None, **static_kw):
+        """Re-derive params (and, if statics changed, the compiled advance)
+        without discarding particle state — the role of the reference's
+        post-checkpoint setters (SetStaticFrictionCoeff_SPH2SPH etc. in
+        utest_DEM_pyramid.cpp before Initialize())."""
+        if material:
+            self._mat.update(material)
+        if wall_material:
+            self._wall_mat.update(wall_material)
+        self._static.update(static_kw)
+        state = self.state
+        self._build()
+        if state is not None:
+            # wall-history buffers are sized (N, n_walls, 3); resize (zeros)
+            # if the boundary set changed — a configuration event, same as
+            # the reference resetting contact maps on Initialize()
+            from chrono_tpu.dem.bc import DEMBoundaries  # noqa: F401
+            n = state.pos.shape[0]
+            nw = self.params and _n_walls(self.bcs)
+            if state.bc_tan_disp.shape[1] != nw:
+                state = state.replace(
+                    bc_tan_disp=jnp.zeros((n, nw, 3), self.dtype))
+                if state.bc_roll_disp is not None:
+                    state = state.replace(
+                        bc_roll_disp=jnp.zeros((n, nw, 3), self.dtype))
+            if (self._static.get("rolling_mode") == "elastic_plastic"
+                    and state.roll_disp is None):
+                state = state.replace(
+                    roll_disp=jnp.zeros_like(state.tan_disp),
+                    bc_roll_disp=jnp.zeros((n, nw, 3), self.dtype))
+            if (self._static.get("rolling_mode") != "elastic_plastic"
+                    and state.bc_roll_disp is not None
+                    and state.bc_roll_disp.shape[1] != nw):
+                state = state.replace(bc_roll_disp=None)
+            self.state = state
 
     def set_boundaries(self, planes=None, cylinders=None, spheres=None,
                        cones=None):

@@ -1,4 +1,5 @@
 from chrono_tpu.io.checkpoint import save_checkpoint, load_checkpoint, load_metadata
+from chrono_tpu.io.dem_checkpoint import parse_dem_checkpoint, dem_system_from_checkpoint
 from chrono_tpu.io.writers import CSVWriter, FrameWriter
 from chrono_tpu.io.yaml_spec import load_spec, run_spec, build_mbs, build_dem
 from chrono_tpu.io.urdf import parse_urdf, build_from_urdf

@@ -41,6 +41,10 @@ class SolverSettings:
     tol: float = static_field(default=1e-6)
     stab_factor: float = static_field(default=1.0)   # Baumgarte C/h scaling
     max_recovery_speed: float = static_field(default=1e30)  # contact -C/h clamp
+    # per-movable-body row-valence bound of the Dᵀγ incidence gather (shape
+    # of the plan table: N·valence_bound·8 elements gathered PER ITERATION —
+    # size it to the scene; overflow falls back to the scatter form)
+    valence_bound: int = static_field(default=96)
 
 
 @pytree_dataclass
@@ -147,12 +151,18 @@ def _solve(rows: ConstraintRows, model: Model, v_free, w_free,
         gamma = solve_dense_schur(rows, model.props, v_free, w_free)
         return gamma, jnp.ones((), jnp.int32), jnp.zeros((), v_free.dtype)
 
-    packed = desc.pack_rows(rows)
+    # only ChShaftsPlanetary-role rows use the third body slot — statically
+    # known from the model, so contact-dominated scenes skip a third of the
+    # per-iteration row gathers
+    has_c = bool(model.shaft_constraints
+                 and "planetary" in model.shaft_constraints)
+    packed = desc.pack_rows(rows, has_c=has_c)
     minv8 = desc.pack_minv(model.props)
     # Solver-iteration hot path: Dᵀγ through the per-body incidence gather
     # (vector-unit friendly); if any movable body exceeds the valence bound
     # the whole solve falls back to the scatter-add form (correct, slower).
-    plan = desc.build_gather_plan(packed, minv8)
+    plan = desc.build_gather_plan(packed, minv8,
+                                  max_rows_per_body=settings.valence_bound)
 
     def Nop(g):
         return jax.lax.cond(

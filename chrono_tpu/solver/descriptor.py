@@ -50,10 +50,10 @@ class PackedRows:
 
     body_a: Array  # (M,) int32
     body_b: Array  # (M,) int32
-    body_c: Array  # (M,) int32
+    body_c: Array  # (M,) int32 — None when the model has no 3-body rows
     Ja: Array      # (M, 8) = [Ja_v, Ja_w, 0, 0] (zeroed when inactive)
     Jb: Array      # (M, 8)
-    Jc: Array      # (M, 8) = [0, 0, 0, Jc_w, 0, 0]
+    Jc: Array      # (M, 8) = [0, 0, 0, Jc_w, 0, 0] — None when no 3-body rows
     rhs: Array     # (M,) (zeroed when inactive)
     active: Array  # (M,) bool
 
@@ -62,16 +62,22 @@ class PackedRows:
         return self.body_a.shape[0]
 
 
-def pack_rows(rows: ConstraintRows) -> PackedRows:
+def pack_rows(rows: ConstraintRows, has_c: bool = True) -> PackedRows:
+    """``has_c=False`` (statically known: only ChShaftsPlanetary-role rows use
+    the third body slot) drops the c channel entirely — one fewer (M,8) row
+    gather per operator application, a third of the hot-path gather cost in
+    contact-dominated scenes."""
     m = rows.m
     z2 = jnp.zeros((m, 2), rows.Ja_v.dtype)
     z3 = jnp.zeros((m, 3), rows.Ja_v.dtype)
     act = rows.active[:, None].astype(rows.Ja_v.dtype)
     return PackedRows(
-        body_a=rows.body_a, body_b=rows.body_b, body_c=rows.body_c,
+        body_a=rows.body_a, body_b=rows.body_b,
+        body_c=rows.body_c if has_c else None,
         Ja=jnp.concatenate([rows.Ja_v, rows.Ja_w, z2], axis=1) * act,
         Jb=jnp.concatenate([rows.Jb_v, rows.Jb_w, z2], axis=1) * act,
-        Jc=jnp.concatenate([z3, rows.Jc_w, z2], axis=1) * act,
+        Jc=(jnp.concatenate([z3, rows.Jc_w, z2], axis=1) * act
+            if has_c else None),
         rhs=jnp.where(rows.active, rows.rhs, 0.0),
         active=rows.active,
     )
@@ -92,10 +98,12 @@ def pack_minv(props: BodyProps) -> Array:
 
 
 def apply_D_packed(p: PackedRows, u8: Array) -> Array:
-    """``D u``: (M,) row dot products via three row gathers."""
-    return (jnp.sum(p.Ja * u8[p.body_a], axis=-1)
-            + jnp.sum(p.Jb * u8[p.body_b], axis=-1)
-            + jnp.sum(p.Jc * u8[p.body_c], axis=-1))
+    """``D u``: (M,) row dot products via two (or three) row gathers."""
+    out = (jnp.sum(p.Ja * u8[p.body_a], axis=-1)
+           + jnp.sum(p.Jb * u8[p.body_b], axis=-1))
+    if p.Jc is not None:
+        out = out + jnp.sum(p.Jc * u8[p.body_c], axis=-1)
+    return out
 
 
 def apply_DT_packed(p: PackedRows, gamma: Array, n_bodies: int) -> Array:
@@ -108,9 +116,10 @@ def apply_DT_packed(p: PackedRows, gamma: Array, n_bodies: int) -> Array:
     """
     g = gamma[:, None]
     acc = jnp.zeros((n_bodies, 8), gamma.dtype)
-    return (acc.at[p.body_a].add(p.Ja * g)
-            .at[p.body_b].add(p.Jb * g)
-            .at[p.body_c].add(p.Jc * g))
+    acc = acc.at[p.body_a].add(p.Ja * g).at[p.body_b].add(p.Jb * g)
+    if p.Jc is not None:
+        acc = acc.at[p.body_c].add(p.Jc * g)
+    return acc
 
 
 @pytree_dataclass
@@ -138,12 +147,19 @@ def build_gather_plan(p: PackedRows, minv8: Array,
     m = p.m
     n_bodies = minv8.shape[0]
     V = max_rows_per_body
-    sides = jnp.concatenate([p.body_a, p.body_b, p.body_c])
+    n_sides = 2 if p.Jc is None else 3
+    if p.Jc is None:
+        sides = jnp.concatenate([p.body_a, p.body_b])
+        J_sides = jnp.concatenate([p.Ja, p.Jb], axis=0)
+    else:
+        sides = jnp.concatenate([p.body_a, p.body_b, p.body_c])
+        J_sides = jnp.concatenate([p.Ja, p.Jb, p.Jc], axis=0)
+    sm = n_sides * m
     movable = jnp.any(minv8 > 0, axis=1)
     key = jnp.where(movable[sides], sides, n_bodies)
     order = jnp.argsort(key).astype(jnp.int32)
     key_sorted = key[order]
-    arange = jnp.arange(3 * m, dtype=jnp.int32)
+    arange = jnp.arange(sm, dtype=jnp.int32)
     boundary = jnp.concatenate([
         jnp.ones((1,), bool), key_sorted[1:] != key_sorted[:-1]])
     first = jax.lax.cummax(jnp.where(boundary, arange, 0))
@@ -153,10 +169,9 @@ def build_gather_plan(p: PackedRows, minv8: Array,
         jnp.max(jnp.where(live, rank, 0)) + 1 - V, 0).astype(jnp.int32)
     flat = jnp.where(live, key_sorted * V + jnp.minimum(rank, V - 1),
                      n_bodies * V)
-    table = jnp.full((n_bodies * V,), 3 * m, jnp.int32)
+    table = jnp.full((n_bodies * V,), sm, jnp.int32)
     table = table.at[flat].set(
-        jnp.where(live & (rank < V), order, 3 * m), mode="drop")
-    J_sides = jnp.concatenate([p.Ja, p.Jb, p.Jc], axis=0)
+        jnp.where(live & (rank < V), order, sm), mode="drop")
     return GatherPlan(table=table.reshape(n_bodies, V), J_sides=J_sides,
                       overflow=overflow)
 
@@ -164,8 +179,9 @@ def build_gather_plan(p: PackedRows, minv8: Array,
 def apply_DT_gather(plan: GatherPlan, gamma: Array) -> Array:
     """``Dᵀ γ`` (N,8) with zero scatter: contributions are computed
     side-major and pulled through the incidence table."""
-    g3 = jnp.concatenate([gamma, gamma, gamma])[:, None]
-    c = plan.J_sides * g3                               # (3M, 8)
+    n_sides = plan.J_sides.shape[0] // gamma.shape[0]
+    gs = jnp.concatenate([gamma] * n_sides)[:, None]
+    c = plan.J_sides * gs                               # (sides·M, 8)
     c = jnp.concatenate([c, jnp.zeros((1, 8), c.dtype)], axis=0)
     return jnp.sum(c[plan.table], axis=1)               # (N, V, 8) → (N, 8)
 
@@ -195,8 +211,9 @@ def velocity_update_packed(p: PackedRows, minv8: Array, gamma: Array,
 def diag_N_packed(p: PackedRows, minv8: Array) -> Array:
     """Exact diagonal of N in packed layout (1.0 on inactive rows)."""
     d = (jnp.sum(p.Ja * p.Ja * minv8[p.body_a], axis=-1)
-         + jnp.sum(p.Jb * p.Jb * minv8[p.body_b], axis=-1)
-         + jnp.sum(p.Jc * p.Jc * minv8[p.body_c], axis=-1))
+         + jnp.sum(p.Jb * p.Jb * minv8[p.body_b], axis=-1))
+    if p.Jc is not None:
+        d = d + jnp.sum(p.Jc * p.Jc * minv8[p.body_c], axis=-1)
     return jnp.where(p.active, d, 1.0)
 
 
