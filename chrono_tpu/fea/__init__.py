@@ -6,3 +6,5 @@ from chrono_tpu.fea.tetra import TetraMesh, TetraProps, TetraBuilder
 from chrono_tpu.fea.contact import NodeCloudContact, make_contact_force_fn
 from chrono_tpu.fea.ancf import (ANCFElement, ANCFMesh, beam_material_D0_Dv,
                                  build_ancf_element, build_ancf_mesh)
+from chrono_tpu.fea.eig import (undamped_modes, damped_modes,
+                                natural_frequencies, sym_pencil_eigs)
