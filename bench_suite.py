@@ -150,36 +150,45 @@ def bench_mixer(n_spheres=None):
                                   "SUITE_VALENCE", 32)))
 
     h = 2e-3
+    import functools
 
-    # python-loop stepping, one jitted step per call: a lax.scan of 100 NSC
-    # steps relayouts the large carried buffers every step AND faults the
-    # TPU device at N=10k (same scan-carry disease the DEM bench hit — see
-    # BENCH.md); the per-step dispatch overhead is negligible at these step
-    # costs.
-    @jax.jit
-    def one(state, t, gamma):
-        st, contacts, info = nsc_step(model, coll, state, t, h,
-                                      settings, gamma_warm=gamma)
-        return st, info.joint_reactions * h, info.iterations, contacts.count
+    # chunked scans (default 10 steps/dispatch): a scan of 100 NSC steps
+    # faults the TPU device at N=10k and relayouts the carried buffers
+    # (same scan-carry disease the DEM bench hit — see BENCH.md), while
+    # one dispatch per step pays a tunnel round trip per step on the
+    # remote-TPU setup.  K=10 amortizes RTT without triggering either.
+    K = int(os.environ.get("SUITE_CHUNK", 10))
+
+    @functools.partial(jax.jit, static_argnums=3)
+    def chunk(state, t, gamma, k):
+        def body(carry, _):
+            st, tt, g = carry
+            st, contacts, info = nsc_step(model, coll, st, tt, h,
+                                          settings, gamma_warm=g)
+            return (st, tt + h, info.joint_reactions * h), (
+                info.iterations, contacts.count)
+        (st, tt, g), (its, ncs) = jax.lax.scan(body, (state, t, gamma),
+                                               None, length=k)
+        return st, tt, g, its, ncs
 
     gamma0 = jnp.zeros((coll.max_contacts * 3 + _bilateral_rows(model),))
     st, t, gam = state, 0.0, gamma0
-    for _ in range(int(os.environ.get("SUITE_SETTLE", 150))):  # settle + warm
-        st, gam, its, ncs = one(st, t, gam)
-        t += h
+    n_settle = int(os.environ.get("SUITE_SETTLE", 150))
+    for _ in range(max(1, n_settle // K)):               # settle + warm
+        st, t, gam, its, ncs = chunk(st, t, gam, K)
     st.x.block_until_ready()
     n_meas = 50
     its_l, ncs_l = [], []
     t0 = time.perf_counter()
-    for _ in range(n_meas):
-        st, gam, its, ncs = one(st, t, gam)
-        its_l.append(its)
-        ncs_l.append(ncs)
-        t += h
+    for _ in range(max(1, n_meas // K)):
+        st, t, gam, its, ncs = chunk(st, t, gam, K)
+        its_l.append(np.asarray(its))
+        ncs_l.append(np.asarray(ncs))
     st.x.block_until_ready()
     dt = time.perf_counter() - t0
-    iters = float(np.mean([np.asarray(i) for i in its_l]))
-    contacts = float(np.mean([np.asarray(c) for c in ncs_l]))
+    n_meas = K * max(1, n_meas // K)
+    iters = float(np.mean(its_l))
+    contacts = float(np.mean(ncs_l))
     assert bool(jnp.isfinite(st.x).all())
     return dict(metric="NSC mixer DVI iterations/sec (APGD)",
                 value=round(iters * n_meas / dt, 1), unit="iters/s",
@@ -245,7 +254,10 @@ def bench_mixer_pencil(n_spheres=None):
     pts += rng.uniform(-0.005, 0.005, pts.shape) * radius
     n = len(pts)
 
-    adv = make_nsc_pencil_advance(p, grid, walls, backend="pallas",
+    engine = os.environ.get("SUITE_NSC_ENGINE", "partner")
+    adv = make_nsc_pencil_advance(p, grid, walls, backend=engine,
+                                  partners=int(os.environ.get(
+                                      "SUITE_PARTNERS", 12)),
                                   Bxy=int(os.environ.get("SUITE_BXY", 1)))
     pos = jnp.asarray(pts, jnp.float32)
     vel = jnp.zeros((n, 3), jnp.float32)
@@ -266,7 +278,7 @@ def bench_mixer_pencil(n_spheres=None):
     from chrono_tpu.dem.cell_dense import to_cells
     field = to_cells(grid, 8, pos, vel, om)
     npairs = _count_pairs(field, grid, radius, p.envelope)
-    return dict(metric="NSC drum DVI iterations/sec (pencil APGD)",
+    return dict(metric=f"NSC drum DVI iterations/sec ({engine} APGD)",
                 value=round(p.n_iter * steps / dt, 1), unit="iters/s",
                 ms_per_step=round(dt / steps * 1e3, 2),
                 rtf=round(dt / (steps * p.dt), 2),
@@ -396,6 +408,24 @@ def bench_sph(n_target=None):
                 engine=engine, backend=jax.default_backend())
 
 
+def bench_crm():
+    """Config #5: 4-wheel double-wishbone vehicle on CRM deformable terrain,
+    one fused coupled program (the reference's
+    demo_VEH_CRMTerrain_WheeledVehicle flagship).  Metric: end-to-end RTF."""
+    import jax
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from demos import demo_vehicle_crm
+
+    n_int = int(os.environ.get("SUITE_CRM_INTERVALS", 6))
+    out = demo_vehicle_crm.main(n_intervals=n_int, outer_per_interval=40)
+    return dict(metric="vehicle-on-CRM end-to-end RTF",
+                value=round(out["rtf"], 2), unit="RTF",
+                markers=out["markers"], bodies=out["bodies"],
+                sim_s=round(out["sim_s"], 3),
+                distance_m=round(out["distance"], 3),
+                backend=jax.default_backend())
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     force = os.environ.get("SUITE_BACKEND", "")      # "", cpu, tpu
@@ -404,7 +434,7 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
     fns = {"mbs": bench_mbs, "mixer": bench_mixer, "sph": bench_sph,
-           "mixer_pencil": bench_mixer_pencil}
+           "mixer_pencil": bench_mixer_pencil, "crm": bench_crm}
     names = list(fns) if which == "all" else [which]
     for name in names:
         out = fns[name]()

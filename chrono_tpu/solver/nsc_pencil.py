@@ -279,13 +279,18 @@ def dense_sweep_g(p: NSCPencilParams, grid: GridSpec, walls, pos, u_v, u_w,
 
 def make_nsc_pencil_advance(p: NSCPencilParams, grid: GridSpec, walls,
                             capacity: int = 8, backend: str = "pallas",
-                            Bxy: int = 1, interpret: bool = False):
+                            Bxy: int = 1, interpret: bool = False,
+                            partners: int = 12):
     """Build ``advance(pos, vel, omega, n_steps) -> (pos, vel, omega, info)``.
 
     One DVI step = re-bin → ``n_iter`` APGD iterations on the multiplier
     lattice (cold start) → velocity update → explicit position update —
     the lattice equivalent of ``ChSystem::AdvanceDynamics``
     (/root/reference/src/chrono/physics/ChSystem.cpp:1581).
+
+    Backends: "pallas" (dense pair lattice), "partner" (per-body partner
+    slots, see ops/pallas/nsc_partner_kernel — the fast one), "xla"
+    (dense roll-based reference).
     """
     nx, ny, nz = grid.dims
     if any(grid.periodic):
@@ -298,7 +303,59 @@ def make_nsc_pencil_advance(p: NSCPencilParams, grid: GridSpec, walls,
     lat = 27 * 3 * capacity
     gvec = jnp.asarray(p.gravity, jnp.float32)
 
-    if backend == "pallas":
+    if backend == "partner":
+        from chrono_tpu.ops.pallas.nsc_partner_kernel import (
+            detect_partners, codes_to_pencils,
+            nsc_partner_sweep_u_pallas, nsc_partner_sweep_g_pallas,
+        )
+        P = partners
+        pd = dict(phys)
+
+        def solve(field):
+            feat = field_to_pencils(field, nzp)
+            codes_d, pover = detect_partners(
+                p.radius, p.envelope, grid, field.pos, field.mask, P)
+            codes = codes_to_pencils(codes_d, nzp)
+            if codes.shape[0] != nxy_pad:
+                pad = jnp.full((nxy_pad - codes.shape[0],) + codes.shape[1:],
+                               -1.0, codes.dtype)
+                codes = jnp.concatenate([codes, pad], axis=0)
+
+            kw = dict(phys=pd, walls=walls, grid_dims=grid.dims,
+                      C=capacity, P=P, Bxy=Bxy, interpret=interpret)
+
+            def one_iter(st: APGDState, k):
+                u = nsc_partner_sweep_u_pallas(
+                    feat, codes, st.gam, st.gprev, st.wgam, st.wgprev,
+                    st.beta, **kw)
+                featU = jnp.concatenate(
+                    [feat[:, :3], u[:nxy], feat[:, 9:]], axis=1)
+                gnew, wnew = nsc_partner_sweep_g_pallas(
+                    featU, codes, st.gam, st.gprev, st.wgam, st.wgprev,
+                    st.beta, **kw)
+                return _momentum_update(st, gnew, wnew, p, k)
+
+            st0 = APGDState(
+                gam=jnp.zeros((nxy_pad, 3 * P, capacity, nzp), jnp.float32),
+                gprev=jnp.zeros((nxy_pad, 3 * P, capacity, nzp), jnp.float32),
+                wgam=jnp.zeros((nxy_pad, 3 * max(W, 1), capacity, nzp),
+                               jnp.float32),
+                wgprev=jnp.zeros((nxy_pad, 3 * max(W, 1), capacity, nzp),
+                                 jnp.float32),
+                beta=jnp.zeros((), jnp.float32),
+                theta=jnp.ones((), jnp.float32))
+            st, dgam = lax.scan(one_iter, st0, jnp.arange(p.n_iter))
+            u = nsc_partner_sweep_u_pallas(
+                feat, codes, st.gam, st.gam, st.wgam, st.wgam,
+                jnp.zeros((), jnp.float32), **kw)
+
+            def grab(a, f0):
+                return a[:nxy, f0:f0 + 3, :, :nz].transpose(
+                    0, 3, 2, 1).reshape(nx, ny, nz, capacity, 3)
+
+            return grab(u, 0), grab(u, 3), dgam
+
+    elif backend == "pallas":
         edge_table = edge_ok_xy(grid.dims)
 
         def solve(field):

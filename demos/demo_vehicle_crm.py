@@ -20,7 +20,8 @@ sys.path.insert(0, ".")
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if __name__ == "__main__":          # benchmark imports pick the backend
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import jax.numpy as jnp
@@ -158,6 +159,9 @@ def main(n_intervals=25, outer_per_interval=40):
     t_sim = float(state.time)
     print(f"RTF = {wall / t_sim:.1f} (wall {wall:.0f}s / sim {t_sim:.2f}s), "
           f"distance = {float(state.bodies.x[chassis, 0]) - x_start:.2f} m")
+    return dict(rtf=wall / t_sim, wall_s=wall, sim_s=t_sim, markers=n_markers,
+                bodies=model.n_bodies,
+                distance=float(state.bodies.x[chassis, 0]) - x_start)
 
 
 if __name__ == "__main__":

@@ -231,3 +231,63 @@ def test_rotating_drum_entrains():
     rad = np.sqrt((np.asarray(pos)[:, 0] - cx) ** 2
                   + (np.asarray(pos)[:, 2] - cz) ** 2)
     assert float(rad.max()) < 4.5 * 2.1 * R
+
+
+def test_backend_parity_partner_interpret():
+    """Partner-lattice kernels (v3) reproduce the dense-roll trajectory."""
+    rng = np.random.default_rng(7)
+    n = 14
+    p = NSCPencilParams(radius=R, mass=0.5, mu=0.3, dt=1e-3, n_iter=6,
+                        envelope=0.002 * R)
+    grid = _grid(4)
+    pos0 = jnp.asarray(rng.uniform(0.12, 0.36, (n, 3)))
+    vel0 = jnp.asarray(rng.normal(0.0, 0.2, (n, 3)))
+    om0 = jnp.zeros((n, 3))
+    # P=6 keeps the interpret-mode op count testable on one CPU core; the
+    # kernel math is P-independent
+    adv_x = make_nsc_pencil_advance(p, grid, FLOOR, backend="xla")
+    adv_p = make_nsc_pencil_advance(p, grid, FLOOR, backend="partner",
+                                    interpret=True, partners=6)
+    px, vx, ox, ovx = adv_x(pos0, vel0, om0, 1)
+    pp, vp, op_, ovp = adv_p(pos0, vel0, om0, 1)
+    assert int(ovx) == 0 and int(ovp) == 0
+    np.testing.assert_allclose(np.asarray(px), np.asarray(pp), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(vx), np.asarray(vp), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ox), np.asarray(op_), atol=2e-3)
+
+
+def test_partner_detection_symmetry_and_budget():
+    """Every detected pair appears once on EACH side with mirrored codes;
+    overflow reports dropped partners."""
+    from chrono_tpu.ops.pallas.nsc_partner_kernel import detect_partners
+
+    rng = np.random.default_rng(11)
+    n = 24
+    p = NSCPencilParams(radius=R, mass=0.5, envelope=0.05 * R)
+    grid = _grid(5)
+    pos = jnp.asarray(rng.uniform(0.12, 0.42, (n, 3)))
+    field = to_cells(grid, 8, pos, jnp.zeros((n, 3)), jnp.zeros((n, 3)))
+    C, P = 8, 12
+    codes, over = detect_partners(p.radius, p.envelope, grid, field.pos,
+                                  field.mask, P)
+    assert int(over) == 0
+    codes = np.asarray(codes)
+    nx, ny, nz = grid.dims
+    offs = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            for dz in (-1, 0, 1)]
+    pairs = 0
+    for ix in range(nx):
+        for iy in range(ny):
+            for iz in range(nz):
+                for a in range(C):
+                    for code in codes[ix, iy, iz, a]:
+                        if code < 0:
+                            continue
+                        k27, b = int(code) // C, int(code) % C
+                        dx, dy, dz = offs[k27]
+                        jx, jy, jz = ix + dx, iy + dy, iz + dz
+                        mirror = offs.index((-dx, -dy, -dz)) * C + a
+                        assert mirror in codes[jx, jy, jz, b].astype(int), (
+                            (ix, iy, iz, a), code)
+                        pairs += 1
+    assert pairs > 0 and pairs % 2 == 0
