@@ -4,3 +4,4 @@ from chrono_tpu.collision.pipeline import (
     detect_contacts, contact_rows, nsc_step,
 )
 from chrono_tpu.collision import narrowphase
+from chrono_tpu.collision import ray

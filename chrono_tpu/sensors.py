@@ -145,3 +145,80 @@ def tachometer_read(state, body: int, axis: int = 2) -> Array:
     """Shaft/wheel rotation speed about a body-local axis [rad/s]
     (reference ChTachometerSensor)."""
     return state.w[body, axis]
+
+
+# ---------------------------------------------------------------------------
+# ray-cast sensors (lidar / depth camera) — the GEOMETRIC part of the
+# reference's OptiX sensors (ChLidarSensor / depth camera,
+# /root/reference/src/chrono_sensor/sensors/ChLidarSensor.h) without the
+# shading pipeline: batched ray fans against analytic shapes + triangle
+# soups (chrono_tpu.collision.ray), fully jittable.
+# ---------------------------------------------------------------------------
+
+
+@pytree_dataclass
+class RayScene:
+    """Static-shape scene for ray sensors (None = family absent)."""
+
+    tri_v0: Array = None     # (T,3)
+    tri_v1: Array = None
+    tri_v2: Array = None
+    sph_c: Array = None      # (S,3)
+    sph_r: Array = None
+    box_c: Array = None      # (B,3)
+    box_R: Array = None      # (B,3,3)
+    box_h: Array = None
+    pln_p: Array = None      # (P,3)
+    pln_n: Array = None
+
+
+def ray_scene_cast(scene: RayScene, origins, dirs):
+    """(t, n) against every populated family of the scene."""
+    from chrono_tpu.collision import ray as _ray
+
+    hits = []
+    if scene.tri_v0 is not None:
+        hits.append(_ray.ray_triangles(origins, dirs, scene.tri_v0,
+                                       scene.tri_v1, scene.tri_v2))
+    if scene.sph_c is not None:
+        hits.append(_ray.ray_spheres(origins, dirs, scene.sph_c, scene.sph_r))
+    if scene.box_c is not None:
+        hits.append(_ray.ray_boxes(origins, dirs, scene.box_c, scene.box_R,
+                                   scene.box_h))
+    if scene.pln_p is not None:
+        hits.append(_ray.ray_planes(origins, dirs, scene.pln_p, scene.pln_n))
+    if not hits:
+        raise ValueError("empty RayScene")
+    return _ray.combine(*hits) if len(hits) > 1 else hits[0]
+
+
+def lidar_scan(scene: RayScene, pose_x, pose_q, *, n_horizontal=360,
+               n_vertical=16, fov_vertical=(-0.26, 0.26), max_range=100.0):
+    """Spinning-lidar range image (n_vertical, n_horizontal) [m] from a body
+    pose (reference ChLidarSensor parameters hfov=2π, channels, vfov)."""
+    az = jnp.linspace(-jnp.pi, jnp.pi, n_horizontal, endpoint=False)
+    el = jnp.linspace(fov_vertical[0], fov_vertical[1], n_vertical)
+    A, E = jnp.meshgrid(az, el)
+    d_loc = jnp.stack([jnp.cos(E) * jnp.cos(A), jnp.cos(E) * jnp.sin(A),
+                       jnp.sin(E)], axis=-1).reshape(-1, 3)
+    d_world = Q.qrotate(pose_q[None, :], d_loc)
+    o = jnp.broadcast_to(pose_x, d_world.shape)
+    t, _ = ray_scene_cast(scene, o, d_world)
+    return jnp.minimum(t, max_range).reshape(n_vertical, n_horizontal)
+
+
+def depth_image(scene: RayScene, pose_x, pose_q, *, width=64, height=48,
+                hfov=1.2, max_range=100.0):
+    """Pinhole depth camera (height, width) [m along ray].  Camera looks
+    along body +x, image x → body −y, image y → body −z (the reference's
+    camera convention)."""
+    f = 0.5 * width / jnp.tan(0.5 * hfov)
+    xs = (jnp.arange(width) - (width - 1) / 2.0) / f
+    ys = (jnp.arange(height) - (height - 1) / 2.0) / f
+    U, V = jnp.meshgrid(xs, ys)
+    d_loc = jnp.stack([jnp.ones_like(U), -U, -V], axis=-1).reshape(-1, 3)
+    d_loc = d_loc / jnp.linalg.norm(d_loc, axis=-1, keepdims=True)
+    d_world = Q.qrotate(pose_q[None, :], d_loc)
+    o = jnp.broadcast_to(pose_x, d_world.shape)
+    t, _ = ray_scene_cast(scene, o, d_world)
+    return jnp.minimum(t, max_range).reshape(height, width)
