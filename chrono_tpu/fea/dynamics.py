@@ -133,7 +133,9 @@ def static_solve(mesh: CableMesh, q0: Array, f_ext: Array,
 
 def make_hht_step(mesh: CableMesh, n_nodes: int, h: float,
                   alpha: float = -0.2, newton_iters: int = 10,
-                  tol: float = 1e-5, f_state_fn=None):
+                  tol: float = 1e-5, f_state_fn=None,
+                  linear_solver: str = "dense", krylov_iters: int = 200,
+                  krylov_tol: float = 1e-7):
     """Build a jitted HHT-α step (α ∈ [-1/3, 0]; α=0 → Newmark trapezoidal).
 
     Unknown = end-of-step acceleration; exact Newton matrix by autodiff.
@@ -142,6 +144,15 @@ def make_hht_step(mesh: CableMesh, n_nodes: int, h: float,
     ``f_state_fn(q (Nn,6), qd (Nn,6)) -> (Nn,6)``: optional state-dependent
     load (e.g. node-cloud penalty contact, fea.contact) evaluated INSIDE the
     residual, so Newton sees its exact tangent.
+
+    ``linear_solver``: "dense" (autodiff Jacobian + LU — right at 10²–10⁴
+    DOF) or a matrix-free Krylov engine over JVPs — "cg" (symmetric
+    tangents: conservative elements + structural damping) or "bicgstab"
+    (nonsymmetric, e.g. friction contact loads).  The Krylov path never
+    materializes J — the reference's large-FEA route (MINRES/GMRES over
+    ChSystemDescriptor::SystemProduct, ChIterativeSolverLS.h:108) with the
+    SPMV replaced by an autodiff Jacobian-vector product; mass-diagonal
+    preconditioner.
     """
     beta = (1.0 - alpha) ** 2 / 4.0
     gamma = 0.5 - alpha
@@ -166,6 +177,11 @@ def make_hht_step(mesh: CableMesh, n_nodes: int, h: float,
 
     res_only = lambda a, *args: residual(a, *args)[0]
     jac = jax.jacfwd(res_only)
+    if linear_solver != "dense":
+        from chrono_tpu.solver import krylov
+        dinv_m = 1.0 / jnp.maximum(jnp.diag(M), 1e-12)
+        ksolve = {"cg": krylov.solve_cg,
+                  "bicgstab": krylov.solve_bicgstab}[linear_solver]
 
     @jax.jit
     def step(q, qd, qdd, f_ext) -> FEAStepOut:
@@ -175,8 +191,19 @@ def make_hht_step(mesh: CableMesh, n_nodes: int, h: float,
         def body(carry):
             a, k, res = carry
             r, _ = residual(a, qf, vf, af, fe)
-            J = jac(a, qf, vf, af, fe)
-            da = _masked_solve(-J, r, free)
+            if linear_solver == "dense":
+                J = jac(a, qf, vf, af, fe)
+                da = _masked_solve(-J, r, free)
+            else:
+                def Av(v):
+                    vm = jnp.where(free, v, 0.0)
+                    jv = jax.jvp(lambda aa: res_only(aa, qf, vf, af, fe),
+                                 (a,), (vm,))[1]
+                    return jnp.where(free, jv, v)
+                sol = ksolve(Av, -jnp.where(free, r, 0.0),
+                             Minv=lambda x: dinv_m * x,
+                             max_iter=krylov_iters, tol=krylov_tol)
+                da = jnp.where(free, sol.x, 0.0)
             a = a + da
             res = jnp.linalg.norm(jnp.where(free, residual(a, qf, vf, af,
                                                            fe)[0], 0.0))

@@ -87,3 +87,31 @@ class TestCableDynamics:
         f1 = np.sqrt(w2[0]) / (2 * np.pi)
         f1_expect = (1.8751**2 / (2 * np.pi)) * np.sqrt(50.0 / (2.0 * 1.0**4))
         np.testing.assert_allclose(f1, f1_expect, rtol=0.03)
+
+
+def test_hht_matrix_free_krylov_matches_dense():
+    """HHT with the matrix-free CG linear solver reproduces the dense-LU
+    trajectory (the large-FEA path: JVP operator, no Jacobian assembly)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from chrono_tpu.fea import CableBuilder, make_hht_step, gravity_loads
+
+    mesh, q0, qd0 = cantilever(n_elems=8)
+    n = q0.shape[0]
+    fe = gravity_loads(mesh, n, (0.0, 0.0, -9.81))
+    qdd0 = jnp.zeros_like(q0)
+    h = 2e-3
+    step_d = make_hht_step(mesh, n, h)
+    step_k = make_hht_step(mesh, n, h, linear_solver="cg",
+                           krylov_iters=400, krylov_tol=1e-9)
+    qd_, qk_ = (q0, qd0, qdd0), (q0, qd0, qdd0)
+    for _ in range(25):
+        od = step_d(*qd_, fe)
+        ok = step_k(*qk_, fe)
+        qd_ = (od.q, od.qd, od.qdd)
+        qk_ = (ok.q, ok.qd, ok.qdd)
+    assert np.isfinite(np.asarray(ok.q)).all()
+    np.testing.assert_allclose(np.asarray(ok.q), np.asarray(od.q),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(ok.qd), np.asarray(od.qd),
+                               atol=5e-3)
