@@ -126,3 +126,67 @@ def double_lane_change_path(dtype=jnp.float32):
     k = np.ones(7) / 7
     ys = np.convolve(np.pad(ys, 3, mode="edge"), k, mode="valid")
     return jnp.asarray(np.stack([xs, ys], axis=-1), dtype)
+
+
+@pytree_dataclass
+class HumanDriver:
+    """Preview-point human driver model (reference ChHumanDriver,
+    /root/reference/src/chrono_vehicle/driver/ChHumanDriver.cpp:256-365):
+    a sentinel point ``u·Tp`` ahead of the chassis is compared against the
+    path; steering integrates the lateral error (driver lag), speed follows
+    a curvature-limited safe speed with asymmetric throttle/brake gains."""
+
+    path: jnp.ndarray                 # (N,2) waypoints
+    Tp: jnp.ndarray = 0.5             # preview time [s]
+    Klat: jnp.ndarray = 0.1
+    Kug: jnp.ndarray = 0.0            # understeer gradient [deg/g]
+    Klong: jnp.ndarray = 0.1
+    Kplus: jnp.ndarray = 0.1
+    Kminus: jnp.ndarray = 0.1
+    u0: jnp.ndarray = 10.0            # low-speed reference [m/s]
+    umax: jnp.ndarray = 30.0          # top speed [m/s]
+    ay_max: jnp.ndarray = 4.0         # comfort lateral accel [m/s²]
+    delta_max: jnp.ndarray = 0.5      # steering saturation [rad]
+
+    def __call__(self, delta, pos_xy, heading, speed, h):
+        """(delta', DriverInputs): carry ``delta`` (integrated steering)."""
+        fwd = jnp.stack([jnp.cos(heading), jnp.sin(heading)])
+        dist = jnp.maximum(speed, 0.3 * self.u0) * self.Tp
+        sentinel = pos_xy + dist * fwd
+        d2 = jnp.sum((self.path - sentinel[None, :]) ** 2, axis=1)
+        i = jnp.argmin(d2)
+        target = self.path[i]
+        err_vec = target - sentinel
+        err = -err_vec[0] * fwd[1] + err_vec[1] * fwd[0]   # signed lateral
+        gain = self.Klat * (1.0 + self.Kug * speed * speed
+                            / (self.ay_max * 81.0 + 1e-9))
+        delta = jnp.clip(delta + gain * err, -self.delta_max, self.delta_max)
+
+        # curvature-limited safe speed from three path points around target
+        n = self.path.shape[0]
+        i0 = jnp.clip(i - 2, 0, n - 1)
+        i2 = jnp.clip(i + 2, 0, n - 1)
+        a, b, c = self.path[i0], self.path[i], self.path[i2]
+        ab, bc, ca = b - a, c - b, a - c
+        cross = ab[0] * bc[1] - ab[1] * bc[0]
+        denom = (jnp.linalg.norm(ab) * jnp.linalg.norm(bc)
+                 * jnp.linalg.norm(ca) + 1e-9)
+        kappa = jnp.abs(2.0 * cross / denom)
+        u_safe = jnp.minimum(self.umax,
+                             jnp.sqrt(self.ay_max / jnp.maximum(kappa, 1e-6)))
+        tau = self.Klong * (u_safe - speed)
+        throttle = jnp.clip(tau / jnp.maximum(self.Kplus, 1e-6), 0.0, 1.0)
+        braking = jnp.clip(-tau / jnp.maximum(self.Kminus, 1e-6), 0.0, 1.0)
+        inputs = DriverInputs(steering=delta / self.delta_max,
+                              throttle=throttle, braking=braking)
+        return delta, inputs
+
+
+def acc_speed_command(set_speed, gap, gap_rate, *, time_gap=1.5,
+                      standstill=5.0, k_gap=0.4, k_rate=0.8):
+    """Adaptive-cruise speed command (reference ChPathFollowerACCDriver
+    role): track ``set_speed`` but keep at least ``standstill + v·time_gap``
+    to the lead vehicle; returns the commanded speed for a SpeedController."""
+    v_follow = (gap - standstill) / jnp.maximum(time_gap, 1e-3) \
+        + k_rate * gap_rate / jnp.maximum(k_gap + time_gap, 1e-3)
+    return jnp.clip(jnp.minimum(set_speed, v_follow), 0.0, None)

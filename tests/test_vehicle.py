@@ -351,3 +351,50 @@ class TestWishboneVehicle:
         # steering left (+) yaws left (+z) once rolling
         assert wz > 0.05, f"no yaw response: {wz}"
         assert float(state.x[veh.chassis, 1]) > 0.1
+
+
+class TestHumanDriverACC:
+    def test_human_driver_tracks_curved_path(self):
+        """Preview driver steers toward a curving path and slows for the
+        bend (curvature-limited safe speed)."""
+        import numpy as np
+        import jax.numpy as jnp
+        from chrono_tpu.vehicle.driver import HumanDriver
+
+        s = np.linspace(0, 80, 200)
+        path = np.stack([s, np.where(s < 40, 0.0, (s - 40) ** 2 / 80.0)], 1)
+        hd = HumanDriver(path=jnp.asarray(path, jnp.float32),
+                         umax=jnp.asarray(25.0))
+        delta = jnp.asarray(0.0)
+        # straight section, on path, fast: no steering, full-ish throttle
+        delta, inp = hd(delta, jnp.asarray([5.0, 0.0]), jnp.asarray(0.0),
+                        jnp.asarray(10.0), 1e-2)
+        assert abs(float(inp.steering)) < 0.05
+        assert float(inp.throttle) > 0.5 and float(inp.braking) == 0.0
+        # approaching the left bend: steering builds toward the curve side
+        delta = jnp.asarray(0.0)
+        for _ in range(10):
+            delta, inp = hd(delta, jnp.asarray([38.0, 0.0]),
+                            jnp.asarray(0.0), jnp.asarray(15.0), 1e-2)
+        assert float(inp.steering) > 0.05
+        # inside the bend at high speed: brakes (curvature-limited)
+        delta, inp = hd(jnp.asarray(0.0), jnp.asarray([55.0, 2.8]),
+                        jnp.asarray(0.35), jnp.asarray(29.0), 1e-2)
+        assert float(inp.braking) > 0.0
+
+    def test_acc_speed_command(self):
+        import jax.numpy as jnp
+        from chrono_tpu.vehicle.driver import acc_speed_command
+
+        # free road: follow the set speed
+        v = acc_speed_command(jnp.asarray(20.0), jnp.asarray(200.0),
+                              jnp.asarray(0.0))
+        assert float(v) == 20.0
+        # close lead: commanded speed drops below set speed
+        v2 = acc_speed_command(jnp.asarray(20.0), jnp.asarray(14.0),
+                               jnp.asarray(0.0))
+        assert 0.0 < float(v2) < 10.0
+        # closing fast: commands slower than steady gap
+        v3 = acc_speed_command(jnp.asarray(20.0), jnp.asarray(14.0),
+                               jnp.asarray(-3.0))
+        assert float(v3) < float(v2)
