@@ -230,3 +230,53 @@ def obj_body_markers(path, spacing, layers=3) -> np.ndarray:
 
     verts, faces = load_obj(path)
     return mesh_body_markers(verts, faces, spacing, layers)
+
+
+def cylinder_container_markers(radius, height, spacing, layers=3,
+                               top_open=True):
+    """BCE markers of a cylindrical CONTAINER (inner wall + floor [+ lid]),
+    axis +z, floor at z=0 — the reference's ChFsiProblemCylindrical
+    construction (/root/reference/src/chrono_fsi/sph/ChFsiProblemSPH.h:441).
+    Wall layers grow OUTWARD so the innermost shell sits at ``radius``."""
+    pts = []
+    # side wall: rings at radius + l·spacing
+    nz = max(2, int(round(height / spacing)) + 1)
+    for l in range(layers):
+        r = radius + l * spacing
+        ntheta = max(8, int(round(2 * np.pi * r / spacing)))
+        th = 2 * np.pi * np.arange(ntheta) / ntheta
+        ring = np.stack([r * np.cos(th), r * np.sin(th),
+                         np.zeros(ntheta)], axis=1)
+        for k in range(nz):
+            pts.append(ring + np.array([0.0, 0.0, k * height / (nz - 1)]))
+    # floor disks (descending below z=0) and optional lid
+    caps = [(-l * spacing) for l in range(1, layers + 1)]
+    if not top_open:
+        caps += [height + l * spacing for l in range(1, layers + 1)]
+    for z in caps:
+        nr = int(np.floor((radius + (layers - 0.5) * spacing) / spacing))
+        for i in range(nr + 1):
+            r = i * spacing
+            ntheta = max(1, int(round(2 * np.pi * max(r, spacing * 0.5)
+                                      / spacing))) if i else 1
+            th = 2 * np.pi * np.arange(ntheta) / ntheta
+            pts.append(np.stack([r * np.cos(th), r * np.sin(th),
+                                 np.full(ntheta, z)], axis=1))
+    return np.concatenate(pts, axis=0)
+
+
+def cylinder_fluid_fill(radius, depth, spacing, inner_radius=0.0, z0=None):
+    """SPH particle fill of a cylindrical (or annular) column, axis +z,
+    starting half a spacing above the floor."""
+    z0 = 0.5 * spacing if z0 is None else z0
+    xs = np.arange(-radius + spacing / 2, radius, spacing)
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    r2 = X**2 + Y**2
+    keep = (r2 < (radius - spacing / 2) ** 2)
+    if inner_radius > 0:
+        keep &= r2 > (inner_radius + spacing / 2) ** 2
+    base = np.stack([X[keep], Y[keep]], axis=1)
+    zs = np.arange(z0, depth, spacing)
+    pts = np.concatenate([np.concatenate(
+        [base, np.full((len(base), 1), z)], axis=1) for z in zs], axis=0)
+    return pts

@@ -152,3 +152,49 @@ def test_heightmap_scene_builder():
     key = np.round(fluid[:, :2] / 0.05).astype(int)
     _, counts = np.unique(key, axis=0, return_counts=True)
     assert counts.min() == counts.max() == 6
+
+
+def test_cylindrical_container_hydrostatic():
+    """ChFsiProblemCylindrical role: water column in a cylindrical container
+    stays inside the wall and reaches hydrostatic density stratification."""
+    from chrono_tpu.fsi.bce import (cylinder_container_markers,
+                                    cylinder_fluid_fill)
+    from chrono_tpu.fsi.sph.system import make_sph_advance_fn
+
+    d0 = 0.02
+    R, depth = 0.15, 0.16
+    rho0 = 1000.0
+    walls = cylinder_container_markers(R, 0.3, d0)
+    fluid = cylinder_fluid_fill(R, depth, d0)
+    params = SPHParams(
+        d0=jnp.asarray(d0), h=jnp.asarray(1.2 * d0),
+        rho0=jnp.asarray(rho0), mu=jnp.asarray(0.5),
+        c_s=jnp.asarray(15.0), gravity=jnp.asarray([0.0, 0.0, -9.81]),
+        dt=jnp.asarray(1e-4), viscosity_model="laminar",
+        max_neighbors=96, max_per_cell=80, rebuild_every=2,
+        integrator="symplectic", xsph_eps=0.2)
+    params = params.replace(dt=jnp.asarray(suggest_sph_dt(params)))
+    state = make_sph_state(params, fluid, boundary_pts=walls)
+    ext = R + 4 * d0
+    cell = 2.4 * d0
+    nxy = int(np.ceil(2 * ext / cell))
+    grid = GridSpec(origin=(-ext, -ext, -4 * d0), cell_size=cell,
+                    dims=(nxy, nxy, int(np.ceil(0.45 / cell))))
+    advance = make_sph_advance_fn(params, grid)
+    state, ovf = advance(state, 300)
+    assert int(ovf) == 0
+    nf = len(fluid)
+    pos = np.asarray(state.pos[:nf])
+    assert np.isfinite(pos).all()
+    # fluid stayed inside the container (wall holds)
+    rr = np.hypot(pos[:, 0], pos[:, 1])
+    assert rr.max() < R + 0.5 * d0
+    assert pos[:, 2].min() > -1.5 * d0
+    assert pos[:, 2].max() < depth + 4 * d0
+    # hydrostatic stratification: bottom density exceeds top (Tait EOS)
+    rho = np.asarray(state.rho[:nf])
+    zb = pos[:, 2] < 3 * d0
+    zt = pos[:, 2] > depth - 3 * d0
+    drho = float(np.median(rho[zb]) - np.median(rho[zt]))
+    # Δρ ≈ ρ0 g h / c² = 1000·9.81·0.13/225 ≈ 5.7 kg/m³
+    assert 2.0 < drho < 12.0, drho
