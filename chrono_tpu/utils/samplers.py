@@ -153,3 +153,47 @@ class ParticleEmitter:
         active[free] = True
         return (_jnp.asarray(p), _jnp.asarray(v), _jnp.asarray(active),
                 len(free))
+
+
+class MixtureIngredient:
+    """One ingredient of a granular mixture (reference
+    utils::MixtureIngredient, /root/reference/src/chrono/utils/
+    ChUtilsGenerators.h): a relative ratio plus per-particle property
+    distributions (constant or (mean, stddev) truncated normal)."""
+
+    def __init__(self, ratio=1.0, radius=0.01, density=2500.0, mu=0.5,
+                 restitution=0.5, youngs=1e7):
+        self.ratio = float(ratio)
+        self.props = dict(radius=radius, density=density, mu=mu,
+                          restitution=restitution, youngs=youngs)
+
+    def _draw(self, key, n, rng):
+        spec = self.props[key]
+        if isinstance(spec, (tuple, list)) and len(spec) == 2:
+            mean, sd = spec
+            v = rng.normal(mean, sd, n)
+            return np.clip(v, mean - 2 * sd, mean + 2 * sd)
+        return np.full(n, float(spec))
+
+
+def generate_mixture(points, ingredients, seed=0):
+    """Assign mixture ingredients to sampled ``points`` (N,3) by ratio
+    (reference utils::Generator::CreateObjects* role).
+
+    Returns a dict of per-particle arrays: ``which`` (ingredient index),
+    ``radius``, ``density``, ``mass``, ``mu``, ``restitution``, ``youngs`` —
+    ready to feed SphereShapes / body builders."""
+    rng = np.random.default_rng(seed)
+    n = len(points)
+    ratios = np.asarray([ing.ratio for ing in ingredients], float)
+    ratios = ratios / ratios.sum()
+    which = rng.choice(len(ingredients), size=n, p=ratios)
+    out = {"which": which}
+    for key in ("radius", "density", "mu", "restitution", "youngs"):
+        vals = np.empty(n)
+        for i, ing in enumerate(ingredients):
+            m = which == i
+            vals[m] = ing._draw(key, int(m.sum()), rng)
+        out[key] = vals
+    out["mass"] = out["density"] * 4.0 / 3.0 * np.pi * out["radius"] ** 3
+    return out

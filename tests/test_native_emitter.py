@@ -65,3 +65,26 @@ def test_emitter_rate_and_slots():
             assert (p[:, 2] >= 1.0).all() and (p[:, 2] <= 1.2).all()
             np.testing.assert_allclose(v[:, 2], -2.0)
     assert total == 250  # rate · 1 s, fractional carry preserved
+
+
+def test_mixture_generator_ratios_and_distributions():
+    import numpy as np
+    from chrono_tpu.utils.samplers import (MixtureIngredient,
+                                           generate_mixture, grid_sample_box)
+
+    pts = grid_sample_box((0, 0, 0), (1, 1, 1), 0.05)
+    mix = generate_mixture(pts, [
+        MixtureIngredient(ratio=3.0, radius=(0.01, 0.002), density=2500.0),
+        MixtureIngredient(ratio=1.0, radius=0.02, density=7800.0, mu=0.8),
+    ], seed=1)
+    n = len(pts)
+    frac = (mix["which"] == 0).mean()
+    assert 0.68 < frac < 0.82                      # 3:1 ratio
+    r0 = mix["radius"][mix["which"] == 0]
+    assert 0.001 < r0.std() < 0.0025           # distributed radii (trunc normal)
+    assert np.allclose(mix["radius"][mix["which"] == 1], 0.02)
+    assert np.allclose(mix["mu"][mix["which"] == 1], 0.8)
+    m = mix["mass"]
+    assert np.all(m > 0) and len(m) == n
+    # steel spheres heavier than glass at same radius scale
+    assert m[mix["which"] == 1].mean() > m[mix["which"] == 0].mean()
