@@ -64,3 +64,38 @@ def test_overload_breaks_bar():
     assert x_end > L + 0.01
     # clamped end intact
     assert dmg[pts[:, 0] < 2 * spacing].max() < 0.4
+
+
+def test_implicit_matches_explicit_statics_at_large_dt():
+    """Backward-Euler peridynamics (ChMatterPeriBBimplicit role) reaches the
+    same gravity-sag equilibrium as the explicit path, at 40x the dt."""
+    import numpy as np
+    import jax.numpy as jnp
+    from chrono_tpu.peridynamics import (
+        make_peridynamics, make_peri_advance_fn,
+        make_peri_advance_implicit_fn)
+
+    dx = 0.05
+    pts = np.stack(np.meshgrid(np.arange(0, 0.65, dx), [0.0], [0.0],
+                               indexing="ij"), -1).reshape(-1, 3)
+    pts = np.concatenate([pts + [0, y, 0] for y in (0.0, dx)], axis=0)
+
+    def build(dt):
+        params, state = make_peridynamics(
+            pts, dx, youngs=2e6, density=1200.0, s0=1.0, dt=dt,
+            damping=8.0, gravity=(0, 0, -9.81),
+            fixed_mask=(pts[:, 0] < 0.5 * dx))
+        return params, state
+
+    p_e, s_e = build(dt=5e-5)
+    adv_e = make_peri_advance_fn(p_e)
+    s_e = adv_e(s_e, 8000)                        # 0.4 s explicit
+
+    p_i, s_i = build(dt=2e-3)
+    adv_i = make_peri_advance_implicit_fn(p_i)
+    s_i = adv_i(s_i, 200)                         # 0.4 s implicit, 40x dt
+    tip_e = float(s_e.pos[:, 2].min())
+    tip_i = float(s_i.pos[:, 2].min())
+    assert np.isfinite(np.asarray(s_i.pos)).all()
+    assert tip_e < -1e-4                           # actually sagged
+    np.testing.assert_allclose(tip_i, tip_e, rtol=0.15)
