@@ -36,6 +36,12 @@ def run_terrain_node_scm(port, scm_params, scm_state, wheel_radius,
     per-wheel forces/spin torques, and keeps the plastic sinkage."""
     from chrono_tpu.vehicle.terrain import scm_wheel_forces
 
+    @jax.jit
+    def _forces(state, x, q, v, w):
+        return scm_wheel_forces(scm_params, state, x, q, v, w,
+                                wheel_radius=jnp.asarray(wheel_radius),
+                                wheel_width=jnp.asarray(wheel_width))
+
     sync = SocketSync(host=host, port=port, server=True,
                       timeout=timeout)
     state = scm_state
@@ -43,14 +49,12 @@ def run_terrain_node_scm(port, scm_params, scm_state, wheel_radius,
         for _ in range(n_steps):
             msg = sync.exchange({"ready": True})
             w = msg["wheels"]
-            out = scm_wheel_forces(
-                scm_params, state,
+            out = _forces(
+                state,
                 jnp.asarray(w["x"], jnp.float32),
                 jnp.asarray(w["q"], jnp.float32),
                 jnp.asarray(w["v"], jnp.float32),
-                jnp.asarray(w["w"], jnp.float32),
-                wheel_radius=jnp.asarray(wheel_radius),
-                wheel_width=jnp.asarray(wheel_width))
+                jnp.asarray(w["w"], jnp.float32))
             state = out.new_state
             sync.exchange({
                 "force": np.asarray(out.force).tolist(),
@@ -77,9 +81,17 @@ class MBSCosimNode:
                                timeout=timeout)
         self._w_idx = jnp.asarray(rover.wheels, jnp.int32)
 
-    def step(self, t, h):
         from chrono_tpu.physics.system import step_euler_implicit_linearized
 
+        @jax.jit
+        def _step(st, t, h, f_ext, tau_ext):
+            return step_euler_implicit_linearized(
+                self.rover.model, st, t, h, self.settings,
+                f_ext=f_ext, tau_ext=tau_ext)
+
+        self._step = _step
+
+    def step(self, t, h):
         st = self.state
         w = self._w_idx
         self.sync.exchange({"t": t, "wheels": {
@@ -95,9 +107,8 @@ class MBSCosimNode:
         f_ext = jnp.zeros((n, 3), st.x.dtype).at[w].add(force)
         tau_ext = jnp.zeros((n, 3), st.x.dtype).at[w].add(
             tq[:, None] * jnp.asarray([0.0, 1.0, 0.0]))
-        self.state, info = step_euler_implicit_linearized(
-            self.rover.model, st, t, h, self.settings,
-            f_ext=f_ext, tau_ext=tau_ext)
+        self.state, info = self._step(st, jnp.asarray(t), jnp.asarray(h),
+                                      f_ext, tau_ext)
         return self.state, info
 
     def close(self):

@@ -162,7 +162,7 @@ def test_cylindrical_container_hydrostatic():
     from chrono_tpu.fsi.sph.system import make_sph_advance_fn
 
     d0 = 0.02
-    R, depth = 0.15, 0.16
+    R, depth = 0.12, 0.13
     rho0 = 1000.0
     walls = cylinder_container_markers(R, 0.3, d0)
     fluid = cylinder_fluid_fill(R, depth, d0)
@@ -181,7 +181,7 @@ def test_cylindrical_container_hydrostatic():
     grid = GridSpec(origin=(-ext, -ext, -4 * d0), cell_size=cell,
                     dims=(nxy, nxy, int(np.ceil(0.45 / cell))))
     advance = make_sph_advance_fn(params, grid)
-    state, ovf = advance(state, 300)
+    state, ovf = advance(state, 220)
     assert int(ovf) == 0
     nf = len(fluid)
     pos = np.asarray(state.pos[:nf])
@@ -196,5 +196,5 @@ def test_cylindrical_container_hydrostatic():
     zb = pos[:, 2] < 3 * d0
     zt = pos[:, 2] > depth - 3 * d0
     drho = float(np.median(rho[zb]) - np.median(rho[zt]))
-    # Δρ ≈ ρ0 g h / c² = 1000·9.81·0.13/225 ≈ 5.7 kg/m³
+    # Δρ ≈ ρ0 g h / c² = 1000·9.81·0.10/225 ≈ 4.4 kg/m³
     assert 2.0 < drho < 12.0, drho

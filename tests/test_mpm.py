@@ -28,7 +28,7 @@ def _params(E=1.4e5, nu=0.2, dx=0.05, dt=2e-4, rho=400.0, plastic=True):
 def test_free_fall_conserves_momentum_shape():
     """No contact: block in free fall follows g exactly; F stays identity."""
     p = _params()
-    pts = _block((0.5, 0.5, 1.0), (0.8, 0.8, 1.3), 0.025)
+    pts = _block((0.5, 0.5, 1.0), (0.75, 0.75, 1.25), 0.05)
     st = make_mpm_state(pts)
     step, advance = make_mpm_step(p, (32, 32, 48))
     n = 50
@@ -47,12 +47,12 @@ def test_elastic_block_bounded_and_cohesive():
     dissipation so it keeps ringing — assert boundedness (energy never
     exceeds the initial potential) and cohesion instead of rest."""
     p = _params(plastic=False)
-    pts = _block((0.5, 0.5, 0.15), (0.9, 0.9, 0.55), 0.025, jitter=0.05)
+    pts = _block((0.5, 0.5, 0.15), (0.85, 0.85, 0.5), 0.04, jitter=0.05)
     st = make_mpm_state(pts)
     step, advance = make_mpm_step(p, (32, 32, 32))
     n_p = len(pts)
     e_scale = n_p * float(p.particle_mass) * 9.81 * 0.55
-    for _ in range(6):
+    for _ in range(4):
         st = advance(st, 250)
         x = np.asarray(st.x)
         v = np.asarray(st.v)
@@ -73,11 +73,11 @@ def test_snow_compacts_permanently_vs_elastic():
     jp_min = {}
     for plastic in (False, True):
         p = _params(E=4e4, plastic=plastic)
-        pts = _block((0.7, 0.7, 0.15), (0.9, 0.9, 0.75), 0.02, jitter=0.05,
+        pts = _block((0.7, 0.7, 0.15), (0.9, 0.9, 0.7), 0.028, jitter=0.05,
                      seed=3)
         st = make_mpm_state(pts)
         step, advance = make_mpm_step(p, (32, 32, 32))
-        st = advance(st, 2500)
+        st = advance(st, 1600)
         x = np.asarray(st.x)
         assert np.isfinite(x).all()
         zmax[plastic] = float(x[:, 2].max())
@@ -88,10 +88,10 @@ def test_snow_compacts_permanently_vs_elastic():
 
 def test_jp_bounded_and_active():
     p = _params(E=4e4, plastic=True)
-    pts = _block((0.7, 0.7, 0.12), (0.9, 0.9, 0.6), 0.02, seed=5)
+    pts = _block((0.7, 0.7, 0.12), (0.9, 0.9, 0.55), 0.028, seed=5)
     st = make_mpm_state(pts)
     step, advance = make_mpm_step(p, (32, 32, 32))
-    st = advance(st, 1200)
+    st = advance(st, 900)
     jp = np.asarray(st.Jp)
     assert np.isfinite(jp).all()
     assert (jp > 0.59).all() and (jp < 20.1).all()
