@@ -29,11 +29,23 @@ def _grid(n=6, cell_mult=2.1):
 
 FLOOR = (("plane", (0.0, 0.0, 1.0), 0.0, (0.0, 0.0, 0.0), 0.4),)
 
+# one shared stepping config for the plain-floor physics tests — each
+# distinct (params, grid, walls, backend) is a separate XLA compile, and
+# compiles dominate this file's runtime on one CPU core
+_P_STD = NSCPencilParams(radius=R, mass=0.5, mu=0.3, dt=1e-3, n_iter=50,
+                         envelope=0.002 * R)
+_ADV_CACHE = {}
+
+
+def _adv_std():
+    if "std" not in _ADV_CACHE:
+        _ADV_CACHE["std"] = make_nsc_pencil_advance(_P_STD, _grid(4), FLOOR,
+                                                    backend="xla")
+    return _ADV_CACHE["std"]
+
 
 def test_sphere_rest_on_plane():
-    p = NSCPencilParams(radius=R, mass=0.5, mu=0.4, dt=1e-3, n_iter=40,
-                        envelope=0.002 * R)
-    adv = make_nsc_pencil_advance(p, _grid(4), FLOOR, backend="xla")
+    adv = _adv_std()
     pos = jnp.asarray([[0.2, 0.2, R]])
     vel = jnp.zeros((1, 3))
     om = jnp.zeros((1, 3))
@@ -45,9 +57,7 @@ def test_sphere_rest_on_plane():
 
 
 def test_two_sphere_stack_equilibrium():
-    p = NSCPencilParams(radius=R, mass=0.5, mu=0.4, dt=1e-3, n_iter=60,
-                        envelope=0.002 * R)
-    adv = make_nsc_pencil_advance(p, _grid(4), FLOOR, backend="xla")
+    adv = _adv_std()
     pos = jnp.asarray([[0.2, 0.2, R], [0.2, 0.2, 3.0 * R]])
     vel = jnp.zeros((2, 3))
     om = jnp.zeros((2, 3))
@@ -82,9 +92,7 @@ def test_head_on_momentum_conservation():
 
 def test_friction_slows_slider():
     # sphere sliding on the floor decelerates at ~ mu g while slipping
-    p = NSCPencilParams(radius=R, mass=0.5, mu=0.3, dt=1e-3, n_iter=40,
-                        envelope=0.002 * R)
-    adv = make_nsc_pencil_advance(p, _grid(4), FLOOR, backend="xla")
+    adv = _adv_std()
     pos = jnp.asarray([[0.12, 0.2, R * 0.999]])
     vel = jnp.asarray([[1.0, 0.0, 0.0]])
     om = jnp.zeros((1, 3))
@@ -211,26 +219,26 @@ def test_rotating_drum_entrains():
     p = NSCPencilParams(radius=R, mass=0.2, mu=0.5, dt=2e-3, n_iter=30,
                         envelope=0.002 * R)
     grid = GridSpec(origin=(0.0, 0.0, 0.0), cell_size=2.1 * R,
-                    dims=(10, 4, 10))
-    cx, cz = 5 * 2.1 * R, 5 * 2.1 * R
-    drum = (("cyl", 1, (cx, 0.0, cz), 4.5 * 2.1 * R, 3.0, 0.5),
+                    dims=(8, 4, 8))
+    cx, cz = 4 * 2.1 * R, 4 * 2.1 * R
+    drum = (("cyl", 1, (cx, 0.0, cz), 3.5 * 2.1 * R, 3.0, 0.5),
             ("plane", (0.0, 1.0, 0.0), 0.0, (0.0, 0.0, 0.0), 0.2),
             ("plane", (0.0, -1.0, 0.0), -4 * 2.1 * R, (0.0, 0.0, 0.0), 0.2))
     rng = np.random.default_rng(7)
-    n = 40
+    n = 30
     pos = np.stack([rng.uniform(cx - 0.2, cx + 0.2, n),
                     rng.uniform(0.1, 0.3, n),
                     rng.uniform(0.12, 0.3, n)], axis=1)
     adv = make_nsc_pencil_advance(p, grid, drum, backend="xla")
     pos, vel, om, ovf = adv(jnp.asarray(pos), jnp.zeros((n, 3)),
-                            jnp.zeros((n, 3)), 60)
+                            jnp.zeros((n, 3)), 45)
     assert int(ovf) == 0
     # wall friction entrains the touching particles, and none escaped
     sp = np.linalg.norm(np.asarray(vel), axis=1)
     assert float(np.max(sp)) > 0.1
     rad = np.sqrt((np.asarray(pos)[:, 0] - cx) ** 2
                   + (np.asarray(pos)[:, 2] - cz) ** 2)
-    assert float(rad.max()) < 4.5 * 2.1 * R
+    assert float(rad.max()) < 3.5 * 2.1 * R
 
 
 def test_backend_parity_partner_interpret():
