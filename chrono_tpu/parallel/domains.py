@@ -358,3 +358,123 @@ def make_sharded_dem_advance(spec: SlabSpec, mesh: Mesh, dem_params,
         return p, v, x[:, :, 0:3], m, ovs.max()
 
     return advance
+
+
+def make_sharded_sph_advance(spec: SlabSpec, mesh: Mesh, sph_params, grid,
+                             boundary_slabs, boundary_valid, axis: str = "dp"):
+    """Sharded WCSPH advance over x-slabs: the FSI-side counterpart of
+    :func:`make_sharded_dem_advance` (the reference has NO multi-GPU SPH —
+    its activity domains are single-GPU windowing; this is the
+    `jax.sharding` scale-out the survey prescribes).
+
+    Fluid particles migrate between slabs with their density riding the
+    exchange payload; halos carry (pos, vel, rho) and are refreshed every
+    substep.  Boundary (BCE) markers are static: each device holds the
+    markers inside its slab ± cutoff (``boundary_slabs`` (D, Bc, 3) +
+    ``boundary_valid`` (D, Bc), host-precomputed via
+    :func:`distribute_static`).
+    """
+    from chrono_tpu.fsi.sph import wcsph
+    from chrono_tpu.fsi.sph.state import FLUID, BOUNDARY
+    from chrono_tpu.dem.neighbors import build_neighbor_list
+
+    exchange = make_exchange(spec, axis, n_halo_extra_cols=1)
+    C = spec.capacity
+    Hn = 2 * spec.halo_capacity
+    Bc = boundary_slabs.shape[1]
+    cutoff = spec.cutoff
+
+    def device_cycle(pos, vel, extra, valid, bpos, bvalid, brho):
+        out = exchange(pos, vel, extra, valid)
+        (pos, vel, extra, valid, hpos, hvel, hextra, hvalid, halo_idx,
+         overflow) = jax.tree_util.tree_map(lambda a: a[0], out)
+        bpos, bvalid, brho = bpos[0], bvalid[0], brho[0]
+
+        all_pos = jnp.concatenate([pos, hpos, jnp.where(
+            bvalid[:, None], bpos, 1e30)])
+        all_vel = jnp.concatenate([vel, hvel, jnp.zeros((Bc, 3), pos.dtype)])
+        all_rho = jnp.concatenate([extra[:, 0], hextra[:, 0], brho])
+        all_valid = jnp.concatenate([valid, hvalid, bvalid])
+        kind = jnp.concatenate([
+            jnp.full((C + Hn,), FLUID, jnp.int32),
+            jnp.full((Bc,), BOUNDARY, jnp.int32)])
+
+        nbr = build_neighbor_list(grid, all_pos, cutoff,
+                                  sph_params.max_per_cell,
+                                  sph_params.max_neighbors)
+        pair_valid = nbr.valid & all_valid[:, None] \
+            & all_valid[jnp.maximum(nbr.idx, 0)]
+        own_fluid = (jnp.arange(C + Hn + Bc) < C) & all_valid
+        halo_ok = hvalid
+        h = sph_params.dt
+
+        def substep(carry, _):
+            ap, av, ar = carry
+            _, dv = wcsph.wcsph_rhs(sph_params, grid, ap, av, ar, kind,
+                                    nbr.idx, pair_valid)
+            av2 = jnp.where(own_fluid[:, None], av + h * dv, av)
+            drho = wcsph.continuity_rhs(sph_params, grid, ap, av2, ar, kind,
+                                        nbr.idx, pair_valid)
+            ar2 = jnp.where(own_fluid | (kind == BOUNDARY), ar + h * drho,
+                            ar)
+            vt = wcsph.xsph_velocity(sph_params, grid, ap, av2, ar2, kind,
+                                     nbr.idx, pair_valid)
+            ap2 = jnp.where(own_fluid[:, None], ap + h * vt, ap)
+            hp, hv, hr = refresh_halos(spec, axis, halo_idx, ap2[:C],
+                                       av2[:C], ar2[:C, None])
+            hp = jnp.where(halo_ok[:, None], hp, 1e30)
+            ap2 = jnp.concatenate([ap2[:C], hp, ap2[C + Hn:]])
+            av2 = jnp.concatenate([av2[:C], hv, av2[C + Hn:]])
+            ar2 = jnp.concatenate([ar2[:C], hr[:, 0], ar2[C + Hn:]])
+            return (ap2, av2, ar2), None
+
+        (all_pos, all_vel, all_rho), _ = lax.scan(
+            substep, (all_pos, all_vel, all_rho), None,
+            length=sph_params.rebuild_every)
+
+        extra2 = all_rho[:C, None]
+        return (all_pos[None, :C], all_vel[None, :C], extra2[None],
+                valid[None], all_rho[None, C + Hn:], overflow[None, None])
+
+    sharded = shard_map(
+        device_cycle, mesh=mesh,
+        in_specs=(P(axis),) * 7,
+        out_specs=(P(axis),) * 6,
+    )
+
+    @functools.partial(jax.jit, static_argnums=4)
+    def advance(pos, vel, rho, valid, n_cycles: int):
+        extra = rho[..., None] if rho.ndim == 2 else rho
+        brho0 = jnp.full(boundary_valid.shape, float(sph_params.rho0),
+                         pos.dtype)
+
+        def body(carry, _):
+            p, v, x, m, br = carry
+            p, v, x, m, br, ov = sharded(p, v, x, m, boundary_slabs,
+                                         boundary_valid, br)
+            return (p, v, x, m, br), ov.max()
+
+        (p, v, x, m, br), ovs = lax.scan(
+            body, (pos, vel, extra, valid, brho0), None, length=n_cycles)
+        return p, v, x[..., 0], m, ovs.max()
+
+    return advance
+
+
+def distribute_static(spec: SlabSpec, pts, capacity):
+    """Host-side: replicate static (boundary) points into per-slab buffers —
+    every slab gets the points inside [lo − cutoff, hi + cutoff]."""
+    pts = np.asarray(pts)
+    D = spec.n_slabs
+    out = np.full((D, capacity, 3), 1e30, np.float32)
+    okm = np.zeros((D, capacity), bool)
+    for d in range(D):
+        lo = spec.x0 + d * spec.width - spec.cutoff
+        hi = spec.x0 + (d + 1) * spec.width + spec.cutoff
+        sel = pts[(pts[:, 0] >= lo) & (pts[:, 0] < hi)]
+        n = min(len(sel), capacity)
+        if len(sel) > capacity:
+            raise ValueError(f"slab {d}: {len(sel)} static pts > {capacity}")
+        out[d, :n] = sel[:n]
+        okm[d, :n] = True
+    return jnp.asarray(out), jnp.asarray(okm)

@@ -165,3 +165,65 @@ class TestShardedDEM:
             return a[np.lexsort((a[:, 2], a[:, 1], a[:, 0]))]
 
         np.testing.assert_allclose(canon(got), canon(ref), atol=5e-5)
+
+
+class TestShardedSPH:
+    def test_sph_parity_with_single_device(self):
+        """Sharded WCSPH column (4 slabs, halo + migration + persistent
+        boundary density) matches the single-device trajectory."""
+        from chrono_tpu.fsi.sph import SPHParams, make_sph_state
+        from chrono_tpu.fsi.sph.system import make_sph_advance_fn
+        from chrono_tpu.collision.cell_list import GridSpec
+        from chrono_tpu.parallel.domains import (
+            SlabSpec, distribute, distribute_static,
+            make_sharded_sph_advance)
+        from chrono_tpu.utils.samplers import grid_sample_box
+
+        d0 = 0.05
+        D = 4
+        params = SPHParams(
+            d0=jnp.asarray(d0), h=jnp.asarray(1.2 * d0),
+            rho0=jnp.asarray(1000.0), mu=jnp.asarray(0.5),
+            c_s=jnp.asarray(12.0), gravity=jnp.asarray([0.0, 0.0, -9.81]),
+            dt=jnp.asarray(2e-4), viscosity_model="laminar",
+            max_neighbors=64, max_per_cell=48, rebuild_every=2,
+            integrator="symplectic", xsph_eps=0.2, shifting="xsph")
+
+        # shallow water strip along x with floor BCE
+        fluid = grid_sample_box((0.1, 0.05, 0.025), (1.9, 0.2, 0.15), d0)
+        floor = grid_sample_box((0.0, 0.0, -3 * d0), (2.0, 0.25, 0.0), d0)
+
+        cell = 2.4 * d0
+        grid = GridSpec(origin=(-cell, -cell, -4 * d0), cell_size=cell,
+                        dims=(int(np.ceil(2.1 / cell)),
+                              int(np.ceil(0.4 / cell)),
+                              int(np.ceil(0.4 / cell))))
+
+        # single-device reference
+        st = make_sph_state(params, fluid, boundary_pts=floor)
+        adv1 = make_sph_advance_fn(params, grid)
+        n_cycles = 10
+        st, ovf1 = adv1(st, n_cycles)
+        assert int(ovf1) == 0
+        nf = len(fluid)
+        ref = np.asarray(st.pos[:nf])
+
+        # sharded
+        spec = SlabSpec(x0=0.0, width=2.0 / D, n_slabs=D,
+                        capacity=int(1.8 * nf / D), halo_capacity=160,
+                        migrate_capacity=64, cutoff=2.0 * 1.2 * d0)
+        sp = distribute(spec, fluid, np.zeros_like(fluid))
+        bpos, bval = distribute_static(spec, floor, capacity=220)
+        mesh = make_mesh(D)
+        rho0 = jnp.full(sp.pos.shape[:2], 1000.0) * sp.valid
+        rho0 = jnp.where(sp.valid, rho0, 1000.0)
+        adv = make_sharded_sph_advance(spec, mesh, params, grid, bpos, bval)
+        p, v, r, m, ov = adv(sp.pos, sp.vel, rho0, sp.valid, n_cycles)
+        assert int(ov) == 0
+        got = np.asarray(p)[np.asarray(m)]
+        assert got.shape[0] == nf
+
+        def canon(a):
+            return a[np.lexsort((a[:, 2], a[:, 1], a[:, 0]))]
+
+        np.testing.assert_allclose(canon(got), canon(ref), atol=5e-4)
