@@ -400,3 +400,96 @@ def pac02_forces(p: Pac02Params, wheel_x, wheel_q, wheel_v, wheel_w_local,
         in_contact, p.rolling_resistance * fzc * r_eff * jnp.tanh(2.0 * omega),
         zero)
     return force, t_spin, fzc
+
+
+@pytree_dataclass
+class TMsimpleParams:
+    """TMsimple handling tire (reference ChTMsimpleTire: two-point quadratic
+    load interpolation of (F_max, dF0, F_s) per axis and the force law
+    F(s) = μ K sin(B (1 − e^{−s/A})), B = π − asin(Fs/Fmax), A = K·B/dF0,
+    with combined slip blended by the slip direction —
+    /root/reference/src/chrono_vehicle/wheeled_vehicle/tire/
+    ChTMsimpleTire.cpp TMcombinedForces)."""
+
+    radius: Array = 0.35
+    width: Array = 0.2
+    Fz0: Array = 4000.0          # nominal load pn
+    cz: Array = 250e3
+    dz: Array = 1e3
+    # characteristics at Fz0 and 2·Fz0
+    dfx0_1: Array = 80e3
+    dfx0_2: Array = 150e3
+    fxm_1: Array = 4500.0
+    fxm_2: Array = 8500.0
+    fxs_1: Array = 3500.0
+    fxs_2: Array = 6800.0
+    dfy0_1: Array = 60e3
+    dfy0_2: Array = 110e3
+    fym_1: Array = 4000.0
+    fym_2: Array = 7500.0
+    fys_1: Array = 3200.0
+    fys_2: Array = 6200.0
+    rolling_resistance: Array = 0.01
+
+
+def _tms_quad(fz, v1, v2, Fz0):
+    """Two-point quadratic a1·q + a2·q² through (1, v1), (2, v2)."""
+    q = fz / Fz0
+    a2 = 0.5 * (v2 - 2.0 * v1)
+    a1 = v1 - a2
+    return a1 * q + a2 * q * q
+
+
+def tmsimple_forces(p: TMsimpleParams, wheel_x, wheel_q, wheel_v,
+                    wheel_w_local, terrain_height_fn, terrain_mu=1.0):
+    """Same batched contact/slip kinematics as tmeasy_forces, TMsimple law."""
+    z_terrain = terrain_height_fn(wheel_x[..., :2])
+    R = Q.q_to_matrix(wheel_q)
+    e_spin = R[..., :, 1]
+    up = jnp.asarray([0.0, 0.0, 1.0], wheel_x.dtype)
+    e_lon = jnp.cross(e_spin, up)
+    e_lon = e_lon / jnp.maximum(
+        jnp.linalg.norm(e_lon, axis=-1, keepdims=True), 1e-9)
+    e_lat = jnp.cross(up, e_lon)
+
+    pen = (p.radius + z_terrain) - wheel_x[..., 2]
+    vz = wheel_v[..., 2]
+    fz = jnp.maximum(p.cz * pen - p.dz * vz, 0.0)
+    in_contact = pen > 0
+
+    v_lon = jnp.sum(wheel_v * e_lon, axis=-1)
+    v_lat = jnp.sum(wheel_v * e_lat, axis=-1)
+    omega = jnp.sum(wheel_w_local * jnp.asarray([0.0, 1.0, 0.0]), axis=-1)
+    r_eff = p.radius - pen / 3.0
+    v_ref = jnp.maximum(jnp.abs(v_lon), 1.0)
+    sx = (omega * r_eff - v_lon) / v_ref
+    sy = -v_lat / v_ref
+
+    Fx_max = _tms_quad(fz, p.fxm_1, p.fxm_2, p.Fz0)
+    Fy_max = _tms_quad(fz, p.fym_1, p.fym_2, p.Fz0)
+    dFx0 = _tms_quad(fz, p.dfx0_1, p.dfx0_2, p.Fz0)
+    dFy0 = _tms_quad(fz, p.dfy0_1, p.dfy0_2, p.Fz0)
+    Fxs = _tms_quad(fz, p.fxs_1, p.fxs_2, p.Fz0)
+    Fys = _tms_quad(fz, p.fys_1, p.fys_2, p.Fz0)
+
+    s = jnp.sqrt(sx * sx + sy * sy) + 1e-12
+    cbeta = sx / s
+    sbeta = sy / s
+    K = jnp.sqrt((Fx_max * cbeta) ** 2 + (Fy_max * sbeta) ** 2) + 1e-9
+    dF0 = jnp.sqrt((dFx0 * cbeta) ** 2 + (dFy0 * sbeta) ** 2) + 1e-9
+    Fs = jnp.sqrt((Fxs * cbeta) ** 2 + (Fys * sbeta) ** 2)
+    Qcrit = jnp.clip(Fs / K, -1.0, 1.0)
+    B = jnp.pi - jnp.arcsin(Qcrit)
+    A = K * B / dF0
+    Fa = terrain_mu * K * jnp.sin(B * (1.0 - jnp.exp(-s / A)))
+
+    zero = jnp.zeros_like(fz)
+    fx = jnp.where(in_contact, Fa * cbeta, zero)
+    fy = jnp.where(in_contact, Fa * sbeta, zero)
+    fzc = jnp.where(in_contact, fz, zero)
+    force = (fx[..., None] * e_lon + fy[..., None] * e_lat
+             + fzc[..., None] * up)
+    t_spin = -fx * r_eff - jnp.where(
+        in_contact,
+        p.rolling_resistance * fzc * r_eff * jnp.tanh(2.0 * omega), zero)
+    return force, t_spin, fzc

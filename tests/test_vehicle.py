@@ -398,3 +398,57 @@ class TestHumanDriverACC:
         v3 = acc_speed_command(jnp.asarray(20.0), jnp.asarray(14.0),
                                jnp.asarray(-3.0))
         assert float(v3) < float(v2)
+
+
+class TestTMsimple:
+    def test_slip_curve_shape_and_saturation(self):
+        """TMsimple F(s): linear at small slip with slope dF0, peaks at
+        F_max, decays toward F_s at large slip; load scaling quadratic."""
+        import numpy as np
+        import jax.numpy as jnp
+        from chrono_tpu.vehicle.tire import TMsimpleParams, tmsimple_forces
+
+        p = TMsimpleParams()
+        flat = lambda xy: jnp.zeros(xy.shape[:-1])
+        q = jnp.asarray([[1.0, 0.0, 0.0, 0.0]])
+        # wheel pressed to nominal load, rolling with commanded slip
+        z = float(p.radius) - float(p.Fz0) / float(p.cz)
+        x = jnp.asarray([[0.0, 0.0, z]])
+        v = jnp.asarray([[10.0, 0.0, 0.0]])
+
+        def fx_at_slip(s):
+            r_eff = p.radius - (p.radius - z) / 3.0
+            omega = (10.0 * (1 + s)) / r_eff
+            w = jnp.asarray([[0.0, float(omega), 0.0]])
+            f, tq, fz = tmsimple_forces(p, x, q, v, w, flat)
+            return float(jnp.sum(f[0] * jnp.asarray([1.0, 0, 0]))), float(fz[0])
+
+        fx_small, fz = fx_at_slip(0.01)
+        # initial slope ≈ dF0(fz)
+        assert abs(fz - float(p.Fz0)) / float(p.Fz0) < 0.05
+        assert 0.5 * 0.01 * float(p.dfx0_1) < fx_small < 1.2 * 0.01 * float(p.dfx0_1)
+        # peak above the saturation value, saturation near fxs
+        fx_peak = max(fx_at_slip(s)[0] for s in (0.08, 0.12, 0.18, 0.25))
+        fx_sat, _ = fx_at_slip(3.0)
+        assert fx_peak > fx_sat > 0.8 * float(p.fxs_1)
+        assert fx_peak < 1.15 * float(p.fxm_1)
+
+    def test_combined_slip_friction_circle(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from chrono_tpu.vehicle.tire import TMsimpleParams, tmsimple_forces
+
+        p = TMsimpleParams()
+        flat = lambda xy: jnp.zeros(xy.shape[:-1])
+        q = jnp.asarray([[1.0, 0.0, 0.0, 0.0]])
+        z = float(p.radius) - float(p.Fz0) / float(p.cz)
+        x = jnp.asarray([[0.0, 0.0, z]])
+        # heavy combined slip: braking + sliding sideways
+        v = jnp.asarray([[10.0, 3.0, 0.0]])
+        w = jnp.asarray([[0.0, 10.0 * 0.5 / float(p.radius), 0.0]])
+        f, tq, fz = tmsimple_forces(p, x, q, v, w, flat)
+        fmag = float(jnp.linalg.norm(f[0][:2]))
+        # combined force bounded by the larger single-axis maximum
+        assert fmag < 1.1 * float(p.fxm_1)
+        # braking: fx opposes motion; side force opposes lateral velocity
+        assert float(f[0, 0]) < 0 and float(f[0, 1]) < 0
