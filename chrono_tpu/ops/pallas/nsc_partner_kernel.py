@@ -191,8 +191,9 @@ def _make_partner_sweep_kernel(C, NZ, Bxy, ny, G, P, phys, walls, mode):
             ty = jnp.zeros((Bxy, C, NZ), jnp.float32)
             tz = jnp.zeros((Bxy, C, NZ), jnp.float32)
 
+        # int iota + cast: Mosaic rejects float-typed tpu.iota on real TPU
         nbr_iota = jax.lax.broadcasted_iota(
-            jnp.float32, (1, C, C, NZ), 2)                   # c_nbr axis
+            jnp.int32, (1, C, C, NZ), 2).astype(jnp.float32)  # c_nbr axis
 
         for k in range(9):
             if k + 1 < 9:
