@@ -284,24 +284,24 @@ def make_cell_dense_advance(params: DEMParams, bcs, grid: GridSpec,
 
     nb = _n_walls(bcs)
     if pallas_block is None:
-        pallas_block = 8 if backend == "pencil" else 256
+        pallas_block = 8 if backend in ("pencil", "sym") else 256
     if backend == "pallas":
         from chrono_tpu.ops.pallas.dem_cell_kernel import edge_ok_table
         edge_table = edge_ok_table(grid.dims, tuple(grid.periodic))
         coefs = pallas_static_coefs(params)   # concrete, outside the trace
-    elif backend == "pencil":
-        from chrono_tpu.ops.pallas.dem_pencil_kernel import (
-            edge_ok_xy, dem_pencil_forces_pallas,
-        )
+    elif backend in ("pencil", "sym"):
+        from chrono_tpu.ops.pallas.dem_pencil_kernel import edge_ok_xy
+        from chrono_tpu.ops.pallas.dem_sym_kernel import edge_ok_fwd
         if any(grid.periodic):
             raise ValueError("pencil backend supports non-periodic boxes")
-        edge_table = edge_ok_xy(grid.dims)
+        edge_table = (edge_ok_fwd(grid.dims) if backend == "sym"
+                      else edge_ok_xy(grid.dims))
         coefs = pallas_static_coefs(params)
         nzp = ((grid.dims[2] + 1 + 127) // 128) * 128
     elif backend != "xla":
         raise ValueError(f"unknown cell-dense backend {backend!r}")
 
-    if backend == "pencil":
+    if backend in ("pencil", "sym"):
         # whole-substep plane pipeline: pair kernel + wall pass + integration
         # all stay in (NXY, ·, C, NZp) planes (minor dims = one (8,128) vreg)
         if bcs.cylinders is not None or bcs.spheres is not None \
@@ -310,6 +310,11 @@ def make_cell_dense_advance(params: DEMParams, bcs, grid: GridSpec,
         from chrono_tpu.ops.pallas.dem_pencil_kernel import (
             dem_pencil_substep_pallas,
         )
+        from chrono_tpu.ops.pallas.dem_sym_kernel import (
+            dem_sym_substep_pallas,
+        )
+        substep_pallas = (dem_sym_substep_pallas if backend == "sym"
+                          else dem_pencil_substep_pallas)
         import numpy as _np
 
         wc = wall_static_coefs(params)
@@ -331,7 +336,7 @@ def make_cell_dense_advance(params: DEMParams, bcs, grid: GridSpec,
             feat0 = field_to_pencils(field, nzp)
 
             def substep(feat, __):
-                feat2 = dem_pencil_substep_pallas(
+                feat2 = substep_pallas(
                     feat, edge_table, grid_dims=grid.dims, C=capacity,
                     Bxy=pallas_block, interpret=pallas_interpret,
                     **coefs, **fused_kw)

@@ -145,3 +145,78 @@ def test_pencil_advance_backend_parity():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(vp), np.asarray(vx),
                                rtol=1e-3, atol=1e-4)
+
+
+# ---------------- v4 symmetric half-stencil kernel ----------------
+
+
+@pytest.mark.parametrize("friction_mode", ["frictionless", "single_step"])
+def test_sym_advance_parity(friction_mode):
+    """Full advance cycles: the symmetric half-stencil backend (each pair
+    evaluated once, reactions scattered through the rolling window) tracks
+    the XLA 27-roll backend."""
+    from chrono_tpu.dem.bc import DEMBoundaries, box_boundaries
+
+    rng = np.random.default_rng(3)
+    radius = 0.05
+    grid = GridSpec(origin=(0.0, 0.0, 0.0), cell_size=0.13, dims=(4, 4, 4))
+    n = 100
+    pos = rng.uniform(0.07, 0.45, (n, 3)).astype(np.float32)
+    params = DEMParams(
+        radius=jnp.asarray(radius), mass=jnp.asarray(1.0),
+        material=DEMMaterial(), wall_material=DEMMaterial(),
+        gravity=jnp.asarray([0.0, 0.0, -9.81]), dt=jnp.asarray(2e-5),
+        friction_mode=friction_mode, rebuild_every=4,
+    )
+    bcs = DEMBoundaries(planes=box_boundaries((0, 0, 0), (0.52, 0.52, 0.52)))
+    adv_x = make_cell_dense_advance(params, bcs, grid, backend="xla")
+    adv_s = make_cell_dense_advance(params, bcs, grid, backend="sym",
+                                    pallas_block=4, pallas_interpret=True)
+    z = jnp.zeros((n, 3))
+    px, vx, ox, ovx = adv_x(jnp.asarray(pos), z, z, 3)
+    ps, vs, os_, ovs = adv_s(jnp.asarray(pos), z, z, 3)
+    assert int(ovx) == 0 and int(ovs) == 0
+    np.testing.assert_allclose(np.asarray(ps), np.asarray(px),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vs), np.asarray(vx),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(os_), np.asarray(ox),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_sym_block_boundary_reactions():
+    """Pairs straddling Bxy-block boundaries (reaction rows in the rolling
+    window, not the local block): a tall thin grid forces cross-pencil
+    contacts across blocks."""
+    from chrono_tpu.dem.bc import DEMBoundaries, box_boundaries
+
+    rng = np.random.default_rng(11)
+    radius = 0.05
+    grid = GridSpec(origin=(0.0, 0.0, 0.0), cell_size=0.13, dims=(6, 3, 2))
+    lo, hi = 0.07, None
+    n = 90
+    pos = np.stack([rng.uniform(0.07, 6 * 0.13 - 0.07, n),
+                    rng.uniform(0.07, 3 * 0.13 - 0.07, n),
+                    rng.uniform(0.07, 2 * 0.13 - 0.07, n)],
+                   axis=1).astype(np.float32)
+    params = DEMParams(
+        radius=jnp.asarray(radius), mass=jnp.asarray(1.0),
+        material=DEMMaterial(), wall_material=DEMMaterial(),
+        gravity=jnp.asarray([0.0, 0.0, -9.81]), dt=jnp.asarray(2e-5),
+        friction_mode="single_step", rebuild_every=2,
+    )
+    bcs = DEMBoundaries(planes=box_boundaries(
+        (0, 0, 0), (6 * 0.13, 3 * 0.13, 2 * 0.13)))
+    adv_x = make_cell_dense_advance(params, bcs, grid, backend="xla",
+                                    capacity=16)
+    adv_s = make_cell_dense_advance(params, bcs, grid, backend="sym",
+                                    capacity=16, pallas_block=2,
+                                    pallas_interpret=True)
+    z = jnp.zeros((n, 3))
+    px, vx, _, ovx = adv_x(jnp.asarray(pos), z, z, 2)
+    ps, vs, _, ovs = adv_s(jnp.asarray(pos), z, z, 2)
+    assert int(ovx) == 0 and int(ovs) == 0
+    np.testing.assert_allclose(np.asarray(ps), np.asarray(px),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vs), np.asarray(vx),
+                               rtol=1e-3, atol=1e-4)
