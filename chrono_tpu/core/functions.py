@@ -90,18 +90,38 @@ class FPoly(MotionFunction):
 
 @pytree_dataclass
 class FInterp(MotionFunction):
-    """Piecewise-linear interpolation of samples (reference: ChFunctionInterp)."""
+    """Piecewise-linear interpolation of samples (reference: ChFunctionInterp).
 
-    ts: Array  # (K,) ascending
-    ys: Array  # (K,)
+    Knot tables may carry leading batch axes (``(…, K)``) — that is what a
+    stack of per-motor FInterp profiles becomes after the builder stacks
+    motors of one kind — in which case ``value``/``deriv`` broadcast a
+    scalar ``t`` over the batch."""
+
+    ts: Array  # (…, K) ascending along the last axis
+    ys: Array  # (…, K)
+
+    def _seg(self, t):
+        K = self.ts.shape[-1]
+        i = jnp.clip(jnp.sum(self.ts <= t, axis=-1) - 1, 0, K - 2)
+        take = lambda a, idx: jnp.take_along_axis(
+            a, idx[..., None], axis=-1)[..., 0]
+        t0, t1 = take(self.ts, i), take(self.ts, i + 1)
+        y0, y1 = take(self.ys, i), take(self.ys, i + 1)
+        return t0, t1, y0, y1
 
     def value(self, t):
-        return jnp.interp(t, self.ts, self.ys)
+        if self.ts.ndim == 1:
+            return jnp.interp(t, self.ts, self.ys)
+        t0, t1, y0, y1 = self._seg(t)
+        s = jnp.clip((t - t0) / jnp.maximum(t1 - t0, 1e-12), 0.0, 1.0)
+        return y0 + s * (y1 - y0)
 
     def deriv(self, t):
-        # slope of the active segment
-        i = jnp.clip(jnp.searchsorted(self.ts, t) - 1, 0, self.ts.shape[0] - 2)
-        return (self.ys[i + 1] - self.ys[i]) / (self.ts[i + 1] - self.ts[i])
+        # slope of the active segment (zero outside the knot range)
+        t0, t1, y0, y1 = self._seg(t)
+        inside = jnp.logical_and(t >= self.ts[..., 0], t <= self.ts[..., -1])
+        return jnp.where(inside, (y1 - y0) / jnp.maximum(t1 - t0, 1e-12),
+                         0.0)
 
 
 @pytree_dataclass

@@ -7,3 +7,11 @@ from chrono_tpu.models.decks import (
     create_jeep, create_bmw, create_citybus, create_man, create_kraz,
     build_marder,
 )
+from chrono_tpu.models.industrial import (
+    Arm6R, fk_6r, ik_6r, ArmSCARA, fk_scara, ik_scara, ik_newton,
+    make_trajectory, traj_eval, create_arm_6dof,
+    joint_programs_from_trajectory,
+)
+from chrono_tpu.models.robosimian import (
+    create_robosimian, gait_programs, limb_fk,
+)
