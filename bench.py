@@ -89,9 +89,10 @@ def main():
     mat = DEMMaterial(youngs=jnp.asarray(1e7), poisson=jnp.asarray(0.3),
                       restitution=jnp.asarray(0.5), mu_s=jnp.asarray(0.5))
     # re-binning cadence: physics-neutral given the 0.45d cell skin (max
-    # particle motion over a cycle is ~0.02d at settling velocities; the
-    # overflow/coverage asserts would trip otherwise) — reported in the JSON
-    rebuild_every = int(os.environ.get("BENCH_REBUILD", 40))
+    # combined approach over a 100-substep cycle is ~0.16d at peak settling
+    # velocities, ~3x inside the skin; the overflow/coverage asserts would
+    # trip otherwise) — reported in the JSON
+    rebuild_every = int(os.environ.get("BENCH_REBUILD", 100))
     density = 2500.0
     mass = density * 4.0 / 3.0 * np.pi * radius**3
     params = DEMParams(

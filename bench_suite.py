@@ -372,8 +372,8 @@ def bench_sph(n_target=None):
     n = int(fluid.shape[0])
     engine = os.environ.get("SUITE_SPH_ENGINE",
                             "gather" if jax.default_backend() == "cpu"
-                            else "pencil")
-    if engine == "pencil":
+                            else "sym")
+    if engine in ("pencil", "sym"):
         # dense-pencil Pallas sweeps (ops.pallas.sph_pencil_kernel) — the
         # only path whose memory scales to 1M markers on TPU (the gather
         # neighbor lists compile to a 107 GB allocation at N=100k).
@@ -388,7 +388,9 @@ def bench_sph(n_target=None):
         else:
             pgrid = grid
         cap = int(os.environ.get("SUITE_SPH_C", 32))
-        adv = make_sph_advance_pencil(params, pgrid, capacity=cap, Bxy=4)
+        adv = make_sph_advance_pencil(params, pgrid, capacity=cap, Bxy=4,
+                                      backend=("sym" if engine == "sym"
+                                               else "pencil"))
     else:
         adv = make_sph_advance_fn(params, grid)
     state, ovf = adv(state, 1)

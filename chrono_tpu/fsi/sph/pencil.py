@@ -124,10 +124,14 @@ def pencils_to_state(feat, perm, state: SPHState) -> SPHState:
 
 def make_sph_advance_pencil(params: SPHParams, grid: GridSpec,
                             capacity: int = 32, Bxy: int = 4,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            backend: str = "pencil"):
     """advance(state, n_cycles) -> (state, overflow) on the pencil backend.
 
-    Cell size must be ≥ the kernel support (2h for cubic); non-periodic."""
+    ``backend``: "pencil" (dense 27/45-offset sweeps) or "sym" (symmetric
+    half stencil — each pair once, reactions through the rolling window,
+    ops.pallas.sph_sym_kernel).  Cell size must be ≥ the kernel support
+    (2h for cubic); non-periodic."""
     support = 2.0 * float(params.h)
     if isinstance(grid, PencilGrid):
         if float(grid.cell_xy) < support - 1e-9:
@@ -141,16 +145,25 @@ def make_sph_advance_pencil(params: SPHParams, grid: GridSpec,
                 f"cell {grid.cell_size} < kernel support {support}")
         n_dz = 1
     nzp = ((grid.dims[2] + n_dz + 127) // 128) * 128
-    edge = edge_ok_xy(grid.dims)
     sp = sph_static_params(params)
+    if backend == "sym":
+        from chrono_tpu.ops.pallas.dem_sym_kernel import edge_ok_fwd
+        from chrono_tpu.ops.pallas.sph_sym_kernel import sph_substep_sym
+        edge = edge_ok_fwd(grid.dims)
+        substep_fn = sph_substep_sym
+    elif backend == "pencil":
+        edge = edge_ok_xy(grid.dims)
+        substep_fn = sph_substep_pencil
+    else:
+        raise ValueError(f"unknown SPH pencil backend {backend!r}")
 
     def one_cycle(state):
         feat, perm, ovf = state_to_pencils(grid, capacity, nzp, state)
 
         def substep(f, _):
-            return sph_substep_pencil(f, edge, sp=sp, grid_dims=grid.dims,
-                                      C=capacity, Bxy=Bxy, n_dz=n_dz,
-                                      interpret=interpret), None
+            return substep_fn(f, edge, sp=sp, grid_dims=grid.dims,
+                              C=capacity, Bxy=Bxy, n_dz=n_dz,
+                              interpret=interpret), None
 
         feat, _ = lax.scan(substep, feat, None,
                            length=params.rebuild_every)
