@@ -5,7 +5,8 @@ from chrono_tpu.models.polaris import create_polaris
 from chrono_tpu.models.decks import (
     DECKS, create_vehicle, create_gator, create_feda, create_uaz,
     create_jeep, create_bmw, create_citybus, create_man, create_kraz,
-    build_marder,
+    create_duro, create_gclass, create_mrole, create_mtv,
+    create_unimog, build_marder,
 )
 from chrono_tpu.models.industrial import (
     Arm6R, fk_6r, ik_6r, ArmSCARA, fk_scara, ik_scara, ik_newton,

@@ -21,7 +21,7 @@ from chrono_tpu.vehicle.powertrain import PowertrainParams, default_engine_map
 from chrono_tpu.vehicle.wheeled import build_wheeled_vehicle
 
 
-def tmeasy_for_load(wheel_radius, width, fz0, stiff=1.0):
+def tmeasy_for_load(wheel_radius, width, fz0, stiff=1.0, damp=1.0):
     """TMeasy parameters scaled to a nominal corner load (the reference's
     TMeasy decks follow the same load-normalized pattern,
     src/chrono_vehicle/wheeled_vehicle/tire/ChTMeasyTire.cpp guessing
@@ -32,7 +32,7 @@ def tmeasy_for_load(wheel_radius, width, fz0, stiff=1.0):
         width=jnp.asarray(width),
         Fz0=jnp.asarray(fz0),
         cz=jnp.asarray(260000.0 * f * stiff),
-        dz=jnp.asarray(2800.0 * f),
+        dz=jnp.asarray(2800.0 * f * damp),
         dfx0_1=jnp.asarray(90000.0 * f), fxm_1=jnp.asarray(4800.0 * f),
         fxs_1=jnp.asarray(4200.0 * f), sxm_1=jnp.asarray(0.12),
         sxs_1=jnp.asarray(0.9),
@@ -128,6 +128,59 @@ DECKS = {
         gears=[8.2, 5.0, 3.1, 2.0, 1.4], shifts=[4.0, 8.0, 12.0, 17.0],
         final=5.7, driven="RWD", steer=0.42, brake=16000.0,
     ),
+    # NOTE: the reference's ARTcar (1/6-scale, 5 kg) is intentionally NOT
+    # decked: at that scale the low-speed tire-slip regularization of the
+    # shared TMeasy/corner formulation (sized for road vehicles) chatters
+    # and pumps the wheel-hop mode — a measured limitation, not an omission.
+    # Bucher Duro 4x4 light tactical truck (src/chrono_models/vehicle/duro;
+    # chassis 4900 kg)
+    "duro": dict(
+        mass=4900.0, inertia=(2400.0, 7200.0, 7600.0), wheelbase=3.23,
+        track=1.80, cg_height=0.95, wheel_mass=50.0, wheel_radius=0.45,
+        wheel_width=0.30, wheel_inertia=3.0,
+        k=200000.0, c=17000.0, engine=(180.0, 320.0, 480.0),
+        gears=[9.6, 5.8, 3.6, 2.3, 1.5], shifts=[4.0, 8.0, 13.0, 19.0],
+        final=4.9, driven="AWD", steer=0.5, brake=7500.0,
+    ),
+    # Mercedes G500 wagon (src/chrono_models/vehicle/gclass; chassis 2354 kg)
+    "gclass": dict(
+        mass=2354.0, inertia=(900.0, 2900.0, 3100.0), wheelbase=2.85,
+        track=1.55, cg_height=0.70, wheel_mass=28.0, wheel_radius=0.37,
+        wheel_width=0.26, wheel_inertia=1.5,
+        k=95000.0, c=8500.0, engine=(310.0, 450.0, 650.0),
+        gears=[10.0, 6.0, 3.8, 2.5, 1.7], shifts=[5.0, 10.0, 17.0, 25.0],
+        final=3.9, driven="AWD", steer=0.55, brake=3600.0,
+    ),
+    # mrole multi-role 8x8 demonstrator (src/chrono_models/vehicle/mrole;
+    # chassis 31.2 t — modeled on two effective axles like the man deck)
+    "mrole": dict(
+        mass=31200.0, inertia=(22000.0, 120000.0, 128000.0), wheelbase=4.5,
+        track=2.3, cg_height=1.3, wheel_mass=115.0, wheel_radius=0.57,
+        wheel_width=0.40, wheel_inertia=9.0,
+        k=1100000.0, c=95000.0, engine=(2400.0, 200.0, 260.0),
+        gears=[8.5, 5.2, 3.2, 2.1, 1.4], shifts=[4.0, 8.0, 12.0, 17.0],
+        final=5.9, driven="AWD", steer=0.4, brake=42000.0,
+    ),
+    # FMTV 4x4 tactical truck (src/chrono_models/vehicle/mtv; front chassis
+    # 3946 kg + rear 1938 kg)
+    "mtv": dict(
+        mass=5900.0, inertia=(3100.0, 16000.0, 17000.0), wheelbase=3.90,
+        track=1.95, cg_height=1.05, wheel_mass=65.0, wheel_radius=0.51,
+        wheel_width=0.34, wheel_inertia=4.5,
+        k=240000.0, c=21000.0, engine=(205.0, 310.0, 460.0),
+        gears=[9.2, 5.6, 3.5, 2.3, 1.5], shifts=[4.0, 8.0, 13.0, 19.0],
+        final=5.0, driven="AWD", steer=0.48, brake=9000.0,
+    ),
+    # Unimog U401 agricultural 4x4 (src/chrono_models/vehicle/unimog;
+    # chassis 2621 kg, famously short 1.72 m wheelbase)
+    "unimog": dict(
+        mass=2621.0, inertia=(1100.0, 2600.0, 2900.0), wheelbase=1.72,
+        track=1.27, cg_height=0.85, wheel_mass=40.0, wheel_radius=0.40,
+        wheel_width=0.24, wheel_inertia=2.2,
+        k=110000.0, c=9500.0, engine=(95.0, 180.0, 320.0),
+        gears=[9.0, 5.5, 3.4, 2.2], shifts=[2.5, 5.0, 8.5],
+        final=5.5, driven="AWD", steer=0.5, brake=3800.0,
+    ),
 }
 
 
@@ -135,10 +188,17 @@ def create_vehicle(name: str, driven=None, suspension="reduced"):
     """Instantiate any wheeled deck: returns (WheeledVehicle, BodyState)."""
     d = DECKS[name]
     fz0 = d["mass"] * 9.81 / 4
-    tire = tmeasy_for_load(d["wheel_radius"], d["wheel_width"], fz0)
-    mt, mps, ms = d["engine"]
+    tire = tmeasy_for_load(d["wheel_radius"], d["wheel_width"], fz0,
+                           stiff=d.get("tire_stiff", 1.0),
+                           damp=d.get("tire_damp", 1.0))
+    eng = d["engine"]
+    mt, mps, ms = eng[:3]
+    # optional 4th entry: loss scale (sub-scale vehicles need sub-scale
+    # engine-braking losses — the generic map's are sized for trucks)
+    loss_scale = eng[3] if len(eng) > 3 else 1.0
     speeds, torques, losses = default_engine_map(
         max_torque=mt, max_power_speed=mps, max_speed=ms)
+    losses = losses * loss_scale
     drv = driven or d["driven"]
     powertrain = PowertrainParams(
         map_speed=speeds, map_torque=torques, map_losses=losses,
@@ -231,3 +291,23 @@ def build_marder(pos=(0.0, 0.0, None)):
         track=track,
         pos=pos,
     )
+
+
+def create_duro(**kw):
+    return create_vehicle("duro", **kw)
+
+
+def create_gclass(**kw):
+    return create_vehicle("gclass", **kw)
+
+
+def create_mrole(**kw):
+    return create_vehicle("mrole", **kw)
+
+
+def create_mtv(**kw):
+    return create_vehicle("mtv", **kw)
+
+
+def create_unimog(**kw):
+    return create_vehicle("unimog", **kw)

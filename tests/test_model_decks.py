@@ -1,7 +1,8 @@
 """Remaining reference vehicle families as parameter decks
 (chrono_tpu.models.decks ↔ src/chrono_models/vehicle/{gator,feda,uaz,jeep,
-bmw,citybus,man,kraz,marder}): every deck settles, accelerates straight and
-turns; the tracked Marder spins up under sprocket torque."""
+bmw,citybus,man,kraz,artcar,duro,gclass,mrole,mtv,unimog,marder}): every
+deck settles, accelerates straight and turns; the tracked Marder spins up
+under sprocket torque."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -20,6 +21,11 @@ SPEED = {
     "citybus": (2.0, 22.0),
     "man": (2.5, 25.0),
     "kraz": (2.0, 24.0),
+    "duro": (3.0, 28.0),
+    "gclass": (5.0, 36.0),
+    "mrole": (1.5, 22.0),
+    "mtv": (2.5, 26.0),
+    "unimog": (1.5, 18.0),
 }
 
 
