@@ -133,6 +133,51 @@ def _pend_cases():
                           inertia=(0.1, 0.1, 0.04),
                           golden_dir="universal_joint"))
 
+    # rotational spring-damper on a revolute (ChLinkRSDA on the joint z;
+    # Case02's nonlinear spring modulation is out of scope for the linear
+    # RSDA element)
+    cases.append(dict(
+        name="RotSpring_Case01", kind="rotspring", joint_loc=(0, 0, 0),
+        joint_quat=quat_x(-np.pi / 2),
+        pend_pos=_qrot_np(quat_x(-np.pi / 2), (2.0, 0, 0)),
+        pend_quat=quat_x(-np.pi / 2), inertia=(0.04, 0.1, 0.1),
+        spring_k=200.0, spring_c=10.0, sim_step=2e-4,
+        golden_dir="rotspring_force"))
+
+    # translational spring-damper on a free body (ChLinkTSDA; rest length =
+    # initial anchor distance, the reference's default)
+    for nm, pgnd, ppend, cs_pos, k, c in [
+        ("TranSpring_Case01", (0, 0, 0), (0, 0, 0), (0, 0, 0), 10.0, 0.5),
+        ("TranSpring_Case02", (0, 0, 0), (0, 2, 0), (0, 2, 0), 100.0, 5.0),
+    ]:
+        cases.append(dict(name=nm, kind="tsda", anchor_gnd=pgnd,
+                          anchor_pend=ppend, pend_pos=cs_pos,
+                          pend_quat=np.array([1.0, 0, 0, 0]),
+                          inertia=(0.04, 0.1, 0.1), spring_k=k, spring_c=c,
+                          sim_step=1e-4, golden_dir="transpring_force"))
+
+    # revolute-spherical composite (ChLinkRevoluteSpherical)
+    for nm, gl, ax, pl, cs in [
+        ("RevSpherical_Case01", (0, 0, 0), (0, 0, 1), (2, 0, 0), (2, 2, 0)),
+        ("RevSpherical_Case02", (1, 2, 3), (0, 1, 1), (3, 2, 3), (3, 4, 3)),
+    ]:
+        cases.append(dict(name=nm, kind="rev_spherical", gnd_loc=gl,
+                          axis=ax, pend_loc=pl, pend_pos=cs,
+                          pend_quat=np.array([1.0, 0, 0, 0]),
+                          inertia=(0.1, 0.04, 0.1), sim_step=1e-5,
+                          golden_dir="revsph_constraint"))
+
+    # linear actuator: plate on a prismatic driven at constant speed
+    # (ChLinkLockLinActuator with a ramp function)
+    for nm, qj, speed in [
+        ("LinActuator_Case01", np.array([1.0, 0, 0, 0]), 1.0),
+        ("LinActuator_Case02", quat_y(np.pi / 4), 0.5),
+    ]:
+        cases.append(dict(name=nm, kind="lin_actuator", joint_loc=(0, 0, 0),
+                          joint_quat=qj, pend_pos=(0, 0, 0), pend_quat=qj,
+                          inertia=(1.0, 1.0, 1.0), speed=speed,
+                          golden_dir="lin_actuator"))
+
     # distance: anchor points in world + explicit pendulum csys
     for nm, pgnd, ppend, cs_pos, cs_q in [
         ("Distance_Case01", (0, 0, 0), (0, 2, 0), (0, 2, 0),
@@ -153,7 +198,7 @@ CASES = {c["name"]: c for c in _pend_cases()}
 
 
 def run_case(case: dict, dtype_str: str = "f64",
-             sim_step: float = 5e-4, out_step: float = 1e-2,
+             sim_step: float = None, out_step: float = 1e-2,
              t_end: float = 5.0) -> dict:
     """Simulate one golden scenario; return RMS norms per quantity.
 
@@ -172,22 +217,61 @@ def run_case(case: dict, dtype_str: str = "f64",
     from chrono_tpu.utils.validation import rms_norm
 
     dt = jnp.float64 if dtype_str == "f64" else jnp.float32
+    if sim_step is None:
+        # per-case step size — the reference's utest mains differ (1e-5 for
+        # revsph, 1e-4 transpring, 2e-4 rotspring, 5e-4 the rest)
+        sim_step = case.get("sim_step", 5e-4)
 
+    kind = case["kind"]
     bld = SystemBuilder(dtype=dt)
     bld.set_gravity((0, 0, -_G))
     gnd = bld.add_ground()
+    init_vel = (0.0, 0.0, 0.0)
+    if kind == "lin_actuator":
+        axis_w = _qrot_np(case["joint_quat"], (0, 0, 1))
+        init_vel = tuple(case["speed"] * axis_w)
     pend = bld.add_body(mass=1.0, inertia=case["inertia"],
-                        pos=case["pend_pos"], rot=case["pend_quat"])
-    kind = case["kind"]
+                        pos=case["pend_pos"], rot=case["pend_quat"],
+                        vel=init_vel)
     if kind == "distance":
         bld.add_distance(pend, gnd, case["anchor_pend"], case["anchor_gnd"])
         joint_loc = np.asarray(case["anchor_gnd"], float)
+    elif kind == "tsda":
+        bld.add_tsda(pend, gnd, case["anchor_pend"], case["anchor_gnd"],
+                     k=case["spring_k"], c=case["spring_c"])
+        joint_loc = np.asarray(case["anchor_gnd"], float)
+    elif kind == "rev_spherical":
+        bld.add_rev_spherical(gnd, pend, case["gnd_loc"],
+                              axis_world=case["axis"],
+                              point_world=case["pend_loc"])
+        joint_loc = np.asarray(case["gnd_loc"], float)
+    elif kind == "lin_actuator":
+        from chrono_tpu.core.functions import FRamp
+        qj = case["joint_quat"]
+        bld.add_joint_frames(
+            "prismatic", pend, gnd,
+            fa_pos=bld._world_to_local(pend, np.asarray(case["joint_loc"],
+                                                        float), qj)[0],
+            fa_rot=bld._world_to_local(pend, np.zeros(3), qj)[1],
+            fb_pos=np.asarray(case["joint_loc"], float),
+            fb_rot=qj,
+        )
+        import jax.numpy as _jnp
+        bld.add_motor_linear_position(
+            gnd, pend, case["joint_loc"], tuple(axis_w),
+            FRamp(y0=_jnp.asarray(0.0, dt), slope=_jnp.asarray(
+                case["speed"], dt)), add_joint=False)
+        joint_loc = np.asarray(case["joint_loc"], float)
     else:
+        if kind == "rotspring":
+            axis_w = _qrot_np(case["joint_quat"], (0, 0, 1))
+            bld.add_rsda(pend, gnd, world_axis=tuple(axis_w),
+                         k=case["spring_k"], c=case["spring_c"])
         # world joint frame: z axis = quat's z column (reference convention)
         qj = case["joint_quat"]
         axis = _qrot_np(qj, (0, 0, 1))
         bld.add_joint_frames(
-            kind, pend, gnd,
+            "revolute" if kind == "rotspring" else kind, pend, gnd,
             fa_pos=bld._world_to_local(pend, np.asarray(case["joint_loc"],
                                                         float), qj)[0],
             fa_rot=bld._world_to_local(pend, np.zeros(3), qj)[1],
@@ -205,19 +289,86 @@ def run_case(case: dict, dtype_str: str = "f64",
 
     from chrono_tpu.physics.joints import joint_violation
 
+    def _side_reaction(rows, gamma, state, side, body, point_w, sl=None):
+        """(F, T) applied to ``body`` at world point, world frame.
+
+        ``sl``: optional row slice (start, stop) to isolate one link's rows
+        out of the concatenated bilateral set."""
+        Jv = rows.Ja_v if side == "a" else rows.Jb_v
+        Jw = rows.Ja_w if side == "a" else rows.Jb_w
+        g = gamma
+        if sl is not None:
+            g = jnp.zeros_like(gamma).at[sl[0]:sl[1]].set(
+                gamma[sl[0]:sl[1]])
+        F = jnp.sum(Jv * g[:, None], axis=0)
+        T_loc = jnp.sum(Jw * g[:, None], axis=0)
+        T_w = Q.qrotate(state.q[body], T_loc)
+        r = jnp.asarray(point_w, dt) - state.x[body]
+        return F, T_w - jnp.cross(r, F)
+
     def _reaction(state_at_rows, gamma):
-        """Reaction on body b (ground) in world frame at the joint location."""
+        """Per-case reaction channels: ((n_ch, 3) F, (n_ch, 3) T)."""
         rows = bilateral_rows(model, state_at_rows, jnp.asarray(0.0, dt), h,
                               settings)
-        F = jnp.sum(rows.Jb_v * gamma[:, None], axis=0)
-        T_loc = jnp.sum(rows.Jb_w * gamma[:, None], axis=0)
-        # ground local frame == world (identity pose); shift torque to joint
-        r = jnp.asarray(joint_loc, dt) - state_at_rows.x[0]
-        return F, T_loc - jnp.cross(r, F)
+        jl = jnp.asarray(joint_loc, dt)
+        if kind == "tsda":
+            # spring force on the ground anchor, from state (no rows)
+            pa = state_at_rows.x[1]        # pendulum anchor == its CG here
+            d = pa - jl
+            L = jnp.linalg.norm(d) + 1e-12
+            u = d / L
+            Ldot = jnp.dot(state_at_rows.v[1], u)
+            l0 = float(np.linalg.norm(np.asarray(case["anchor_pend"], float)
+                                      - joint_loc))
+            fmag = case["spring_k"] * (L - l0) + case["spring_c"] * Ldot
+            F = fmag * u
+            return jnp.stack([F]), jnp.stack([jnp.zeros(3, dt)])
+        if kind == "rev_spherical":
+            # Body1 = ground (side a) at the revolute; Body2 = pendulum
+            # (side b) at the CURRENT spherical point (it moves with the
+            # body — the body-local offset is fixed)
+            off0 = np.asarray(case["pend_loc"], float) - np.asarray(
+                case["pend_pos"], float)
+            off_loc = _qrot_np(np.asarray(case["pend_quat"], float)
+                               * np.array([1.0, -1, -1, -1]), off0)
+            p2 = state_at_rows.x[1] + Q.qrotate(
+                state_at_rows.q[1], jnp.asarray(off_loc, dt))
+            F1, T1 = _side_reaction(rows, gamma, state_at_rows, "a", 0, jl)
+            F2, T2 = _side_reaction(rows, gamma, state_at_rows, "b", 1, p2)
+            return jnp.stack([F1, F2]), jnp.stack([T1, T2])
+        if kind == "lin_actuator":
+            # rows: 5 prismatic then 1 motor (bilateral_rows order);
+            # reference reports the actuator reaction ON THE PLATE
+            # (GetReaction2, body2 = plate)
+            FP, TP = _side_reaction(rows, gamma, state_at_rows, "b", 0, jl,
+                                    sl=(0, 5))
+            FA, TA = _side_reaction(rows, gamma, state_at_rows, "a", 1, jl,
+                                    sl=(5, 6))
+            return jnp.stack([FP, -FA]), jnp.stack([TP, -TA])
+        F, T = _side_reaction(rows, gamma, state_at_rows, "b", 0, jl)
+        if kind == "rotspring":
+            # the golden Rtorque includes the spring-damper torque about the
+            # joint axis (the reference logs the whole link's reaction)
+            from chrono_tpu.physics.motors import relative_angle_about_axis
+            rs = model.rsda
+            za = Q.qrotate(Q.qmul(state_at_rows.q[1], rs.fa_rot[0]),
+                           jnp.asarray([0.0, 0.0, 1.0], dt))
+            ang = relative_angle_about_axis(
+                state_at_rows.x[1], state_at_rows.q[1],
+                state_at_rows.x[0], state_at_rows.q[0],
+                rs.fa_rot[0], rs.fb_rot[0])
+            wa = Q.qrotate(state_at_rows.q[1], state_at_rows.w[1])
+            wb = Q.qrotate(state_at_rows.q[0], state_at_rows.w[0])
+            rate = jnp.sum(za * (wb - wa))
+            tmag = rs.k[0] * (ang - rs.rest_angle[0]) + rs.c[0] * rate
+            T = T - za * tmag
+        return jnp.stack([F]), jnp.stack([T])
 
     def _violation(state):
         vals = [jnp.max(jnp.abs(joint_violation(kd, data, state.x, state.q)))
                 for kd, data in model.joints.items()]
+        if not vals:
+            return jnp.zeros((), dt)
         return jnp.max(jnp.stack(vals))
 
     def one_output_block(carry, _):
@@ -288,10 +439,17 @@ def run_case(case: dict, dtype_str: str = "f64",
 
     # --- compare against golden files ---------------------------------------
     gdir = os.path.join(GOLDEN_ROOT, case["golden_dir"])
+    chan_names = {
+        "rev_spherical": ["Rforce_Body1", "Rforce_Body2"],
+        "lin_actuator": ["RforceP", "RforceA"],
+    }.get(kind, ["Rforce"])
     sim = {
         "Pos": xs, "Vel": vs, "Acc": accs, "Quat": qs,
-        "Avel": avel, "Aacc": aacc, "Rforce": Fb, "Rtorque": Tb,
+        "Avel": avel, "Aacc": aacc,
     }
+    for ci, cn in enumerate(chan_names):
+        sim[cn] = Fb[:, ci]
+        sim[cn.replace("force", "torque")] = Tb[:, ci]
     norms, missing = {}, []
     for what, simdata in sim.items():
         path = os.path.join(gdir, f"{case['name']}_ADAMS_{what}.txt")

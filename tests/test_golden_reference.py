@@ -1,8 +1,9 @@
 """Golden-trajectory validation against the reference's recorded ADAMS data.
 
 The oracle of the reference's joint unit tests
-(/root/reference/src/tests/unit_tests/joints/utest_JOINT_*.cpp): simulate the
-canonical 1 kg / 4 m pendulum mechanism for each joint type and compare eight
+(/root/reference/src/tests/unit_tests/joints/utest_JOINT_*.cpp): simulate each
+family's canonical mechanism (pendula, spring-damper bodies, the driven
+lin-actuator plate, the revolute-spherical composite) and compare the recorded
 quantities against /root/reference/data/testing/joints/* with per-column RMS
 norms (utils/ChValidation.h).  Tolerances below are the reference's own values
 (copied per-case from the utest mains); entries marked RELAXED are loosened
@@ -33,6 +34,13 @@ CASES = [
     "Universal_Case01",
     "Distance_Case01",
     "Distance_Case03",
+    "RotSpring_Case01",
+    "TranSpring_Case01",
+    "TranSpring_Case02",
+    "RevSpherical_Case01",
+    "RevSpherical_Case02",
+    "LinActuator_Case01",
+    "LinActuator_Case02",
 ]
 
 # (Pos, Vel, Acc, Quat, Avel, Aacc, Rforce, Rtorque, Energy, Constraint)
@@ -63,6 +71,35 @@ TOLS = {
     "Distance_Case03": dict(Pos=2.5e-3, Vel=1e-4, Acc=1e-1, Quat=1e-3,
                             Avel=1e-2, Aacc=3e-1, Rforce=1e-1, Rtorque=1e-10,
                             Energy=1e-2, Constraint=1e-5),
+    # damped / driven mechanisms: the reference validates no energy budget
+    # (Energy set inert); tolerances are the utest mains' own values
+    "RotSpring_Case01": dict(Pos=1e-3, Vel=5e-4, Acc=2e-2, Quat=1e-3,
+                             Avel=1e-3, Aacc=5e-3, Rforce=5e-3, Rtorque=1e-2,
+                             Energy=1e9, Constraint=1e-5),
+    "TranSpring_Case01": dict(Pos=1e-3, Vel=3e-4, Acc=2e-2, Quat=1e-10,
+                              Avel=1e-10, Aacc=1e-10, Rforce=5e-3,
+                              Rtorque=1e-10, Energy=1e9, Constraint=1e-5),
+    "TranSpring_Case02": dict(Pos=1e-3, Vel=3e-4, Acc=2e-2, Quat=1e-10,
+                              Avel=1e-10, Aacc=1e-10, Rforce=5e-3,
+                              Rtorque=1e-10, Energy=1e9, Constraint=1e-5),
+    "RevSpherical_Case01": dict(Pos=1e-4, Vel=1e-4, Acc=1e-1, Quat=1e-5,
+                                Avel=1e-4, Aacc=5e-1, Rforce_Body1=5e-1,
+                                Rtorque_Body1=5e-1, Rforce_Body2=5e-1,
+                                Rtorque_Body2=5e-1, Energy=1e-2,
+                                Constraint=1e-5),
+    "RevSpherical_Case02": dict(Pos=1e-4, Vel=1e-4, Acc=1e-1, Quat=1e-5,
+                                Avel=1e-3, Aacc=5e-1, Rforce_Body1=5e-1,
+                                Rtorque_Body1=5e-1, Rforce_Body2=5e-1,
+                                Rtorque_Body2=5e-1, Energy=1e-2,
+                                Constraint=1e-5),
+    "LinActuator_Case01": dict(Pos=2e-3, Vel=1e-3, Acc=2e-2, Quat=1e-3,
+                               Avel=2e-2, Aacc=2e-2, RforceP=2e-2,
+                               RtorqueP=1e-10, RforceA=5e-1, RtorqueA=1e-10,
+                               Energy=1e9, Constraint=1e-5),
+    "LinActuator_Case02": dict(Pos=2e-3, Vel=1e-3, Acc=2e-2, Quat=1e-3,
+                               Avel=2e-2, Aacc=2e-2, RforceP=3e-1,
+                               RtorqueP=5e-3, RforceA=5e-1, RtorqueA=1e-10,
+                               Energy=1e9, Constraint=1e-5),
 }
 
 
