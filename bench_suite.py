@@ -254,10 +254,12 @@ def bench_mixer_pencil(n_spheres=None):
     pts += rng.uniform(-0.005, 0.005, pts.shape) * radius
     n = len(pts)
 
-    engine = os.environ.get("SUITE_NSC_ENGINE", "partner")
+    engine = os.environ.get("SUITE_NSC_ENGINE", "half")
+    # single-sided storage halves the per-body partner budget
     adv = make_nsc_pencil_advance(p, grid, walls, backend=engine,
                                   partners=int(os.environ.get(
-                                      "SUITE_PARTNERS", 12)),
+                                      "SUITE_PARTNERS",
+                                      8 if engine == "half" else 12)),
                                   Bxy=int(os.environ.get("SUITE_BXY", 1)))
     pos = jnp.asarray(pts, jnp.float32)
     vel = jnp.zeros((n, 3), jnp.float32)

@@ -289,7 +289,9 @@ def make_nsc_pencil_advance(p: NSCPencilParams, grid: GridSpec, walls,
     (/root/reference/src/chrono/physics/ChSystem.cpp:1581).
 
     Backends: "pallas" (dense pair lattice), "partner" (per-body partner
-    slots, see ops/pallas/nsc_partner_kernel — the fast one), "xla"
+    slots, duplicated multipliers — ops/pallas/nsc_partner_kernel), "half"
+    (single-sided multipliers on the forward half stencil with a rolling
+    reaction window — ops/pallas/nsc_half_kernel, the fast one), "xla"
     (dense roll-based reference).
     """
     nx, ny, nz = grid.dims
@@ -303,17 +305,28 @@ def make_nsc_pencil_advance(p: NSCPencilParams, grid: GridSpec, walls,
     lat = 27 * 3 * capacity
     gvec = jnp.asarray(p.gravity, jnp.float32)
 
-    if backend == "partner":
+    if backend in ("partner", "half"):
         from chrono_tpu.ops.pallas.nsc_partner_kernel import (
             detect_partners, codes_to_pencils,
             nsc_partner_sweep_u_pallas, nsc_partner_sweep_g_pallas,
         )
+        from chrono_tpu.ops.pallas.nsc_half_kernel import (
+            detect_half, nsc_half_sweep_u_pallas, nsc_half_sweep_g_pallas,
+        )
+        if backend == "half":
+            detect_fn = detect_half
+            sweep_u, sweep_g = (nsc_half_sweep_u_pallas,
+                                nsc_half_sweep_g_pallas)
+        else:
+            detect_fn = detect_partners
+            sweep_u, sweep_g = (nsc_partner_sweep_u_pallas,
+                                nsc_partner_sweep_g_pallas)
         P = partners
         pd = dict(phys)
 
         def solve(field):
             feat = field_to_pencils(field, nzp)
-            codes_d, pover = detect_partners(
+            codes_d, pover = detect_fn(
                 p.radius, p.envelope, grid, field.pos, field.mask, P)
             codes = codes_to_pencils(codes_d, nzp)
             if codes.shape[0] != nxy_pad:
@@ -325,12 +338,12 @@ def make_nsc_pencil_advance(p: NSCPencilParams, grid: GridSpec, walls,
                       C=capacity, P=P, Bxy=Bxy, interpret=interpret)
 
             def one_iter(st: APGDState, k):
-                u = nsc_partner_sweep_u_pallas(
+                u = sweep_u(
                     feat, codes, st.gam, st.gprev, st.wgam, st.wgprev,
                     st.beta, **kw)
                 featU = jnp.concatenate(
                     [feat[:, :3], u[:nxy], feat[:, 9:]], axis=1)
-                gnew, wnew = nsc_partner_sweep_g_pallas(
+                gnew, wnew = sweep_g(
                     featU, codes, st.gam, st.gprev, st.wgam, st.wgprev,
                     st.beta, **kw)
                 return _momentum_update(st, gnew, wnew, p, k)
@@ -345,7 +358,7 @@ def make_nsc_pencil_advance(p: NSCPencilParams, grid: GridSpec, walls,
                 beta=jnp.zeros((), jnp.float32),
                 theta=jnp.ones((), jnp.float32))
             st, dgam = lax.scan(one_iter, st0, jnp.arange(p.n_iter))
-            u = nsc_partner_sweep_u_pallas(
+            u = sweep_u(
                 feat, codes, st.gam, st.gam, st.wgam, st.wgam,
                 jnp.zeros((), jnp.float32), **kw)
 

@@ -299,3 +299,51 @@ def test_partner_detection_symmetry_and_budget():
                             (ix, iy, iz, a), code)
                         pairs += 1
     assert pairs > 0 and pairs % 2 == 0
+
+
+def test_backend_parity_half_interpret():
+    """Single-sided half-stencil kernels (v4: each pair stored and updated
+    once, u-sweep reactions through the rolling window) reproduce the
+    dense-roll trajectory."""
+    rng = np.random.default_rng(7)
+    n = 14
+    p = NSCPencilParams(radius=R, mass=0.5, mu=0.3, dt=1e-3, n_iter=6,
+                        envelope=0.002 * R)
+    grid = _grid(4)
+    pos0 = jnp.asarray(rng.uniform(0.12, 0.36, (n, 3)))
+    vel0 = jnp.asarray(rng.normal(0.0, 0.2, (n, 3)))
+    om0 = jnp.zeros((n, 3))
+    adv_x = make_nsc_pencil_advance(p, grid, FLOOR, backend="xla")
+    adv_h = make_nsc_pencil_advance(p, grid, FLOOR, backend="half",
+                                    interpret=True, partners=6)
+    px, vx, ox, ovx = adv_x(pos0, vel0, om0, 1)
+    ph, vh, oh, ovh = adv_h(pos0, vel0, om0, 1)
+    assert int(ovx) == 0 and int(ovh) == 0
+    np.testing.assert_allclose(np.asarray(px), np.asarray(ph), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(vx), np.asarray(vh), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ox), np.asarray(oh), atol=2e-3)
+
+
+def test_half_detection_single_sided():
+    """detect_half: every geometric pair appears exactly ONCE across both
+    sides, always on the forward-stencil owner."""
+    from chrono_tpu.ops.pallas.nsc_half_kernel import (
+        detect_half, _class_offset, N_CLASS,
+    )
+    from chrono_tpu.ops.pallas.nsc_partner_kernel import detect_partners
+
+    rng = np.random.default_rng(11)
+    n = 24
+    p = NSCPencilParams(radius=R, mass=0.5, envelope=0.05 * R)
+    grid = _grid(5)
+    pos = jnp.asarray(rng.uniform(0.12, 0.42, (n, 3)))
+    field = to_cells(grid, 8, pos, jnp.zeros((n, 3)), jnp.zeros((n, 3)))
+    C, P = 8, 12
+    codes_h, over_h = detect_half(p.radius, p.envelope, grid, field.pos,
+                                  field.mask, P)
+    codes_d, over_d = detect_partners(p.radius, p.envelope, grid, field.pos,
+                                      field.mask, P)
+    assert int(over_h) == 0 and int(over_d) == 0
+    n_half = int(np.sum(np.asarray(codes_h) >= 0))
+    n_dup = int(np.sum(np.asarray(codes_d) >= 0))
+    assert n_dup == 2 * n_half and n_half > 0
