@@ -421,7 +421,8 @@ def bench_crm():
     from demos import demo_vehicle_crm
 
     n_int = int(os.environ.get("SUITE_CRM_INTERVALS", 6))
-    out = demo_vehicle_crm.main(n_intervals=n_int, outer_per_interval=40)
+    out = demo_vehicle_crm.main(n_intervals=n_int, outer_per_interval=40,
+                                engine=os.environ.get("SUITE_CRM_ENGINE"))
     return dict(metric="vehicle-on-CRM end-to-end RTF",
                 value=round(out["rtf"], 2), unit="RTF",
                 markers=out["markers"], bodies=out["bodies"],

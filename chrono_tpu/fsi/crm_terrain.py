@@ -132,7 +132,7 @@ def crm_fsi_step(model: Model, params: SPHParams, crm: CRMParams,
                  wheel_bodies,
                  active: ActiveDomainSpec | None = None,
                  mbs_settings: SolverSettings = SolverSettings(solver="direct"),
-                 f_ext_fn=None):
+                 f_ext_fn=None, substeps_fn=None):
     """One coupled outer step: BCE kinematics → (active-domain) CRM substeps
     → BCE force/torque reduction → MBS step with terrain loads.
 
@@ -151,18 +151,24 @@ def crm_fsi_step(model: Model, params: SPHParams, crm: CRMParams,
 
     support = KERNELS[params.kernel][2]
 
-    def substeps(st):
-        nbr = build_neighbor_list(grid, st.pos, support * params.h,
-                                  params.max_per_cell, params.max_neighbors)
-        st = st.replace(nbr=nbr)
+    if substeps_fn is not None:
+        # TPU pencil engine (fsi.sph.crm_pencil): symmetric Pallas sweeps
+        def substeps(st):
+            return substeps_fn(st, n_substeps)
+    else:
+        def substeps(st):
+            nbr = build_neighbor_list(grid, st.pos, support * params.h,
+                                      params.max_per_cell,
+                                      params.max_neighbors)
+            st = st.replace(nbr=nbr)
 
-        def inner(s, _):
-            return crm_step(params, crm, grid, s), None
+            def inner(s, _):
+                return crm_step(params, crm, grid, s), None
 
-        st, _ = lax.scan(inner, st, None, length=n_substeps)
-        # granular reaction on BCE markers at the final state
-        dv = crm_forces(params, crm, grid, st)
-        return st, dv, nbr.overflow
+            st, _ = lax.scan(inner, st, None, length=n_substeps)
+            # granular reaction on BCE markers at the final state
+            dv = crm_forces(params, crm, grid, st)
+            return st, dv, nbr.overflow
 
     if active is not None:
         anchors = bodies.x[jnp.asarray(wheel_bodies)]
@@ -204,8 +210,18 @@ def make_crm_fsi_advance_fn(model: Model, params: SPHParams, crm: CRMParams,
                             active: ActiveDomainSpec | None = None,
                             mbs_settings: SolverSettings = SolverSettings(
                                 solver="direct"),
-                            f_ext_fn=None):
+                            f_ext_fn=None, engine: str = "gather",
+                            pencil_capacity: int = 16, pencil_Bxy: int = 4):
+    """``engine``: "gather" (neighbor lists — CPU-friendly) or "pencil"
+    (symmetric Pallas sweeps, fsi.sph.crm_pencil — the TPU path)."""
     wheel_bodies = jnp.asarray(np.asarray(wheel_bodies, np.int32))
+    substeps_fn = None
+    if engine == "pencil":
+        from chrono_tpu.fsi.sph.crm_pencil import make_crm_substeps_pencil
+        substeps_fn = make_crm_substeps_pencil(
+            params, crm, grid, capacity=pencil_capacity, Bxy=pencil_Bxy)
+    elif engine != "gather":
+        raise ValueError(f"unknown CRM engine {engine!r}")
 
     @functools.partial(jax.jit, static_argnums=1)
     def advance(state: CRMFSIState, n_outer: int):
@@ -213,7 +229,7 @@ def make_crm_fsi_advance_fn(model: Model, params: SPHParams, crm: CRMParams,
             s, ovf = carry
             s, ov, _ = crm_fsi_step(model, params, crm, grid, s, n_substeps,
                                     wheel_bodies, active, mbs_settings,
-                                    f_ext_fn)
+                                    f_ext_fn, substeps_fn=substeps_fn)
             return (s, jnp.maximum(ovf, ov)), None
 
         (state2, ovf), _ = lax.scan(body, (state, jnp.zeros((), jnp.int32)),

@@ -1,0 +1,126 @@
+"""Pencil-layout CRM driver: binning + symmetric-sweep substeps on TPU.
+
+The CRM analogue of fsi.sph.pencil: markers (with their stress tensors and
+granular/integrate flags) are binned into (NXY, 16, C, NZp) pencil planes
+once per outer step, the elastoplastic substeps run as the two fused
+symmetric Pallas sweeps of ops.pallas.crm_sym_kernel, and the final
+granular-reaction acceleration (for the BCE force reduction) comes from
+one extra forces-only sweep at the final state.  This is the engine that
+makes BASELINE config #5 (vehicle on CRM terrain) scale on TPU — the
+gather backend's (N, K) neighbor tensors are the known-bad layout there.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from chrono_tpu.collision.cell_list import GridSpec
+from chrono_tpu.fsi.sph.state import FLUID, FROZEN
+from chrono_tpu.fsi.sph.crm import CRMState, CRMParams
+from chrono_tpu.fsi.sph.pencil import bin_to_pencils
+from chrono_tpu.ops.pallas.crm_sym_kernel import (
+    crm_substep_sym, crm_static_params,
+)
+from chrono_tpu.ops.pallas.dem_sym_kernel import edge_ok_fwd
+from chrono_tpu.fsi.sph.system import KERNELS
+
+
+def crm_state_to_pencils(grid, capacity, nzp, st: CRMState, perm=(0, 1, 2)):
+    """``perm``: axis permutation for BINNING only — pencil axis 2 (the
+    128-lane dimension) gets original axis perm[2].  Feature planes always
+    carry the real (x, y, z) coordinates; only the cell assignment is
+    permuted, so flat terrains can put their LONG axis in the lanes
+    instead of wasting 90% of a 128-lane tile on a 10-cell depth."""
+    gran = ((st.kind == FLUID) | (st.kind == FROZEN)).astype(jnp.float32)
+    integ = (st.kind == FLUID).astype(jnp.float32)
+    feats = [st.pos[:, 0], st.pos[:, 1], st.pos[:, 2],
+             st.vel[:, 0], st.vel[:, 1], st.vel[:, 2], st.rho,
+             st.tau_d[:, 0], st.tau_d[:, 1], st.tau_d[:, 2],
+             st.tau_o[:, 0], st.tau_o[:, 1], st.tau_o[:, 2],
+             gran, integ]
+    return bin_to_pencils(grid, capacity, nzp, st.pos[:, list(perm)], feats)
+
+
+def pencils_to_crm_state(feat, perm, st: CRMState) -> CRMState:
+    def grab(f):
+        return feat[:, f].reshape(-1)[perm]
+
+    pos = jnp.stack([grab(0), grab(1), grab(2)], axis=1)
+    vel = jnp.stack([grab(3), grab(4), grab(5)], axis=1)
+    tau_d = jnp.stack([grab(7), grab(8), grab(9)], axis=1)
+    tau_o = jnp.stack([grab(10), grab(11), grab(12)], axis=1)
+    return st.replace(pos=pos, vel=vel, rho=grab(6), tau_d=tau_d,
+                      tau_o=tau_o)
+
+
+def make_crm_substeps_pencil(params, crm: CRMParams, grid: GridSpec,
+                             capacity: int = 16, Bxy: int = 4,
+                             interpret: bool = False):
+    """substeps(st, n) -> (st2, dv (N,3), overflow) on the pencil engine —
+    the drop-in replacement for the gather `substeps` in crm_fsi_step."""
+    support = KERNELS[params.kernel][2]
+    if float(grid.cell_size) < support * float(params.h) - 1e-9:
+        raise ValueError("cell below kernel support")
+    if any(grid.periodic):
+        raise ValueError("pencil CRM supports non-periodic boxes")
+    # auto axis permutation: the LONGEST grid axis rides the 128-lane
+    # dimension (a flat terrain patch with ~10 z-cells would otherwise
+    # waste >90% of every lane tile)
+    order = int(np.argmax(grid.dims))
+    rest = [a for a in range(3) if a != order]
+    aperm = (rest[0], rest[1], order)
+    pdims = tuple(grid.dims[a] for a in aperm)
+    pgrid = GridSpec(origin=tuple(grid.origin[a] for a in aperm),
+                     cell_size=grid.cell_size, dims=pdims)
+    nzp = ((pdims[2] + 1 + 127) // 128) * 128
+    edge = edge_ok_fwd(pdims)
+    cp = crm_static_params(params, crm)
+
+    def substeps(st: CRMState, n_substeps: int):
+        feat, perm, ovf = crm_state_to_pencils(pgrid, capacity, nzp, st,
+                                               perm=aperm)
+
+        def inner(f, _):
+            return crm_substep_sym(f, edge, cp=cp, grid_dims=pdims,
+                                   C=capacity, Bxy=Bxy,
+                                   interpret=interpret), None
+
+        feat, _ = lax.scan(inner, feat, None, length=n_substeps)
+        acc = crm_substep_sym(feat, edge, cp=cp, grid_dims=pdims,
+                              C=capacity, Bxy=Bxy, interpret=interpret,
+                              forces_only=True)
+        st2 = pencils_to_crm_state(feat, perm, st)
+        dv = jnp.stack([acc[:, k].reshape(-1)[perm] for k in range(3)],
+                       axis=1)
+        return st2, dv, ovf
+
+    return substeps
+
+
+def make_crm_advance_pencil(params, crm: CRMParams, grid: GridSpec,
+                            capacity: int = 16, Bxy: int = 4,
+                            interpret: bool = False):
+    """advance(state, n_cycles) -> (state, overflow): terrain-only stepping
+    (the pencil counterpart of fsi.sph.crm.make_crm_advance_fn)."""
+    subs = make_crm_substeps_pencil(params, crm, grid, capacity, Bxy,
+                                    interpret)
+
+    def one_cycle(st):
+        st, _, ovf = subs(st, params.rebuild_every)
+        return st.replace(time=st.time + params.dt * params.rebuild_every), \
+            ovf
+
+    cycle_jit = jax.jit(one_cycle)
+
+    def advance(state: CRMState, n_cycles: int):
+        ovf = jnp.zeros((), jnp.int32)
+        for _ in range(n_cycles):
+            state, ov = cycle_jit(state)
+            ovf = jnp.maximum(ovf, ov)
+        return state, ovf
+
+    return advance

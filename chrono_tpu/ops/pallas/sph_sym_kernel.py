@@ -41,7 +41,7 @@ _FWD_XY = [(0, 1), (1, -1), (1, 0), (1, 1)]
 
 
 def _make_sym_sweep_kernel(F_in, n_out, n_acc, C, NZ, Bxy, ny, G, WB,
-                           pair2_fn, post_fn, n_dz):
+                           pair2_fn, post_fn, n_dz, val_idx=_VAL):
     """Symmetric pencil sweep scaffold.
 
     pair2_fn(s, n, ok) -> (self_terms, react_terms): two tuples of n_acc
@@ -103,7 +103,7 @@ def _make_sym_sweep_kernel(F_in, n_out, n_acc, C, NZ, Bxy, ny, G, WB,
                     for _ in range(n_acc)]
             for c in range(n_chunks):
                 s = s_chunks[c]
-                ok = s[_VAL] * n[_VAL]
+                ok = s[val_idx] * n[val_idx]
                 if ok_extra is not None:
                     ok = ok * ok_extra
                 if into_own and dz == 0:
@@ -173,7 +173,7 @@ def _make_sym_sweep_kernel(F_in, n_out, n_acc, C, NZ, Bxy, ny, G, WB,
 
 def _sym_sweep(feat, edge_fwd, *, grid_dims, C, Bxy, n_out, n_acc,
                pair2_fn, post_fn, interpret=False, flops_per_pair=60,
-               n_dz=1):
+               n_dz=1, val_idx=_VAL):
     nx, ny, nz = grid_dims
     if ny < 2:
         raise ValueError("symmetric sweep needs ny >= 2")
@@ -194,7 +194,8 @@ def _sym_sweep(feat, edge_fwd, *, grid_dims, C, Bxy, n_out, n_acc,
 
     n_wide = max(n_out, n_acc)
     kernel = _make_sym_sweep_kernel(F_in, n_out, n_acc, C, NZp, Bxy, ny, G,
-                                    WB, pair2_fn, post_fn, n_dz)
+                                    WB, pair2_fn, post_fn, n_dz,
+                                    val_idx=val_idx)
     n_blocks_half = 0.5 * (2 * n_dz + 1) * 9 + 0.5  # ≈ evaluated fraction
     out = pl.pallas_call(
         kernel,

@@ -66,7 +66,7 @@ def build_vehicle(bld: SystemBuilder, pos0, wheelbase=1.2, track=0.7,
     return chassis, corners
 
 
-def main(n_intervals=25, outer_per_interval=40):
+def main(n_intervals=25, outer_per_interval=40, engine=None):
     d0 = 0.05
     params = SPHParams(
         d0=jnp.asarray(d0), h=jnp.asarray(1.2 * d0),
@@ -133,14 +133,18 @@ def main(n_intervals=25, outer_per_interval=40):
     active = ActiveDomainSpec(box=jnp.asarray([0.35, 0.25, 0.4]),
                               margin=jnp.asarray([0.12, 0.12, 0.12]),
                               capacity=16384) if use_active else None
+    if engine is None:
+        import jax as _jax
+        engine = "pencil" if _jax.default_backend() != "cpu" else "gather"
     adv = make_crm_fsi_advance_fn(model, params, crm, grid,
                                   n_substeps=params.rebuild_every,
                                   wheel_bodies=wheels, active=active,
-                                  f_ext_fn=drive)
+                                  f_ext_fn=drive, engine=engine,
+                                  pencil_capacity=24)
     state = CRMFSIState(bodies=bodies, terrain=terrain, time=jnp.zeros(()))
 
     print(f"vehicle-on-CRM: {n_markers} markers, {model.n_bodies} bodies, "
-          f"dt={float(params.dt):.0e}")
+          f"dt={float(params.dt):.0e}, engine={engine}")
     x_start = float(state.bodies.x[chassis, 0])
     t0 = time.perf_counter()
     for k in range(n_intervals):

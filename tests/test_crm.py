@@ -112,3 +112,76 @@ class TestColumn:
         assert x[:, 0].max() > 0.01 + width * 2.0, "tall column failed to flow"
         assert x[:, 2].max() < 0.8 * H, "tall column failed to collapse"
         assert np.isfinite(x).all()
+
+
+# ---------------- symmetric pencil CRM engine ----------------
+
+
+def test_crm_pencil_substep_parity():
+    """One elastoplastic substep on the pencil engine (two symmetric
+    Pallas sweeps, interpret mode) == the gather crm_step, including the
+    stress update, plastic return and the mixed-pair boundary penalty."""
+    from chrono_tpu.dem.neighbors import build_neighbor_list
+    from chrono_tpu.fsi.sph.crm import crm_step, crm_forces
+    from chrono_tpu.fsi.sph.system import KERNELS
+    from chrono_tpu.fsi.sph.crm_pencil import make_crm_substeps_pencil
+
+    d0 = 0.01
+    width, H = 0.08, 0.08
+    params = SPHParams(
+        d0=jnp.asarray(d0), h=jnp.asarray(1.2 * d0),
+        rho0=jnp.asarray(1600.0), mu=jnp.asarray(0.0),
+        c_s=jnp.asarray(30.0), gravity=jnp.asarray([0.0, 0.0, -9.81]),
+        dt=jnp.asarray(1e-4), alpha_visc=jnp.asarray(0.1),
+        max_neighbors=96, max_per_cell=80, rebuild_every=4,
+    )
+    crm = CRMParams(youngs=jnp.asarray(2e6), poisson=jnp.asarray(0.3),
+                    friction_angle=jnp.asarray(0.7),
+                    cohesion=jnp.asarray(0.0))
+    col = grid_sample_box((0.05, 0.02, 0.0), (0.05 + width, 0.02 + width, H),
+                          d0)
+    floor = grid_sample_box((0.02, 0.0, -3 * d0), (0.2, 0.12, 0.0), d0)
+    state0 = make_sph_state(params, col, boundary_pts=floor)
+    cs = 2.5 * 1.2 * d0
+    grid = GridSpec(origin=(0.0, -0.02, -5 * d0), cell_size=cs,
+                    dims=(int(np.ceil(0.24 / cs)), int(np.ceil(0.17 / cs)),
+                          int(np.ceil((1.5 * H + 8 * d0) / cs))))
+    st = make_crm_state(state0)
+    st = lithostatic_init(st, params, crm, surface_z=H)
+    # a short settle on the gather engine gives nonzero velocities/stresses
+    adv = make_crm_advance_fn(params, crm, grid)
+    st, ov = adv(st, 2)
+    assert int(ov) == 0
+
+    support = KERNELS[params.kernel][2]
+    nbr = build_neighbor_list(grid, st.pos, support * float(params.h),
+                              params.max_per_cell, params.max_neighbors)
+    ref = crm_step(params, crm, grid, st.replace(nbr=nbr))
+    dv_ref = crm_forces(params, crm, grid, ref.replace(nbr=nbr))
+
+    subs = make_crm_substeps_pencil(params, crm, grid, capacity=32, Bxy=2,
+                                    interpret=True)
+    got, dv, ovf = subs(st, 1)
+    assert int(ovf) == 0
+    np.testing.assert_allclose(np.asarray(got.pos), np.asarray(ref.pos),
+                               rtol=1e-6, atol=1e-7)
+    v_scale = max(float(jnp.abs(ref.vel).max()), 1e-6)
+    np.testing.assert_allclose(np.asarray(got.vel), np.asarray(ref.vel),
+                               rtol=1e-4, atol=3e-5 * v_scale)
+    np.testing.assert_allclose(np.asarray(got.rho), np.asarray(ref.rho),
+                               rtol=2e-5, atol=1e-2)
+    s_scale = max(float(jnp.abs(ref.tau_d).max()), 1.0)
+    np.testing.assert_allclose(np.asarray(got.tau_d), np.asarray(ref.tau_d),
+                               rtol=1e-4, atol=2e-4 * s_scale)
+    np.testing.assert_allclose(np.asarray(got.tau_o), np.asarray(ref.tau_o),
+                               rtol=1e-4, atol=2e-4 * s_scale)
+    # the granular reaction used for the BCE reduction (note: the pencil dv
+    # is evaluated at the stepped state, matching crm_fsi_step's usage)
+    # compare where either is non-negligible
+    a_scale = max(float(jnp.abs(dv_ref).max()), 1e-6)
+    # rebuild neighbors at the stepped state for the reference dv
+    nbr2 = build_neighbor_list(grid, ref.pos, support * float(params.h),
+                               params.max_per_cell, params.max_neighbors)
+    dv_ref2 = crm_forces(params, crm, grid, ref.replace(nbr=nbr2))
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref2),
+                               rtol=1e-4, atol=5e-5 * a_scale)
