@@ -108,8 +108,14 @@ class Contacts(NamedTuple):
     normal: Array   # (C, 3) world, A→B
     gap: Array      # (C,) signed (<0 penetrating)
     mu: Array       # (C,) combined friction
+    r_eff: Array    # (C,) effective curvature radius (SMC penalty models)
     active: Array   # (C,) bool
     count: Array    # () int32 — true number found (may exceed capacity)
+
+
+#: effective contact-curvature radius used when shapes give none (the
+#: reference's ChCollisionInfo default effective radius for non-smooth pairs)
+DEFAULT_EFF_RADIUS = 0.1
 
 
 def _sphere_world(shapes: SphereShapes, state: BodyState):
@@ -140,12 +146,13 @@ def detect_contacts(coll: CollisionModel, state: BodyState) -> Contacts:
 
     segs_pack, segs_ok = [], []
 
-    def pack(ok, a, b, gap, n, p, mu):
+    def pack(ok, a, b, gap, n, p, mu, r_eff):
         rows = jnp.stack([
             gap, n[..., 0], n[..., 1], n[..., 2],
             p[..., 0], p[..., 1], p[..., 2], mu,
+            jnp.broadcast_to(r_eff, gap.shape),
             a.astype(jnp.float32), b.astype(jnp.float32)], axis=-1)
-        segs_pack.append(rows.reshape(-1, 10))
+        segs_pack.append(rows.reshape(-1, 11))
         segs_ok.append(ok.reshape(-1))
 
     if S > 0:
@@ -171,11 +178,14 @@ def detect_contacts(coll: CollisionModel, state: BodyState) -> Contacts:
                    & (nf[..., 5] != sp.body.astype(jnp.float32)[
                        :, None, None])                     # no self-body
                    & (gap < coll.envelope))
+        ra_ = sp.radius[:, None, None]
+        rb_ = nf[..., 3]
         pack(pair_ok,
              jnp.broadcast_to(sp.body.astype(jnp.float32)[:, None, None],
                               gap.shape),
              nf[..., 5], gap, n, p,
-             jnp.minimum(sp.mu[:, None, None], nf[..., 4]))
+             jnp.minimum(sp.mu[:, None, None], nf[..., 4]),
+             ra_ * rb_ / jnp.maximum(ra_ + rb_, 1e-30))
 
     # sphere-box dense pairs
     if S > 0 and coll.boxes is not None and coll.boxes.n > 0:
@@ -193,7 +203,8 @@ def detect_contacts(coll: CollisionModel, state: BodyState) -> Contacts:
              jnp.broadcast_to(sp.body[:, None], (S, B)),
              jnp.broadcast_to(bx.body[None, :], (S, B)),
              gap_b, n_b, p_b,
-             jnp.minimum(sp.mu[:, None], bx.mu[None, :]))
+             jnp.minimum(sp.mu[:, None], bx.mu[None, :]),
+             jnp.broadcast_to(sp.radius[:, None], (S, B)))
 
     # general convex shapes via MPR: convex-convex (dense i<j) + convex-sphere
     if coll.convex is not None and coll.convex.n > 0:
@@ -216,7 +227,8 @@ def detect_contacts(coll: CollisionModel, state: BodyState) -> Contacts:
                 fam = cv.family
                 cc_ok &= ~((fam[iu] == fam[ju]) & (fam[iu] > 0))
             pack(cc_ok, cv.body[iu], cv.body[ju], gap_cc, n_cc, p_cc,
-                 jnp.minimum(cv.mu[iu], cv.mu[ju]))
+                 jnp.minimum(cv.mu[iu], cv.mu[ju]),
+                 jnp.full_like(gap_cc, DEFAULT_EFF_RADIUS))
         if S > 0:
             V = cv.verts.shape[1]
             ii = jnp.repeat(jnp.arange(S), K)
@@ -233,18 +245,18 @@ def detect_contacts(coll: CollisionModel, state: BodyState) -> Contacts:
             sc_ok = (gap_sc < jnp.minimum(coll.envelope, 0.0)) & (
                 sp.body[ii] != cv.body[jj])
             pack(sc_ok, sp.body[ii], cv.body[jj], gap_sc, n_sc, p_sc,
-                 jnp.minimum(sp.mu[ii], cv.mu[jj]))
+                 jnp.minimum(sp.mu[ii], cv.mu[jj]), sp.radius[ii])
 
     all_ok = jnp.concatenate(segs_ok)
-    all_rows = jnp.concatenate(segs_pack, axis=0)          # (n_tot, 10)
+    all_rows = jnp.concatenate(segs_pack, axis=0)          # (n_tot, 11)
     sel, active, count = topk_select(all_ok, coll.max_contacts)
     got = all_rows[sel]                                    # one row gather
 
     return Contacts(
-        body_a=got[:, 8].astype(jnp.int32),
-        body_b=got[:, 9].astype(jnp.int32),
+        body_a=got[:, 9].astype(jnp.int32),
+        body_b=got[:, 10].astype(jnp.int32),
         point=got[:, 4:7], normal=got[:, 1:4], gap=got[:, 0],
-        mu=got[:, 7], active=active, count=count,
+        mu=got[:, 7], r_eff=got[:, 8], active=active, count=count,
     )
 
 

@@ -62,11 +62,32 @@ class ConeBCs:
 
 
 @pytree_dataclass
+class WheelBCs:
+    """B finite oriented cylinders (wheels/rollers), particles kept OUTSIDE.
+
+    The moving-obstacle BC the reference's GranularTerrain role needs
+    (/root/reference/src/chrono_vehicle/terrain/GranularTerrain.h — vehicle
+    wheels interacting with a granular patch): pose/velocity leaves are traced,
+    so a coupled program updates them from body states every outer step without
+    recompiling.  Lateral surface, end caps and rim edges all resolve through
+    one branch-free 2-D (radial, axial) signed-distance field.
+    """
+
+    center: Array   # (B, 3) cylinder center
+    axis: Array     # (B, 3) unit axis (wheel y)
+    radius: Array   # (B,)
+    half_width: Array  # (B,)
+    vel: Array      # (B, 3) body translational velocity
+    omega: Array    # (B, 3) body angular velocity (world frame)
+
+
+@pytree_dataclass
 class DEMBoundaries:
     planes: Optional[PlaneBCs] = None
     cylinders: Optional[CylinderBCs] = None
     spheres: Optional[SphereBCs] = None
     cones: Optional[ConeBCs] = None
+    wheels: Optional[WheelBCs] = None
 
 
 class BCContact(NamedTuple):
@@ -126,6 +147,41 @@ def cone_contacts(bc: ConeBCs, pos: Array, radius) -> BCContact:
          (m / denom * jnp.sign(bc.slope)[None, :])[..., None]], axis=-1)
     v = jnp.broadcast_to(bc.vel[None], n.shape)
     return BCContact(gap, n, v)
+
+
+def wheel_contacts(bc: WheelBCs, pos: Array, radius) -> BCContact:
+    """Particle vs finite solid cylinder (outside-keeping), branch-free.
+
+    2-D SDF in (radial, axial) coordinates: ``dr = ρ−R``, ``da = |ax|−hw``;
+    outside distance = hypot(max(dr,0), max(da,0)), inside = max(dr,da).
+    The push-out normal is the SDF gradient (radial on the tread, axial on the
+    caps, blended on the rim edge).  Surface velocity includes the spin term
+    ``ω × (p_c − c)`` so friction against a driven wheel drags particles —
+    exactly how the wheel does work on the bed.
+    """
+    d = pos[:, None, :] - bc.center[None, :, :]              # (N, B, 3)
+    a = bc.axis[None, :, :]
+    ax = jnp.sum(d * a, axis=-1)                             # (N, B)
+    rad = d - ax[..., None] * a
+    rho = jnp.sqrt(jnp.sum(rad * rad, axis=-1) + 1e-12)
+    r_hat = rad / rho[..., None]
+    dr = rho - bc.radius[None, :]
+    da = jnp.abs(ax) - bc.half_width[None, :]
+    drp = jnp.maximum(dr, 0.0)
+    dap = jnp.maximum(da, 0.0)
+    out = jnp.sqrt(drp * drp + dap * dap + 1e-18)
+    sd = jnp.where((dr > 0) | (da > 0), out, jnp.maximum(dr, da))
+    ax_hat = jnp.sign(ax)[..., None] * a
+    n_out = jnp.where(((dr > 0) | (da > 0))[..., None],
+                      (drp[..., None] * r_hat + dap[..., None] * ax_hat)
+                      / out[..., None],
+                      jnp.where((dr >= da)[..., None], r_hat, ax_hat))
+    gap = sd - radius
+    p_c = pos[:, None, :] - sd[..., None] * n_out            # surface point
+    v = bc.vel[None, :, :] + jnp.cross(
+        jnp.broadcast_to(bc.omega[None, :, :], p_c.shape),
+        p_c - bc.center[None, :, :])
+    return BCContact(gap, n_out, v)
 
 
 def box_boundaries(lo, hi, dtype=jnp.float32) -> PlaneBCs:

@@ -26,7 +26,7 @@ from jax import Array
 from chrono_tpu.dem.params import DEMParams, hertz_coefficients, user_coefficients
 from chrono_tpu.dem.bc import (
     DEMBoundaries, plane_contacts, cylinder_contacts, sphere_bc_contacts,
-    cone_contacts,
+    cone_contacts, wheel_contacts,
 )
 
 
@@ -144,6 +144,17 @@ def particle_forces(params: DEMParams, pos, vel, omega, nbr_idx, nbr_valid,
     return force, tau, xi_new
 
 
+def _wall_reactions(pos, arm, n, f_pair):
+    """Per-wall reaction (force, torque-about-origin): the BC force
+    observation (ChSystemDem.h GetBCReactionForces) plus the torque needed by
+    moving-obstacle coupling (GranularTerrain wheels) — shift to a body
+    center c via τ_c = τ_0 − c × F."""
+    react_f = -jnp.sum(f_pair, axis=0)                       # (B, 3)
+    p_c = pos[:, None, :] + arm[..., None] * n               # contact points
+    react_tau = -jnp.sum(jnp.cross(p_c, f_pair), axis=0)     # (B, 3)
+    return react_f, react_tau
+
+
 def wall_forces(params: DEMParams, bcs: DEMBoundaries, pos, vel, omega,
                 bc_tan_disp, bc_roll_disp=None):
     """Dense particle×wall pass; returns force/torque, new history, and the
@@ -166,9 +177,12 @@ def wall_forces(params: DEMParams, bcs: DEMBoundaries, pos, vel, omega,
         parts.append(sphere_bc_contacts(bcs.spheres, pos, r))
     if bcs.cones is not None:
         parts.append(cone_contacts(bcs.cones, pos, r))
+    if bcs.wheels is not None:
+        parts.append(wheel_contacts(bcs.wheels, pos, r))
     if not parts:
         z = jnp.zeros_like(pos)
-        return z, z, bc_tan_disp, jnp.zeros((0, 3), pos.dtype)
+        zb = jnp.zeros((0, 3), pos.dtype)
+        return z, z, bc_tan_disp, (zb, zb)
 
     gap = jnp.concatenate([p.gap for p in parts], axis=1)       # (N, B)
     n_into = jnp.concatenate([p.normal for p in parts], axis=1)  # (N, B, 3)
@@ -209,8 +223,6 @@ def wall_forces(params: DEMParams, bcs: DEMBoundaries, pos, vel, omega,
         xi_r = jnp.where(active[..., None], xi_r * scale[..., None], 0.0)
         tau = tau + jnp.sum(jnp.where(active[..., None], k_roll * xi_r, 0.0),
                             axis=1)
-        wall_reaction = -jnp.sum(f_pair, axis=0)
-        return force, tau, xi_new, wall_reaction, xi_r
+        return force, tau, xi_new, _wall_reactions(pos, arm, n, f_pair), xi_r
 
-    wall_reaction = -jnp.sum(f_pair, axis=0)                 # (B, 3) on walls
-    return force, tau, xi_new, wall_reaction
+    return force, tau, xi_new, _wall_reactions(pos, arm, n, f_pair)

@@ -54,7 +54,8 @@ class DEMState:
 
 def _n_walls(bcs: DEMBoundaries) -> int:
     n = 0
-    for part in (bcs.planes, bcs.cylinders, bcs.spheres, bcs.cones):
+    for part in (bcs.planes, bcs.cylinders, bcs.spheres, bcs.cones,
+                 bcs.wheels):
         if part is not None:
             n += jax.tree_util.tree_leaves(part)[0].shape[0]
     return n
@@ -110,8 +111,13 @@ def params_radius_static(params: DEMParams) -> float:
 
 
 def dem_substep(params: DEMParams, bcs: DEMBoundaries,
-                state: DEMState) -> DEMState:
-    """One force+integrate step with the current neighbor list."""
+                state: DEMState, return_reactions: bool = False) -> DEMState:
+    """One force+integrate step with the current neighbor list.
+
+    With ``return_reactions=True`` returns ``(state, (bc_force, bc_torque0))``
+    — per-wall reaction force and torque about the origin (the reference's
+    GetBCReactionForces observation), which moving-obstacle couplings
+    (GranularTerrain wheels) feed back to the MBS."""
     if params.rolling_mode == "elastic_plastic":
         f_pp, tau_pp, xi_pp, xi_roll = particle_forces(
             params, state.pos, state.vel, state.omega,
@@ -122,11 +128,11 @@ def dem_substep(params: DEMParams, bcs: DEMBoundaries,
             state.nbr.idx, state.nbr.valid, state.tan_disp)
         xi_roll = None
     if params.rolling_mode == "elastic_plastic":
-        f_w, tau_w, xi_w, _, xi_w_roll = wall_forces(
+        f_w, tau_w, xi_w, react, xi_w_roll = wall_forces(
             params, bcs, state.pos, state.vel, state.omega,
             state.bc_tan_disp, state.bc_roll_disp)
     else:
-        f_w, tau_w, xi_w, _ = wall_forces(
+        f_w, tau_w, xi_w, react = wall_forces(
             params, bcs, state.pos, state.vel, state.omega,
             state.bc_tan_disp)
         xi_w_roll = None
@@ -175,6 +181,8 @@ def dem_substep(params: DEMParams, bcs: DEMBoundaries,
         new = new.replace(acc_old=acc, alpha_old=alpha)
     if xi_roll is not None:
         new = new.replace(roll_disp=xi_roll, bc_roll_disp=xi_w_roll)
+    if return_reactions:
+        return new, react
     return new
 
 

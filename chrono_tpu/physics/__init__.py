@@ -7,3 +7,4 @@ from chrono_tpu.physics.system import (
 from chrono_tpu.physics.explicit import (
     step_euler_explicit, step_heun, step_rk4, EXPLICIT_STEPPERS,
 )
+from chrono_tpu.physics.smc import SMCParams, smc_step, smc_contact_forces

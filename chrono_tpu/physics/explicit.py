@@ -78,8 +78,24 @@ def step_rk4(model, state, t, h, f_ext=None, tau_ext=None):
     )
 
 
+def step_leapfrog(model, state, t, h, f_ext=None, tau_ext=None):
+    """Kick-drift-kick leapfrog (the reference's ChTimestepperLeapfrog,
+    timestepper/ChTimestepper.h:34-49 LEAPFROG): half-kick on the start
+    accelerations, full geometric drift, half-kick on the end accelerations
+    (evaluated at the mid-velocities, as the reference does for
+    velocity-dependent forces)."""
+    a1, al1 = _accels(model, state, t, f_ext, tau_ext)
+    v_half = state.v + 0.5 * h * a1
+    w_half = state.w + 0.5 * h * al1
+    drifted = integrate_positions(state.replace(v=v_half, w=w_half), h)
+    a2, al2 = _accels(model, drifted, t + h, f_ext, tau_ext)
+    return drifted.replace(v=v_half + 0.5 * h * a2,
+                           w=w_half + 0.5 * h * al2)
+
+
 EXPLICIT_STEPPERS = {
     "euler_explicit": step_euler_explicit,
     "heun": step_heun,
     "rk4": step_rk4,
+    "leapfrog": step_leapfrog,
 }

@@ -205,3 +205,73 @@ def make_euler_implicit_mbs_step(model: Model, **kw):
     ChTimestepperEulerImplicit): γ=1, β=1/2 — first order, maximally
     dissipative; the nonlinear sibling of the linearized DVI stepper."""
     return make_hht_mbs_step(model, alpha=0.0, beta=0.5, gamma=1.0, **kw)
+
+
+class ProjectedStepOut(NamedTuple):
+    state: BodyState
+    c_inf: Array        # max |C| after projection
+    info: object        # StepInfo from the velocity solve
+
+
+def make_euler_implicit_projected_step(model: Model, settings=None,
+                                       n_proj: int = 2):
+    """Euler-implicit-projected stepper (reference:
+    ChTimestepperEulerImplicitProjected, timestepper/ChTimestepper.h:34-49).
+
+    Instead of Baumgarte blending, the velocity solve runs UNstabilized and
+    the end-of-step poses are projected back onto the constraint manifold
+    C(q)=0 (``n_proj`` Gauss–Newton iterations of N·λ = −C with the dense MXU
+    Schur solve), followed by one velocity projection onto J·u = 0.  Holonomic
+    drift is removed to solver precision each step — the property the
+    reference buys with this stepper for long-horizon runs.
+    """
+    from chrono_tpu.physics.system import (
+        SolverSettings, step_euler_implicit_linearized,
+    )
+    from chrono_tpu.physics.joints import joint_rows
+    from chrono_tpu.physics.constraints import concat_rows
+    from chrono_tpu.physics.body import integrate_positions
+    from chrono_tpu.solver.direct import solve_dense_schur
+    from chrono_tpu.solver import descriptor as desc
+
+    if settings is None:
+        settings = SolverSettings(solver="direct")
+    nobau = settings.replace(stab_factor=0.0)
+    n = model.n_bodies
+    minv6 = jnp.stack(
+        [jnp.broadcast_to(model.props.inv_mass[:, None], (n, 3)),
+         model.props.inv_inertia], axis=1).reshape(n * 6)
+
+    def _rows(st, stab):
+        parts = [joint_rows(k, d, st.x, st.q, 1.0, stab)
+                 for k, d in model.joints.items()]
+        return concat_rows(parts) if parts else None
+
+    def _delta_u(rows, gam):
+        D = desc.dense_D(rows, n)                       # (m, 6N)
+        du = (D.T @ gam) * minv6
+        du = du.reshape(n, 6)
+        return du[:, 0:3], du[:, 3:6]
+
+    def step(state: BodyState, t, h) -> ProjectedStepOut:
+        st, info = step_euler_implicit_linearized(model, state, t, h, nobau)
+        zv = jnp.zeros_like(st.v)
+        zw = jnp.zeros_like(st.w)
+        rows0 = _rows(st, 1.0)
+        if rows0 is None:
+            return ProjectedStepOut(st, jnp.zeros((), st.x.dtype), info)
+        for _ in range(n_proj):
+            rows = _rows(st, 1.0)          # rhs = −C at current pose
+            gam = solve_dense_schur(rows, model.props, zv, zw)
+            dv, dw = _delta_u(rows, gam)
+            moved = integrate_positions(st.replace(v=dv, w=dw), 1.0)
+            st = moved.replace(v=st.v, w=st.w)
+        # velocity projection: solve N γ = −D u at the projected pose
+        rows_v = _rows(st, 0.0)            # rhs = 0
+        gam_v = solve_dense_schur(rows_v, model.props, st.v, st.w)
+        dv, dw = _delta_u(rows_v, gam_v)
+        st = st.replace(v=st.v + dv, w=st.w + dw)
+        c_inf = jnp.max(jnp.abs(_constraint_C(model, st.x, st.q)))
+        return ProjectedStepOut(st, c_inf, info)
+
+    return step

@@ -150,3 +150,76 @@ def test_newmark_family_energy_behavior():
     np.testing.assert_allclose(e_trap, e0, rtol=0.03)
     # backward Euler member: strong algorithmic damping at ωh = 0.2
     assert e_be < 0.1 * e0, (e_be, e0)
+
+
+def test_projected_euler_kills_drift():
+    """EULER_IMPLICIT_PROJECTED role: pose projection keeps |C| at solver
+    precision over a long horizon where the UNstabilized linearized stepper
+    accumulates visible drift; trajectories agree to the step order."""
+    from chrono_tpu.physics.implicit import make_euler_implicit_projected_step
+    from chrono_tpu.physics.implicit import _constraint_C
+
+    bld = SystemBuilder()
+    bld.set_gravity((0, 0, -9.81))
+    gnd = bld.add_ground()
+    pend = bld.add_body(mass=1.0, inertia=(0.04, 0.1, 0.1), pos=(2, 0, 0))
+    bld.add_joint("revolute", pend, gnd, world_pos=(0, 0, 0),
+                  world_axis=(0, 1, 0))
+    model, state0 = bld.finalize()
+
+    h = 2e-3
+    nobau = SolverSettings(solver="direct", stab_factor=0.0)
+    raw = jax.jit(lambda s, t: step_euler_implicit_linearized(
+        model, s, t, h, nobau)[0])
+    proj = jax.jit(lambda s, t: make_euler_implicit_projected_step(
+        model, n_proj=2)(s, t, h).state)
+
+    st_r, st_p, t = state0, state0, 0.0
+    for _ in range(1500):  # 3 s of swings
+        st_r = raw(st_r, t)
+        st_p = proj(st_p, t)
+        t += h
+    c_raw = float(jnp.abs(_constraint_C(model, st_r.x, st_r.q)).max())
+    c_proj = float(jnp.abs(_constraint_C(model, st_p.x, st_p.q)).max())
+    assert c_proj < 1e-5, c_proj
+    assert c_proj < c_raw / 10, (c_proj, c_raw)
+    # same physics (first-order steppers, same h): radii identical, angles close
+    r_p = float(jnp.linalg.norm(st_p.x[pend]))
+    np.testing.assert_allclose(r_p, 2.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st_p.x[pend]),
+                               np.asarray(st_r.x[pend]), atol=0.15)
+
+
+def test_leapfrog_energy_conservation():
+    """Leapfrog on a free elliptic oscillator: symplectic — energy bounded
+    over many periods where explicit Euler grows it monotonically."""
+    from chrono_tpu.physics.explicit import step_leapfrog, step_euler_explicit
+    from chrono_tpu.physics.body import kinetic_energy
+
+    bld = SystemBuilder()
+    bld.set_gravity((0, 0, 0))
+    gnd = bld.add_ground()
+    blk = bld.add_body(mass=1.0, inertia=(0.1, 0.1, 0.1), pos=(1.2, 0, 0))
+    bld.add_tsda(gnd, blk, (0, 0, 0), (1.2, 0, 0), k=100.0, c=0.0,
+                 rest_length=1.0)
+    model, state0 = bld.finalize()
+
+    h = 5e-3
+
+    def total_e(st):
+        ke = float(kinetic_energy(model.props, st))
+        stretch = float(jnp.linalg.norm(st.x[blk]) - 1.0)
+        return ke + 0.5 * 100.0 * stretch**2
+
+    e0 = total_e(state0)
+    lf = jax.jit(lambda s, t: step_leapfrog(model, s, t, h))
+    ee = jax.jit(lambda s, t: step_euler_explicit(model, s, t, h))
+    st_l, st_e, t = state0, state0, 0.0
+    for _ in range(4000):   # ~20 periods
+        st_l = lf(st_l, t)
+        st_e = ee(st_e, t)
+        t += h
+    drift_lf = abs(total_e(st_l) - e0) / max(e0, 1e-9)
+    drift_ee = abs(total_e(st_e) - e0) / max(e0, 1e-9)
+    assert drift_lf < 0.02, drift_lf
+    assert drift_ee > 10 * drift_lf, (drift_ee, drift_lf)
