@@ -29,20 +29,24 @@ from chrono_tpu.ops.pallas.dem_sym_kernel import edge_ok_fwd
 from chrono_tpu.fsi.sph.system import KERNELS
 
 
+def _crm_feats(st: CRMState):
+    gran = ((st.kind == FLUID) | (st.kind == FROZEN)).astype(jnp.float32)
+    integ = (st.kind == FLUID).astype(jnp.float32)
+    return [st.pos[:, 0], st.pos[:, 1], st.pos[:, 2],
+            st.vel[:, 0], st.vel[:, 1], st.vel[:, 2], st.rho,
+            st.tau_d[:, 0], st.tau_d[:, 1], st.tau_d[:, 2],
+            st.tau_o[:, 0], st.tau_o[:, 1], st.tau_o[:, 2],
+            gran, integ]
+
+
 def crm_state_to_pencils(grid, capacity, nzp, st: CRMState, perm=(0, 1, 2)):
     """``perm``: axis permutation for BINNING only — pencil axis 2 (the
     128-lane dimension) gets original axis perm[2].  Feature planes always
     carry the real (x, y, z) coordinates; only the cell assignment is
     permuted, so flat terrains can put their LONG axis in the lanes
     instead of wasting 90% of a 128-lane tile on a 10-cell depth."""
-    gran = ((st.kind == FLUID) | (st.kind == FROZEN)).astype(jnp.float32)
-    integ = (st.kind == FLUID).astype(jnp.float32)
-    feats = [st.pos[:, 0], st.pos[:, 1], st.pos[:, 2],
-             st.vel[:, 0], st.vel[:, 1], st.vel[:, 2], st.rho,
-             st.tau_d[:, 0], st.tau_d[:, 1], st.tau_d[:, 2],
-             st.tau_o[:, 0], st.tau_o[:, 1], st.tau_o[:, 2],
-             gran, integ]
-    return bin_to_pencils(grid, capacity, nzp, st.pos[:, list(perm)], feats)
+    return bin_to_pencils(grid, capacity, nzp, st.pos[:, list(perm)],
+                          _crm_feats(st))
 
 
 def pencils_to_crm_state(feat, perm, st: CRMState) -> CRMState:
@@ -59,40 +63,76 @@ def pencils_to_crm_state(feat, perm, st: CRMState) -> CRMState:
 
 def make_crm_substeps_pencil(params, crm: CRMParams, grid: GridSpec,
                              capacity: int = 16, Bxy: int = 4,
-                             interpret: bool = False):
+                             interpret: bool = False, layout: str = "auto"):
     """substeps(st, n) -> (st2, dv (N,3), overflow) on the pencil engine —
-    the drop-in replacement for the gather `substeps` in crm_fsi_step."""
+    the drop-in replacement for the gather `substeps` in crm_fsi_step.
+
+    ``layout``: "pencil" (rows = xy, lanes = z), "flat" (rows = longest
+    axis, lanes = packed (y, z) — ops.pallas.flatlane_kernel, the engine for
+    small grids where no axis fills 128 lanes), or "auto" (flat when the
+    pencil layout would use <60% of its lane tiles and the packed lanes fit
+    VMEM — e.g. the vehicle-on-CRM demo bed at (22, 16, 19) cells runs
+    5-6x better utilized flat)."""
+    from chrono_tpu.fsi.sph.pencil import bin_to_flat, flat_lane_geometry
+
     support = KERNELS[params.kernel][2]
     if float(grid.cell_size) < support * float(params.h) - 1e-9:
         raise ValueError("cell below kernel support")
     if any(grid.periodic):
         raise ValueError("pencil CRM supports non-periodic boxes")
-    # auto axis permutation: the LONGEST grid axis rides the 128-lane
-    # dimension (a flat terrain patch with ~10 z-cells would otherwise
-    # waste >90% of every lane tile)
+    # auto axis permutation: rows = LONGEST axis; for the flat layout the
+    # remaining two pack as (y = smaller, z = larger) to minimize NL
     order = int(np.argmax(grid.dims))
-    rest = [a for a in range(3) if a != order]
-    aperm = (rest[0], rest[1], order)
-    pdims = tuple(grid.dims[a] for a in aperm)
-    pgrid = GridSpec(origin=tuple(grid.origin[a] for a in aperm),
-                     cell_size=grid.cell_size, dims=pdims)
-    nzp = ((pdims[2] + 1 + 127) // 128) * 128
-    edge = edge_ok_fwd(pdims)
+    rest = sorted([a for a in range(3) if a != order],
+                  key=lambda a: grid.dims[a])
     cp = crm_static_params(params, crm)
 
+    if layout == "auto":
+        fdims = (grid.dims[order], grid.dims[rest[0]], grid.dims[rest[1]])
+        SZ, NL = flat_lane_geometry(
+            GridSpec(origin=(0, 0, 0), cell_size=grid.cell_size,
+                     dims=fdims))
+        pencil_nz = grid.dims[order]        # pencil puts longest in lanes
+        pencil_util = pencil_nz / (((pencil_nz + 2 + 127) // 128) * 128)
+        layout = "flat" if (NL <= 1024 and pencil_util < 0.6) else "pencil"
+
+    if layout == "flat":
+        aperm = (order, rest[0], rest[1])   # rows = longest, z = larger
+        pdims = tuple(grid.dims[a] for a in aperm)
+        pgrid = GridSpec(origin=tuple(grid.origin[a] for a in aperm),
+                         cell_size=grid.cell_size, dims=pdims)
+        SZ, NL = flat_lane_geometry(pgrid)
+
+        def binner(st):
+            return bin_to_flat(pgrid, capacity, SZ, NL,
+                               st.pos[:, list(aperm)], _crm_feats(st))
+
+        sub_kw = dict(cp=cp, grid_dims=pdims, C=capacity, Bxy=Bxy,
+                      interpret=interpret, layout="flat", SZ=SZ)
+        edge = None
+    else:
+        aperm = (rest[0], rest[1], order)
+        pdims = tuple(grid.dims[a] for a in aperm)
+        pgrid = GridSpec(origin=tuple(grid.origin[a] for a in aperm),
+                         cell_size=grid.cell_size, dims=pdims)
+        nzp = ((pdims[2] + 1 + 127) // 128) * 128
+
+        def binner(st):
+            return crm_state_to_pencils(pgrid, capacity, nzp, st,
+                                        perm=aperm)
+
+        sub_kw = dict(cp=cp, grid_dims=pdims, C=capacity, Bxy=Bxy,
+                      interpret=interpret)
+        edge = edge_ok_fwd(pdims)
+
     def substeps(st: CRMState, n_substeps: int):
-        feat, perm, ovf = crm_state_to_pencils(pgrid, capacity, nzp, st,
-                                               perm=aperm)
+        feat, perm, ovf = binner(st)
 
         def inner(f, _):
-            return crm_substep_sym(f, edge, cp=cp, grid_dims=pdims,
-                                   C=capacity, Bxy=Bxy,
-                                   interpret=interpret), None
+            return crm_substep_sym(f, edge, **sub_kw), None
 
         feat, _ = lax.scan(inner, feat, None, length=n_substeps)
-        acc = crm_substep_sym(feat, edge, cp=cp, grid_dims=pdims,
-                              C=capacity, Bxy=Bxy, interpret=interpret,
-                              forces_only=True)
+        acc = crm_substep_sym(feat, edge, forces_only=True, **sub_kw)
         st2 = pencils_to_crm_state(feat, perm, st)
         dv = jnp.stack([acc[:, k].reshape(-1)[perm] for k in range(3)],
                        axis=1)

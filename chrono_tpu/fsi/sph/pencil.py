@@ -105,12 +105,63 @@ def bin_to_pencils(grid, capacity: int, nzp: int, pos, feats):
     return jnp.stack(planes + [valid], axis=1), perm, overflow
 
 
+def flat_lane_geometry(grid, n_dz: int = 1):
+    """(SZ, NL) for the flat-lane layout (ops.pallas.flatlane_kernel):
+    lane = y·SZ + z with SZ = nz + n_dz pad lanes; NL = 128-multiple with
+    one column of roll headroom."""
+    nx, ny, nz = grid.dims
+    SZ = nz + n_dz
+    NL = ((ny * SZ + SZ + n_dz + 127) // 128) * 128
+    return SZ, NL
+
+
+def bin_to_flat(grid, capacity: int, SZ: int, NL: int, pos, feats,
+                n_dz: int = 1):
+    """Sort markers into flat-lane planes (nx, F+1, C, NL); row = x,
+    lane = y·SZ + z.  Same contract as bin_to_pencils (valid plane appended,
+    perm into the flattened per-feature plane, overflow)."""
+    n = pos.shape[0]
+    nx, ny, nz = grid.dims
+    if isinstance(grid, PencilGrid):
+        ix, iy, iz = _pencil_ijk(grid, pos)
+    else:
+        ijk = cell_ijk(grid, pos)
+        ix, iy, iz = ijk[..., 0], ijk[..., 1], ijk[..., 2]
+    ids = (ix * ny + iy) * nz + iz
+    order = jnp.argsort(ids)
+    ids_sorted = ids[order]
+    first = jnp.searchsorted(ids_sorted, ids_sorted)
+    rank = jnp.arange(n) - first
+    overflow = jnp.maximum(rank.max() + 1 - capacity, 0).astype(jnp.int32)
+    slot = jnp.minimum(rank, capacity - 1)
+    ix_s = ids_sorted // (ny * nz)
+    rem = ids_sorted - ix_s * (ny * nz)
+    iy_s = rem // nz
+    iz_s = rem - iy_s * nz
+    flat = (ix_s * capacity + slot) * NL + iy_s * SZ + iz_s
+    perm = jnp.zeros((n,), flat.dtype).at[order].set(flat)
+
+    size = nx * capacity * NL
+
+    def scatter(x):
+        return jnp.zeros((size,), x.dtype).at[flat].set(x[order]).reshape(
+            nx, capacity, NL)
+
+    planes = [scatter(f) for f in feats]
+    valid = jnp.zeros((size,), jnp.float32).at[flat].set(
+        (rank < capacity).astype(jnp.float32)).reshape(nx, capacity, NL)
+    return jnp.stack(planes + [valid], axis=1), perm, overflow
+
+
+def _sph_feats(state: SPHState):
+    return [state.pos[:, 0], state.pos[:, 1], state.pos[:, 2],
+            state.vel[:, 0], state.vel[:, 1], state.vel[:, 2],
+            state.rho, (state.kind == FLUID).astype(jnp.float32)]
+
+
 def state_to_pencils(grid: GridSpec, capacity: int, nzp: int,
                      state: SPHState):
-    feats = [state.pos[:, 0], state.pos[:, 1], state.pos[:, 2],
-             state.vel[:, 0], state.vel[:, 1], state.vel[:, 2],
-             state.rho, (state.kind == FLUID).astype(jnp.float32)]
-    return bin_to_pencils(grid, capacity, nzp, state.pos, feats)
+    return bin_to_pencils(grid, capacity, nzp, state.pos, _sph_feats(state))
 
 
 def pencils_to_state(feat, perm, state: SPHState) -> SPHState:
@@ -125,13 +176,19 @@ def pencils_to_state(feat, perm, state: SPHState) -> SPHState:
 def make_sph_advance_pencil(params: SPHParams, grid: GridSpec,
                             capacity: int = 32, Bxy: int = 4,
                             interpret: bool = False,
-                            backend: str = "pencil"):
+                            backend: str = "pencil",
+                            layout: str = "auto"):
     """advance(state, n_cycles) -> (state, overflow) on the pencil backend.
 
     ``backend``: "pencil" (dense 27/45-offset sweeps) or "sym" (symmetric
     half stencil — each pair once, reactions through the rolling window,
     ops.pallas.sph_sym_kernel).  Cell size must be ≥ the kernel support
-    (2h for cubic); non-periodic."""
+    (2h for cubic); non-periodic.
+
+    ``layout`` (sym backend only): "pencil" (rows = xy columns, lanes = z),
+    "flat" (rows = x, lanes = y·SZ + z — ops.pallas.flatlane_kernel, the
+    small-grid engine), or "auto" (flat when the pencil layout would use
+    <60% of its lane tiles and the packed lanes fit VMEM)."""
     support = 2.0 * float(params.h)
     if isinstance(grid, PencilGrid):
         if float(grid.cell_xy) < support - 1e-9:
@@ -146,24 +203,46 @@ def make_sph_advance_pencil(params: SPHParams, grid: GridSpec,
         n_dz = 1
     nzp = ((grid.dims[2] + n_dz + 127) // 128) * 128
     sp = sph_static_params(params)
+    sub_kw = dict(sp=sp, grid_dims=grid.dims, C=capacity, Bxy=Bxy,
+                  n_dz=n_dz, interpret=interpret)
     if backend == "sym":
         from chrono_tpu.ops.pallas.dem_sym_kernel import edge_ok_fwd
         from chrono_tpu.ops.pallas.sph_sym_kernel import sph_substep_sym
-        edge = edge_ok_fwd(grid.dims)
         substep_fn = sph_substep_sym
+        # small grids: flat-lane layout (rows = x, lanes = y·SZ + z) —
+        # see ops.pallas.flatlane_kernel; auto-picked when the pencil
+        # layout would waste >40% of its lane tiles and lanes fit VMEM
+        SZ, NL = flat_lane_geometry(grid, n_dz)
+        lane_util = grid.dims[2] / nzp
+        if layout == "auto":
+            layout = "flat" if (NL <= 1024 and lane_util < 0.6) \
+                else "pencil"
+        if layout == "flat":
+            edge = None
+            sub_kw.update(layout="flat", SZ=SZ)
+
+            def binner(state):
+                return bin_to_flat(grid, capacity, SZ, NL, state.pos,
+                                   _sph_feats(state), n_dz)
+        else:
+            edge = edge_ok_fwd(grid.dims)
+
+            def binner(state):
+                return state_to_pencils(grid, capacity, nzp, state)
     elif backend == "pencil":
         edge = edge_ok_xy(grid.dims)
         substep_fn = sph_substep_pencil
+
+        def binner(state):
+            return state_to_pencils(grid, capacity, nzp, state)
     else:
         raise ValueError(f"unknown SPH pencil backend {backend!r}")
 
     def one_cycle(state):
-        feat, perm, ovf = state_to_pencils(grid, capacity, nzp, state)
+        feat, perm, ovf = binner(state)
 
         def substep(f, _):
-            return substep_fn(f, edge, sp=sp, grid_dims=grid.dims,
-                              C=capacity, Bxy=Bxy, n_dz=n_dz,
-                              interpret=interpret), None
+            return substep_fn(f, edge, **sub_kw), None
 
         feat, _ = lax.scan(substep, feat, None,
                            length=params.rebuild_every)

@@ -44,21 +44,46 @@ def _pair_geom(s, n):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "cp", "grid_dims", "C", "Bxy", "interpret", "n_dz", "forces_only"))
+    "cp", "grid_dims", "C", "Bxy", "interpret", "n_dz", "forces_only",
+    "layout", "SZ"))
 def crm_substep_sym(feat, edge_fwd, *, cp, grid_dims, C, Bxy=4,
-                    interpret=False, n_dz=1, forces_only=False):
+                    interpret=False, n_dz=1, forces_only=False,
+                    layout="pencil", SZ=0):
     """One CRM substep on pencil planes (or, with ``forces_only``, just the
     granular-reaction acceleration planes for the BCE force reduction).
 
     ``cp``: hashable tuple of static python floats: h (kernel), m, d0, c_s,
     alpha_visc, dt, gx, gy, gz, shear_G, bulk_K, friction_angle, cohesion,
     rho0.  Returns updated (NXY, 16, C, NZp) planes, or (NXY, 3, C, NZp)
-    acceleration planes when ``forces_only``."""
+    acceleration planes when ``forces_only``.
+
+    ``layout``: "pencil" (rows = xy columns, lanes = z) or "flat" (rows = x,
+    lanes = y·SZ + z — the small-grid engine, ops.pallas.flatlane_kernel;
+    ``edge_fwd`` is unused there and may be None)."""
     p = dict(cp)
     h = p["h"]; m = p["m"]; dt = p["dt"]; d0 = p["d0"]; c_s = p["c_s"]
     g = (p["gx"], p["gy"], p["gz"])
     k_bc = c_s * c_s / d0
     c_bc = 3.0 * (k_bc / d0) ** 0.5
+
+    if layout == "flat":
+        from chrono_tpu.ops.pallas.flatlane_kernel import sym_sweep_flat
+
+        def SWEEP(ft, *, n_out, n_acc, pair2_fn, post_fn, flops_per_pair):
+            return sym_sweep_flat(
+                ft, grid_dims=grid_dims, SZ=SZ, C=C, Bxy=Bxy, n_out=n_out,
+                n_acc=n_acc, pair2_fn=pair2_fn, post_fn=post_fn,
+                interpret=interpret, flops_per_pair=flops_per_pair,
+                n_dz=n_dz, val_idx=_VAL)
+    elif layout == "pencil":
+        def SWEEP(ft, *, n_out, n_acc, pair2_fn, post_fn, flops_per_pair):
+            return _sym_sweep(
+                ft, edge_fwd, grid_dims=grid_dims, C=C, Bxy=Bxy,
+                n_out=n_out, n_acc=n_acc, pair2_fn=pair2_fn,
+                post_fn=post_fn, interpret=interpret,
+                flops_per_pair=flops_per_pair, n_dz=n_dz, val_idx=_VAL)
+    else:
+        raise ValueError(f"unknown layout {layout!r}")
 
     SIG = (_SXX, _SYY, _SZZ, _SXY, _SXZ, _SYZ)
 
@@ -123,10 +148,8 @@ def crm_substep_sym(feat, edge_fwd, *, cp, grid_dims, C, Bxy=4,
         def postF(pls, acc):
             return acc
 
-        return _sym_sweep(feat, edge_fwd, grid_dims=grid_dims, C=C, Bxy=Bxy,
-                          n_out=3, n_acc=3, pair2_fn=pairM, post_fn=postF,
-                          interpret=interpret, flops_per_pair=90,
-                          n_dz=n_dz, val_idx=_VAL)
+        return SWEEP(feat, n_out=3, n_acc=3, pair2_fn=pairM, post_fn=postF,
+                     flops_per_pair=90)
 
     def postM(pls, acc):
         it = pls[_INT]
@@ -135,10 +158,8 @@ def crm_substep_sym(feat, edge_fwd, *, cp, grid_dims, C, Bxy=4,
         vz = pls[_VZ] + it * dt * (acc[2] + g[2])
         return (vx, vy, vz)
 
-    velM = _sym_sweep(feat, edge_fwd, grid_dims=grid_dims, C=C, Bxy=Bxy,
-                      n_out=3, n_acc=3, pair2_fn=pairM, post_fn=postM,
-                      interpret=interpret, flops_per_pair=90, n_dz=n_dz,
-                      val_idx=_VAL)
+    velM = SWEEP(feat, n_out=3, n_acc=3, pair2_fn=pairM, post_fn=postM,
+                 flops_per_pair=90)
 
     featG = jnp.concatenate([feat[:, 0:3], velM, feat[:, 6:]], axis=1)
 
@@ -230,10 +251,8 @@ def crm_substep_sym(feat, edge_fwd, *, cp, grid_dims, C, Bxy=4,
         pz = pls[_PZ] + it * dt * pls[_VZ]
         return (px, py, pz, rho) + out_sig
 
-    outG = _sym_sweep(featG, edge_fwd, grid_dims=grid_dims, C=C, Bxy=Bxy,
-                      n_out=10, n_acc=10, pair2_fn=pairG, post_fn=postG,
-                      interpret=interpret, flops_per_pair=60, n_dz=n_dz,
-                      val_idx=_VAL)
+    outG = SWEEP(featG, n_out=10, n_acc=10, pair2_fn=pairG, post_fn=postG,
+                 flops_per_pair=60)
 
     return jnp.concatenate(
         [outG[:, 0:3], velM, outG[:, 3:4], outG[:, 4:10], feat[:, 13:]],

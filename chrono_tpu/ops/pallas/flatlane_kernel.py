@@ -1,0 +1,195 @@
+"""Flat-lane symmetric sweep: small-grid layout for the pencil kernels.
+
+The pencil layout (rows = x·ny + y columns, lanes = z) wastes the 128-lane
+dimension when no grid axis is long: the vehicle-on-CRM demo bed bins into
+(22, 16, 19) cells, so every lane tile carries 19 useful cells out of 128
+(15%) and the sweep runs ~13x slower per cell than the same kernel on a
+1M-marker grid (measured).  This layout flattens (y, z) into the lane
+dimension instead:
+
+    row  = x                      (the Pallas grid dimension)
+    lane = y · SZ + z,  SZ = nz + n_dz  (n_dz pad lanes split the columns)
+
+Neighbor offsets (dx, dy, dz) become ``row + dx`` plus ONE static lane roll
+by ``dy·SZ + dz`` — y-boundary wrap lands in the pad lanes (masked by the
+valid plane), x handled by one trailing ghost row.  The half stencil keeps
+dx ∈ {0, +1}: all dx = 0 reactions stay in the block's own rows (lane
+roll-backs, no window), dx = +1 reactions flow through a (Bxy+1)-row rolling
+window.  The forward slab shares Bxy−1 rows with the self slab, so ONE
+(Bxy+1)-row DMA serves both — 2 logical slabs at 1.25 slabs of traffic
+(the pencil layout needs 5).
+
+Same pair2/post callback contract as sph_sym_kernel._sym_sweep: the physics
+callbacks are layout-blind, so CRM/SPH sweeps run on either engine and are
+parity-tested against each other.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _make_flat_kernel(F_in, n_out, n_acc, C, NL, SZ, Bxy, WB,
+                      pair2_fn, post_fn, n_dz, val_idx):
+    CS = min(8, C)
+    n_chunks = (C + CS - 1) // CS
+    assert C % CS == 0
+
+    # half-stencil lane shifts: (is_forward_row, shift)
+    own_shifts = [dz for dz in range(1, n_dz + 1)] + \
+                 [SZ + dz for dz in range(-n_dz, n_dz + 1)]
+    fwd_shifts = [dy * SZ + dz for dy in (-1, 0, 1)
+                  for dz in range(-n_dz, n_dz + 1)]
+
+    def kernel(feat_ref, out_ref, buf, accA, accB, sem):
+        b = pl.program_id(0)
+        base = b * Bxy
+
+        @pl.when(b == 0)
+        def _init():
+            accA[...] = jnp.zeros((WB, n_acc, C, NL), jnp.float32)
+
+        cp = pltpu.make_async_copy(
+            feat_ref.at[pl.ds(base, Bxy + 1)], buf, sem)
+        cp.start()
+        cp.wait()
+
+        self_slab = buf[0:Bxy]
+        fwd_slab = buf[1:Bxy + 1]
+
+        s_chunks = [
+            [self_slab[:, f, c * CS:(c + 1) * CS][:, :, None, :]
+             for f in range(F_in)]
+            for c in range(n_chunks)]
+        tris = [
+            (jax.lax.broadcasted_iota(jnp.int32, (CS, C, NL), 0) + c * CS
+             < jax.lax.broadcasted_iota(jnp.int32, (CS, C, NL), 1)
+             ).astype(jnp.float32)
+            for c in range(n_chunks)]
+
+        accs = [tuple(jnp.zeros((Bxy, CS, NL), jnp.float32)
+                      for _ in range(n_acc)) for _ in range(n_chunks)]
+        own_react = [jnp.zeros((Bxy, C, NL), jnp.float32)
+                     for _ in range(n_acc)]
+        L = jnp.zeros((WB, n_acc, C, NL), jnp.float32)
+
+        def sweep(slab, shift, tri, into_own, L, own_react, accs):
+            sl = slab if shift == 0 else pltpu.roll(slab, (-shift) % NL, 3)
+            n = [sl[:, f][:, None, :, :] for f in range(F_in)]
+            rsum = [jnp.zeros((Bxy, C, NL), jnp.float32)
+                    for _ in range(n_acc)]
+            for c in range(n_chunks):
+                s = s_chunks[c]
+                ok = s[val_idx] * n[val_idx]
+                if tri:
+                    ok = ok * tris[c][None]
+                ts, tr = pair2_fn(s, n, ok)
+                accs[c] = tuple(accs[c][a] + jnp.sum(ts[a], axis=2)
+                                for a in range(n_acc))
+                for a in range(n_acc):
+                    rsum[a] = rsum[a] + jnp.sum(tr[a], axis=1)
+            if shift != 0:
+                rsum = [pltpu.roll(r, shift % NL, 2) for r in rsum]
+            if into_own:
+                own_react = [own_react[a] + rsum[a] for a in range(n_acc)]
+            else:
+                react = jnp.stack(rsum, axis=1)      # (Bxy, n_acc, C, NL)
+                L = L + jnp.pad(
+                    react, ((1, WB - 1 - Bxy), (0, 0), (0, 0), (0, 0)))
+            return L, own_react, accs
+
+        # dx = 0: self triangle + forward lane shifts (reactions in-row)
+        L, own_react, accs = sweep(self_slab, 0, True, True,
+                                   L, own_react, accs)
+        for sh in own_shifts:
+            L, own_react, accs = sweep(self_slab, sh, False, True,
+                                       L, own_react, accs)
+        # dx = +1: one forward slab, reactions one row ahead
+        for sh in fwd_shifts:
+            L, own_react, accs = sweep(fwd_slab, sh, False, False,
+                                       L, own_react, accs)
+
+        def window(acc_in, acc_out):
+            fin = acc_in[0:Bxy] + L[0:Bxy]
+            acc_out[0:WB - Bxy] = acc_in[Bxy:WB] + L[Bxy:WB]
+            acc_out[WB - Bxy:WB] = jnp.zeros((Bxy, n_acc, C, NL),
+                                             jnp.float32)
+            return fin
+
+        is_even = b % 2 == 0
+
+        @pl.when(is_even)
+        def _even():
+            out_ref[:, 0:n_acc] = window(accA, accB)
+
+        @pl.when(jnp.logical_not(is_even))
+        def _odd():
+            out_ref[:, 0:n_acc] = window(accB, accA)
+
+        acc = []
+        for a in range(n_acc):
+            act = jnp.concatenate([accs[c][a] for c in range(n_chunks)],
+                                  axis=1)
+            acc.append(act + own_react[a] + out_ref[:, a])
+        planes = [self_slab[:, f] for f in range(F_in)]
+        outs = post_fn(planes, tuple(acc))
+        for f in range(n_out):
+            out_ref[:, f] = outs[f]
+
+    return kernel
+
+
+def sym_sweep_flat(feat, *, grid_dims, SZ, C, Bxy, n_out, n_acc,
+                   pair2_fn, post_fn, interpret=False, flops_per_pair=60,
+                   n_dz=1, val_idx):
+    """feat: (nx, F, C, NL) flat-lane planes (lane = y·SZ + z); returns
+    (nx, n_out, C, NL).  ``SZ`` must be ≥ nz + n_dz and ``NL`` a 128-multiple
+    ≥ (ny+1)·SZ would wrap — the binning guarantees NL ≥ ny·SZ + SZ + n_dz
+    headroom via its padding."""
+    nx, ny, nz = grid_dims
+    F_in = feat.shape[1]
+    NL = feat.shape[3]
+    if NL % 128:
+        raise ValueError("NL must be a multiple of 128")
+    if SZ < nz + n_dz:
+        raise ValueError("SZ too small for nz + n_dz")
+    if NL < ny * SZ + SZ + n_dz:
+        raise ValueError("NL leaves no roll headroom")
+    nx_pad = ((nx + Bxy - 1) // Bxy) * Bxy
+    WB = Bxy + 1
+    pad_hi = jnp.zeros((nx_pad - nx + 1, F_in, C, NL), jnp.float32)
+    feat_p = jnp.concatenate([feat, pad_hi], axis=0)
+
+    n_wide = max(n_out, n_acc)
+    kernel = _make_flat_kernel(F_in, n_out, n_acc, C, NL, SZ, Bxy, WB,
+                               pair2_fn, post_fn, n_dz, val_idx)
+    n_blocks_half = 0.5 * (2 * n_dz + 1) * 9 + 0.5
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nx_pad, n_wide, C, NL),
+                                       jnp.float32),
+        grid=(nx_pad // Bxy,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((Bxy, n_wide, C, NL),
+                               lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((Bxy + 1, F_in, C, NL), jnp.float32),
+            pltpu.VMEM((WB, n_acc, C, NL), jnp.float32),
+            pltpu.VMEM((WB, n_acc, C, NL), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(flops_per_pair * n_blocks_half * C * C * nx_pad * NL),
+            bytes_accessed=int(2.25 * F_in * C * NL * nx_pad * 4),
+            transcendentals=int(3 * n_blocks_half * C * C * nx_pad * NL),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(feat_p)
+    return out[:nx, :n_out]

@@ -233,16 +233,36 @@ def _sym_sweep(feat, edge_fwd, *, grid_dims, C, Bxy, n_out, n_acc,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "sp", "grid_dims", "C", "Bxy", "interpret", "n_dz"))
+    "sp", "grid_dims", "C", "Bxy", "interpret", "n_dz", "layout", "SZ"))
 def sph_substep_sym(feat, edge_fwd, *, sp, grid_dims, C, Bxy=4,
-                    interpret=False, n_dz=1):
+                    interpret=False, n_dz=1, layout="pencil", SZ=0):
     """One symplectic WCSPH substep on the symmetric half stencil.  Same
     contract as sph_pencil_kernel.sph_substep_pencil but ``edge_fwd`` is
-    the 4-offset forward table (dem_sym_kernel.edge_ok_fwd)."""
+    the 4-offset forward table (dem_sym_kernel.edge_ok_fwd).  With
+    ``layout="flat"`` the sweeps run on the flat-lane layout
+    (ops.pallas.flatlane_kernel — rows = x, lanes = y·SZ + z; the
+    small-grid engine; ``edge_fwd`` unused)."""
     p = dict(sp)
     h = p["h"]; m = p["m"]; rho0 = p["rho0"]; c_s = p["c_s"]
     gamma = p["gamma"]; dt = p["dt"]
     g = (p["gx"], p["gy"], p["gz"])
+
+    if layout == "flat":
+        from chrono_tpu.ops.pallas.flatlane_kernel import sym_sweep_flat
+
+        def _SW(ft, *, n_out, n_acc, pair2_fn, post_fn, flops_per_pair):
+            return sym_sweep_flat(
+                ft, grid_dims=grid_dims, SZ=SZ, C=C, Bxy=Bxy, n_out=n_out,
+                n_acc=n_acc, pair2_fn=pair2_fn, post_fn=post_fn,
+                interpret=interpret, flops_per_pair=flops_per_pair,
+                n_dz=n_dz, val_idx=_VAL)
+    else:
+        def _SW(ft, *, n_out, n_acc, pair2_fn, post_fn, flops_per_pair):
+            return _sym_sweep(
+                ft, edge_fwd, grid_dims=grid_dims, C=C, Bxy=Bxy,
+                n_out=n_out, n_acc=n_acc, pair2_fn=pair2_fn,
+                post_fn=post_fn, interpret=interpret,
+                flops_per_pair=flops_per_pair, n_dz=n_dz)
 
     # ---- sweep A: Adami BC (solid pressure + ghost velocity) ----
     def pairA(s, n, ok):
@@ -278,9 +298,8 @@ def sph_substep_sym(feat, edge_fwd, *, sp, grid_dims, C, Bxy=4,
                 flu * pls[_VY] + (1.0 - flu) * vby,
                 flu * pls[_VZ] + (1.0 - flu) * vbz)
 
-    outA = _sym_sweep(feat, edge_fwd, grid_dims=grid_dims, C=C, Bxy=Bxy,
-                      n_out=4, n_acc=5, pair2_fn=pairA, post_fn=postA,
-                      interpret=interpret, flops_per_pair=50, n_dz=n_dz)
+    outA = _SW(feat, n_out=4, n_acc=5, pair2_fn=pairA, post_fn=postA,
+               flops_per_pair=50)
 
     # ---- sweep B: momentum + kick ----
     _P, _VBX, _VBY, _VBZ = 9, 10, 11, 12
@@ -340,9 +359,8 @@ def sph_substep_sym(feat, edge_fwd, *, sp, grid_dims, C, Bxy=4,
         vz = pls[_VZ] + flu * dt * (acc[2] + g[2])
         return (vx, vy, vz)
 
-    velB = _sym_sweep(featB, edge_fwd, grid_dims=grid_dims, C=C, Bxy=Bxy,
-                      n_out=3, n_acc=3, pair2_fn=pairB, post_fn=postB,
-                      interpret=interpret, flops_per_pair=80, n_dz=n_dz)
+    velB = _SW(featB, n_out=3, n_acc=3, pair2_fn=pairB, post_fn=postB,
+               flops_per_pair=80)
 
     featC = jnp.concatenate([feat[:, 0:3], velB, feat[:, 6:9]], axis=1)
 
@@ -369,9 +387,8 @@ def sph_substep_sym(feat, edge_fwd, *, sp, grid_dims, C, Bxy=4,
         rho = pls[_RHO] + pls[_FLU] * dt * acc[0]
         return (jnp.clip(rho, 0.7 * rho0, 1.5 * rho0),)
 
-    rhoC = _sym_sweep(featC, edge_fwd, grid_dims=grid_dims, C=C, Bxy=Bxy,
-                      n_out=1, n_acc=1, pair2_fn=pairC, post_fn=postC,
-                      interpret=interpret, flops_per_pair=50, n_dz=n_dz)
+    rhoC = _SW(featC, n_out=1, n_acc=1, pair2_fn=pairC, post_fn=postC,
+               flops_per_pair=50)
 
     featD = jnp.concatenate([feat[:, 0:3], velB, rhoC, feat[:, 7:9]],
                             axis=1)
@@ -397,8 +414,7 @@ def sph_substep_sym(feat, edge_fwd, *, sp, grid_dims, C, Bxy=4,
                 pls[_PY] + flu * dt * vty,
                 pls[_PZ] + flu * dt * vtz)
 
-    posD = _sym_sweep(featD, edge_fwd, grid_dims=grid_dims, C=C, Bxy=Bxy,
-                      n_out=3, n_acc=3, pair2_fn=pairD, post_fn=postD,
-                      interpret=interpret, flops_per_pair=40, n_dz=n_dz)
+    posD = _SW(featD, n_out=3, n_acc=3, pair2_fn=pairD, post_fn=postD,
+               flops_per_pair=40)
 
     return jnp.concatenate([posD, velB, rhoC, feat[:, 7:9]], axis=1)

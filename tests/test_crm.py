@@ -3,6 +3,7 @@ behavior (short column stands, tall column collapses — the granular analogue
 of the reference's CRM terrain validation)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -117,10 +118,12 @@ class TestColumn:
 # ---------------- symmetric pencil CRM engine ----------------
 
 
-def test_crm_pencil_substep_parity():
+@pytest.mark.parametrize("layout", ["pencil", "flat"])
+def test_crm_pencil_substep_parity(layout):
     """One elastoplastic substep on the pencil engine (two symmetric
     Pallas sweeps, interpret mode) == the gather crm_step, including the
-    stress update, plastic return and the mixed-pair boundary penalty."""
+    stress update, plastic return and the mixed-pair boundary penalty —
+    on BOTH lane layouts (pencil and flat, ops.pallas.flatlane_kernel)."""
     from chrono_tpu.dem.neighbors import build_neighbor_list
     from chrono_tpu.fsi.sph.crm import crm_step, crm_forces
     from chrono_tpu.fsi.sph.system import KERNELS
@@ -160,7 +163,7 @@ def test_crm_pencil_substep_parity():
     dv_ref = crm_forces(params, crm, grid, ref.replace(nbr=nbr))
 
     subs = make_crm_substeps_pencil(params, crm, grid, capacity=32, Bxy=2,
-                                    interpret=True)
+                                    interpret=True, layout=layout)
     got, dv, ovf = subs(st, 1)
     assert int(ovf) == 0
     np.testing.assert_allclose(np.asarray(got.pos), np.asarray(ref.pos),

@@ -115,18 +115,20 @@ def test_flat_cell_grid_parity():
 # ---------------- symmetric half-stencil kernel ----------------
 
 
-@pytest.mark.parametrize("viscosity", ["artificial", "laminar"])
-def test_sym_substep_parity(viscosity):
+@pytest.mark.parametrize("viscosity,layout", [
+    ("artificial", "pencil"), ("artificial", "flat"), ("laminar", "flat")])
+def test_sym_substep_parity(viscosity, layout):
     """Symmetric half-stencil sweeps (each pair once, reactions through the
     rolling window) == the gather backend, including mixed fluid-solid
-    viscous pairs."""
+    viscous pairs — on both lane layouts (pencil and flat,
+    ops.pallas.flatlane_kernel)."""
     params, grid, state = _mini_dam(viscosity)
     ref = rebuild_sph_neighbors(params, grid, state)
     ref = sph_substep(params, grid, ref)
 
     adv = make_sph_advance_pencil(
         params.replace(rebuild_every=1), grid, capacity=32, interpret=True,
-        backend="sym")
+        backend="sym", layout=layout)
     got, ovf = adv(state, 1)
     assert int(ovf) == 0
     np.testing.assert_allclose(np.asarray(got.rho), np.asarray(ref.rho),
