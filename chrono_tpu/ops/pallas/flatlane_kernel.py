@@ -19,6 +19,18 @@ window.  The forward slab shares Bxy−1 rows with the self slab, so ONE
 (Bxy+1)-row DMA serves both — 2 logical slabs at 1.25 slabs of traffic
 (the pencil layout needs 5).
 
+Register-pressure design (learned on real v5e): carrying the self/reaction
+accumulators as SSA values across all 14 unrolled shift sweeps makes the
+Mosaic scheduler keep the whole pair chain live — 839 MB of vector spills
+at (C=32, NL=384, Bxy=4), 6.5x over VMEM.  A ``lax.fori_loop`` over the
+shifts with dynamic ``pltpu.roll`` amounts fits but runs ~1000x slower
+(dynamic multi-vreg lane rotates + dynamic-offset VMEM RMW hit a scalar
+path).  So: shifts stay UNROLLED with static rolls, but both accumulators
+live in VMEM scratch and are updated after every sweep — the stores break
+the SSA live ranges, bounding register pressure to one sweep's chain.
+``Bxy`` should stay small here (the wrapper clamps by C·NL); each +1 of
+Bxy multiplies every pair-lattice temporary.
+
 Same pair2/post callback contract as sph_sym_kernel._sym_sweep: the physics
 callbacks are layout-blind, so CRM/SPH sweeps run on either engine and are
 parity-tested against each other.
@@ -38,13 +50,14 @@ def _make_flat_kernel(F_in, n_out, n_acc, C, NL, SZ, Bxy, WB,
     n_chunks = (C + CS - 1) // CS
     assert C % CS == 0
 
-    # half-stencil lane shifts: (is_forward_row, shift)
-    own_shifts = [dz for dz in range(1, n_dz + 1)] + \
-                 [SZ + dz for dz in range(-n_dz, n_dz + 1)]
-    fwd_shifts = [dy * SZ + dz for dy in (-1, 0, 1)
-                  for dz in range(-n_dz, n_dz + 1)]
+    # half-stencil lane shifts: (reaction row offset, lane shift)
+    # dx = 0 forward half (dz > 0, then dy = +1), then the full dx = +1 ring
+    shifts = [(0, dz) for dz in range(1, n_dz + 1)] + \
+             [(0, SZ + dz) for dz in range(-n_dz, n_dz + 1)] + \
+             [(1, dy * SZ + dz) for dy in (-1, 0, 1)
+              for dz in range(-n_dz, n_dz + 1)]
 
-    def kernel(feat_ref, out_ref, buf, accA, accB, sem):
+    def kernel(feat_ref, out_ref, buf, accA, accB, react, acc_ref, sem):
         b = pl.program_id(0)
         base = b * Bxy
 
@@ -56,9 +69,10 @@ def _make_flat_kernel(F_in, n_out, n_acc, C, NL, SZ, Bxy, WB,
             feat_ref.at[pl.ds(base, Bxy + 1)], buf, sem)
         cp.start()
         cp.wait()
+        react[...] = jnp.zeros((WB, n_acc, C, NL), jnp.float32)
+        acc_ref[...] = jnp.zeros((Bxy, n_acc, C, NL), jnp.float32)
 
         self_slab = buf[0:Bxy]
-        fwd_slab = buf[1:Bxy + 1]
 
         s_chunks = [
             [self_slab[:, f, c * CS:(c + 1) * CS][:, :, None, :]
@@ -70,51 +84,52 @@ def _make_flat_kernel(F_in, n_out, n_acc, C, NL, SZ, Bxy, WB,
              ).astype(jnp.float32)
             for c in range(n_chunks)]
 
-        accs = [tuple(jnp.zeros((Bxy, CS, NL), jnp.float32)
-                      for _ in range(n_acc)) for _ in range(n_chunks)]
-        own_react = [jnp.zeros((Bxy, C, NL), jnp.float32)
-                     for _ in range(n_acc)]
-        L = jnp.zeros((WB, n_acc, C, NL), jnp.float32)
-
-        def sweep(slab, shift, tri, into_own, L, own_react, accs):
-            sl = slab if shift == 0 else pltpu.roll(slab, (-shift) % NL, 3)
-            n = [sl[:, f][:, None, :, :] for f in range(F_in)]
+        def sweep(off, shift, tri, tok):
+            """One neighbor block; scratch-accumulated (off = reaction row
+            offset: 0 = own rows, 1 = one row forward).  ``tok`` serializes
+            consecutive sweeps: without it the Mosaic scheduler overlaps
+            every sweep's independent pair chain (measured 208 MB of vector
+            spills at C=32, NL=384 even with per-sweep scratch stores —
+            the RMW only orders the cheap accumulate, not the chains).
+            ``dep`` is exactly +0.0 at runtime but not provably so, making
+            every neighbor plane of sweep k+1 data-depend on sweep k
+            (lax.optimization_barrier is unimplemented in this Pallas TPU
+            lowering)."""
+            dep = jnp.where(jnp.isfinite(tok), 0.0, tok)
+            slab = buf[off:off + Bxy]
             rsum = [jnp.zeros((Bxy, C, NL), jnp.float32)
                     for _ in range(n_acc)]
+            outs = []
             for c in range(n_chunks):
                 s = s_chunks[c]
+                n = [((slab[:, f] if shift == 0 else
+                       pltpu.roll(slab[:, f], (-shift) % NL, 2))
+                      + dep)[:, None]
+                     for f in range(F_in)]
                 ok = s[val_idx] * n[val_idx]
                 if tri:
                     ok = ok * tris[c][None]
                 ts, tr = pair2_fn(s, n, ok)
-                accs[c] = tuple(accs[c][a] + jnp.sum(ts[a], axis=2)
-                                for a in range(n_acc))
+                outs.append(tuple(jnp.sum(ts[a], axis=2)
+                                  for a in range(n_acc)))
                 for a in range(n_acc):
                     rsum[a] = rsum[a] + jnp.sum(tr[a], axis=1)
+            acc_ref[...] += jnp.stack(
+                [jnp.concatenate([outs[c][a] for c in range(n_chunks)],
+                                 axis=1) for a in range(n_acc)], axis=1)
             if shift != 0:
                 rsum = [pltpu.roll(r, shift % NL, 2) for r in rsum]
-            if into_own:
-                own_react = [own_react[a] + rsum[a] for a in range(n_acc)]
-            else:
-                react = jnp.stack(rsum, axis=1)      # (Bxy, n_acc, C, NL)
-                L = L + jnp.pad(
-                    react, ((1, WB - 1 - Bxy), (0, 0), (0, 0), (0, 0)))
-            return L, own_react, accs
+            stk = jnp.stack(rsum, axis=1)
+            react[off:off + Bxy] += stk
+            return jnp.sum(stk[:, 0, 0])
 
-        # dx = 0: self triangle + forward lane shifts (reactions in-row)
-        L, own_react, accs = sweep(self_slab, 0, True, True,
-                                   L, own_react, accs)
-        for sh in own_shifts:
-            L, own_react, accs = sweep(self_slab, sh, False, True,
-                                       L, own_react, accs)
-        # dx = +1: one forward slab, reactions one row ahead
-        for sh in fwd_shifts:
-            L, own_react, accs = sweep(fwd_slab, sh, False, False,
-                                       L, own_react, accs)
+        tok = sweep(0, 0, True, jnp.zeros((), jnp.float32))
+        for off, sh in shifts:
+            tok = sweep(off, sh, False, tok)
 
         def window(acc_in, acc_out):
-            fin = acc_in[0:Bxy] + L[0:Bxy]
-            acc_out[0:WB - Bxy] = acc_in[Bxy:WB] + L[Bxy:WB]
+            fin = acc_in[0:Bxy] + react[0:Bxy]
+            acc_out[0:WB - Bxy] = acc_in[Bxy:WB] + react[Bxy:WB]
             acc_out[WB - Bxy:WB] = jnp.zeros((Bxy, n_acc, C, NL),
                                              jnp.float32)
             return fin
@@ -129,17 +144,24 @@ def _make_flat_kernel(F_in, n_out, n_acc, C, NL, SZ, Bxy, WB,
         def _odd():
             out_ref[:, 0:n_acc] = window(accB, accA)
 
-        acc = []
-        for a in range(n_acc):
-            act = jnp.concatenate([accs[c][a] for c in range(n_chunks)],
-                                  axis=1)
-            acc.append(act + own_react[a] + out_ref[:, a])
-        planes = [self_slab[:, f] for f in range(F_in)]
-        outs = post_fn(planes, tuple(acc))
+        planes0 = [self_slab[:, f] for f in range(F_in)]
+        acc = [acc_ref[:, a] + out_ref[:, a] for a in range(n_acc)]
+        outs = post_fn(planes0, tuple(acc))
         for f in range(n_out):
             out_ref[:, f] = outs[f]
 
     return kernel
+
+
+def flat_auto_bxy(C, NL, budget_vregs=3000, chain_temps=40):
+    """Largest Bxy whose one-sweep register chain plausibly fits: each
+    pair-lattice temporary is Bxy·CS·C·NL/(8·128) vregs; measured on v5e,
+    ~40 live temporaries per sweep chain and ~3000 spillable vregs stay
+    within the 128 MB scoped-VMEM budget with margin."""
+    CS = min(8, C)
+    per_temp = max(1, (CS * C * NL) // (8 * 128))
+    b = budget_vregs // (chain_temps * per_temp)
+    return max(1, min(8, b))
 
 
 def sym_sweep_flat(feat, *, grid_dims, SZ, C, Bxy, n_out, n_acc,
@@ -147,8 +169,8 @@ def sym_sweep_flat(feat, *, grid_dims, SZ, C, Bxy, n_out, n_acc,
                    n_dz=1, val_idx):
     """feat: (nx, F, C, NL) flat-lane planes (lane = y·SZ + z); returns
     (nx, n_out, C, NL).  ``SZ`` must be ≥ nz + n_dz and ``NL`` a 128-multiple
-    ≥ (ny+1)·SZ would wrap — the binning guarantees NL ≥ ny·SZ + SZ + n_dz
-    headroom via its padding."""
+    with roll headroom — the binning guarantees NL ≥ ny·SZ + SZ + n_dz.
+    ``Bxy`` is clamped by the register-pressure model (flat_auto_bxy)."""
     nx, ny, nz = grid_dims
     F_in = feat.shape[1]
     NL = feat.shape[3]
@@ -158,6 +180,7 @@ def sym_sweep_flat(feat, *, grid_dims, SZ, C, Bxy, n_out, n_acc,
         raise ValueError("SZ too small for nz + n_dz")
     if NL < ny * SZ + SZ + n_dz:
         raise ValueError("NL leaves no roll headroom")
+    Bxy = min(Bxy, flat_auto_bxy(C, NL))
     nx_pad = ((nx + Bxy - 1) // Bxy) * Bxy
     WB = Bxy + 1
     pad_hi = jnp.zeros((nx_pad - nx + 1, F_in, C, NL), jnp.float32)
@@ -180,6 +203,8 @@ def sym_sweep_flat(feat, *, grid_dims, SZ, C, Bxy, n_out, n_acc,
             pltpu.VMEM((Bxy + 1, F_in, C, NL), jnp.float32),
             pltpu.VMEM((WB, n_acc, C, NL), jnp.float32),
             pltpu.VMEM((WB, n_acc, C, NL), jnp.float32),
+            pltpu.VMEM((WB, n_acc, C, NL), jnp.float32),
+            pltpu.VMEM((Bxy, n_acc, C, NL), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         cost_estimate=pl.CostEstimate(
