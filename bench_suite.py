@@ -379,7 +379,10 @@ def bench_sph(n_target=None):
         # dense-pencil Pallas sweeps (ops.pallas.sph_pencil_kernel) — the
         # only path whose memory scales to 1M markers on TPU (the gather
         # neighbor lists compile to a 107 GB allocation at N=100k).
-        # Flat cells (cell_z = h) equalize wall/fluid occupancy → C = 16.
+        # Flat cells (cell_z = h): measured at 1M the 3 exact-lattice BCE
+        # floor layers stack up to 18 markers in one flat cell → C = 16
+        # overflows; C = 24 erases the n_dz=2 block-count advantage, so the
+        # recorded config stays cubic C = 32.
         from chrono_tpu.fsi.sph.pencil import (
             make_sph_advance_pencil, PencilGrid,
         )
