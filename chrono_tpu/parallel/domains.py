@@ -35,7 +35,15 @@ from chrono_tpu.utils.pytree import pytree_dataclass, static_field
 
 @pytree_dataclass
 class SlabSpec:
-    """Static decomposition along x: device d owns [x0 + d·w, x0 + (d+1)·w)."""
+    """Static decomposition along x: device d owns [x0 + d·w, x0 + (d+1)·w).
+
+    ``local_coords``: store x RELATIVE to the owning slab's origin (x ∈
+    [0, w)) instead of globally — the fp32 answer to the reference's
+    int64 fixed-point subdomain-local coordinates
+    (/root/reference/src/chrono_dem/gpu/ChDemDefines.h int3 SD coords):
+    at pod-scale domains (x ~ 10⁶ m) a global fp32 x has ~6 cm resolution
+    while slab-local keeps ~1e-7·width everywhere.  Migration/halo sends
+    re-express x in the receiver's frame (±width); y/z stay global."""
 
     x0: float = static_field(default=0.0)
     width: float = static_field(default=1.0)     # slab width
@@ -44,6 +52,7 @@ class SlabSpec:
     halo_capacity: int = static_field(default=256)
     migrate_capacity: int = static_field(default=128)
     cutoff: float = static_field(default=0.1)    # halo width
+    local_coords: bool = static_field(default=False)
 
 
 class ShardedParticles(NamedTuple):
@@ -56,8 +65,10 @@ class ShardedParticles(NamedTuple):
 
 
 def distribute(spec: SlabSpec, pos, vel) -> ShardedParticles:
-    """Host-side initial distribution of particles into slab buffers."""
-    pos = np.asarray(pos)
+    """Host-side initial distribution of particles into slab buffers.
+    With ``spec.local_coords`` the x column is re-expressed relative to each
+    slab's origin in float64 BEFORE the fp32 cast (lossless at any x0)."""
+    pos = np.asarray(pos, np.float64)
     vel = np.asarray(vel)
     D, C = spec.n_slabs, spec.capacity
     out_p = np.zeros((D, C, 3), np.float32)
@@ -68,11 +79,25 @@ def distribute(spec: SlabSpec, pos, vel) -> ShardedParticles:
         idx = np.where(slab == d)[0]
         if len(idx) > C:
             raise ValueError(f"slab {d} overflow: {len(idx)} > {C}")
-        out_p[d, : len(idx)] = pos[idx]
+        p = pos[idx].copy()
+        if spec.local_coords:
+            p[:, 0] -= spec.x0 + d * spec.width
+        out_p[d, : len(idx)] = p
         out_v[d, : len(idx)] = vel[idx]
         out_m[d, : len(idx)] = True
     return ShardedParticles(jnp.asarray(out_p), jnp.asarray(out_v),
                             jnp.asarray(out_m))
+
+
+def gather_global(spec: SlabSpec, pos):
+    """(D, C, 3) slab-buffer positions → global-frame positions (float64
+    x reconstruction for local_coords; identity otherwise)."""
+    pos = np.asarray(pos, np.float64)
+    if spec.local_coords:
+        off = spec.x0 + np.arange(spec.n_slabs) * spec.width
+        pos = pos.copy()
+        pos[:, :, 0] += off[:, None]
+    return pos
 
 
 def _compact(pos, vel, extra, valid, capacity, fill=1e30):
@@ -111,22 +136,28 @@ def make_exchange(spec: SlabSpec, axis: str = "dp",
         if squeeze:
             pos, vel, extra, valid = pos[0], vel[0], extra[0], valid[0]
         d = lax.axis_index(axis)
-        lo = spec.x0 + d * spec.width
-        hi = lo + spec.width
+        if spec.local_coords:
+            lo, hi = 0.0, spec.width
+            # x re-expressed in the receiver's frame on send
+            shift_r = jnp.asarray([-spec.width, 0.0, 0.0], pos.dtype)
+        else:
+            lo = spec.x0 + d * spec.width
+            hi = lo + spec.width
+            shift_r = jnp.zeros((3,), pos.dtype)
 
         # ---- migration (one slab hop per cycle) ----
         go_left = valid & (pos[:, 0] < lo) & (d > 0)
         go_right = valid & (pos[:, 0] >= hi) & (d < D - 1)
         stay = valid & ~go_left & ~go_right
 
-        def pack(mask):
+        def pack(mask, shift):
             idx = jnp.nonzero(mask, size=E, fill_value=C)[0]
             ok = idx < C
             idx = jnp.minimum(idx, C - 1)
-            return pos[idx], vel[idx], extra[idx], ok & mask[idx]
+            return pos[idx] + shift, vel[idx], extra[idx], ok & mask[idx]
 
-        lp, lv, le, lm = pack(go_left)
-        rp, rv, re_, rm = pack(go_right)
+        lp, lv, le, lm = pack(go_left, -shift_r)
+        rp, rv, re_, rm = pack(go_right, shift_r)
         mig_overflow = (jnp.maximum(jnp.sum(go_left), jnp.sum(go_right))
                         > E).astype(jnp.int32)
 
@@ -168,11 +199,13 @@ def make_exchange(spec: SlabSpec, axis: str = "dp",
         hx = extra2[:, :n_halo_extra_cols] if n_halo_extra_cols else \
             jnp.zeros((C, 0), pos.dtype)
 
-        h_from_left_p = lax.ppermute(pos2[idx_hi], axis, right_perm)
+        h_from_left_p = lax.ppermute(pos2[idx_hi] + shift_r, axis,
+                                     right_perm)
         h_from_left_v = lax.ppermute(vel2[idx_hi], axis, right_perm)
         h_from_left_x = lax.ppermute(hx[idx_hi], axis, right_perm)
         h_from_left_m = lax.ppermute(ok_hi, axis, right_perm)
-        h_from_right_p = lax.ppermute(pos2[idx_lo], axis, left_perm)
+        h_from_right_p = lax.ppermute(pos2[idx_lo] - shift_r, axis,
+                                      left_perm)
         h_from_right_v = lax.ppermute(vel2[idx_lo], axis, left_perm)
         h_from_right_x = lax.ppermute(hx[idx_lo], axis, left_perm)
         h_from_right_m = lax.ppermute(ok_lo, axis, left_perm)
@@ -206,13 +239,49 @@ def refresh_halos(spec: SlabSpec, axis, halo_idx, pos, vel, omega):
     right_perm = [(i, i + 1) for i in range(D - 1)]
     left_perm = [(i + 1, i) for i in range(D - 1)]
     idx_lo, idx_hi = halo_idx[0], halo_idx[1]
+    if spec.local_coords:
+        shift_r = jnp.asarray([-spec.width, 0.0, 0.0], pos.dtype)
+    else:
+        shift_r = jnp.zeros((3,), pos.dtype)
 
-    def send(arr):
-        from_left = lax.ppermute(arr[idx_hi], axis, right_perm)
-        from_right = lax.ppermute(arr[idx_lo], axis, left_perm)
+    def send(arr, s):
+        from_left = lax.ppermute(arr[idx_hi] + s, axis, right_perm)
+        from_right = lax.ppermute(arr[idx_lo] - s, axis, left_perm)
         return jnp.concatenate([from_left, from_right])
 
-    return send(pos), send(vel), send(omega)
+    z = jnp.zeros((3,), pos.dtype)
+    return send(pos, shift_r), send(vel, z), send(omega, z)
+
+
+def shift_boundaries_x(bcs, dx):
+    """Re-express DEM analytic boundaries in a frame shifted by ``dx`` along
+    x (world x_local = x_global − dx); ``dx`` may be traced (per-device slab
+    origin inside shard_map)."""
+    import dataclasses
+
+    def sub_x(arr):
+        return arr - jnp.asarray([dx, 0.0, 0.0], arr.dtype) \
+            if arr.shape[-1] == 3 else arr.at[..., 0].add(-dx)
+
+    out = {}
+    for f in dataclasses.fields(bcs):
+        v = getattr(bcs, f.name)
+        if v is None:
+            out[f.name] = None
+            continue
+        kw = {}
+        for g in dataclasses.fields(v):
+            a = getattr(v, g.name)
+            # position-like leaves: point/center/apex (cylinder center is xy)
+            if g.name in ("point", "apex") or (
+                    g.name == "center" and a.shape[-1] == 3):
+                kw[g.name] = sub_x(a)
+            elif g.name == "center":                       # (B, 2) xy
+                kw[g.name] = a.at[..., 0].add(-dx)
+            else:
+                kw[g.name] = a
+        out[f.name] = type(v)(**kw)
+    return type(bcs)(**out)
 
 
 def migrate_history_by_gid(old_partner_gid, old_tan, new_partner_gid):
@@ -239,6 +308,15 @@ def make_sharded_dem_advance(spec: SlabSpec, mesh: Mesh, dem_params,
     history) rides the migration payload keyed by stable global ids, and
     halos carry spin + id so cross-face contacts see the same kinematics as
     the single-device path (parity-tested in tests/test_domains.py).
+
+    With ``spec.local_coords`` (pod-scale fp32 precision — the role of the
+    reference's int64 fixed-point subdomain coordinates,
+    /root/reference/src/chrono_dem/gpu/ChDemDefines.h): pass ``grid`` in
+    SLAB-LOCAL coordinates (origin.x ≈ −cutoff, spanning
+    [−cutoff, width+cutoff] — identical on every device) and ``boundaries``
+    in GLOBAL coordinates (they are re-expressed per device in-program).
+    Positions returned by ``advance`` stay slab-local; reconstruct global
+    with :func:`gather_global`.
     """
     from chrono_tpu.dem.neighbors import build_neighbor_list
     from chrono_tpu.dem.forces import particle_forces, wall_forces
@@ -261,6 +339,13 @@ def make_sharded_dem_advance(spec: SlabSpec, mesh: Mesh, dem_params,
         out = exchange(pos, vel, extra, valid)
         (pos, vel, extra, valid, hpos, hvel, hextra, hvalid, halo_idx,
          overflow) = jax.tree_util.tree_map(lambda a: a[0], out)
+        if spec.local_coords:
+            # walls re-expressed in this slab's frame (grid is caller-local)
+            d = lax.axis_index(axis)
+            bcs_dev = shift_boundaries_x(
+                boundaries, spec.x0 + d.astype(jnp.float32) * spec.width)
+        else:
+            bcs_dev = boundaries
 
         all_pos = jnp.concatenate([pos, hpos])
         all_vel = jnp.concatenate([vel, hvel])
@@ -295,7 +380,7 @@ def make_sharded_dem_advance(spec: SlabSpec, mesh: Mesh, dem_params,
             f_pp, tau_pp, tan = particle_forces(
                 dem_params, ap, av, ao, nbr.idx, pair_valid, tan)
             f_w, tau_w, bc, _ = wall_forces(
-                dem_params, boundaries, ap, av, ao, bc)
+                dem_params, bcs_dev, ap, av, ao, bc)
             acc = f_pp / dem_params.mass + dem_params.gravity
             acc = acc + f_w / dem_params.mass
             alpha = (tau_pp + tau_w) / dem_params.inertia

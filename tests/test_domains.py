@@ -166,6 +166,70 @@ class TestShardedDEM:
 
         np.testing.assert_allclose(canon(got), canon(ref), atol=5e-5)
 
+    def test_local_coords_far_domain_parity(self):
+        """Slab-local coordinates (SlabSpec.local_coords — the fp32 role of
+        the reference's int64 fixed-point subdomain coords,
+        /root/reference/src/chrono_dem/gpu/ChDemDefines.h) reproduce the
+        near-origin trajectory with the whole domain moved to x = 2²¹ m,
+        where GLOBAL fp32 x has 0.25 m resolution — 5 radii — and the
+        simulation could not even represent the initial positions."""
+        from chrono_tpu.collision.cell_list import GridSpec
+        from chrono_tpu.dem import DEMSystem
+        from chrono_tpu.parallel.domains import gather_global
+        from chrono_tpu.dem.bc import DEMBoundaries, box_boundaries
+
+        D = 4
+        radius = 0.05
+        X0 = float(2 ** 21)                   # fp32-exact slab origins
+        box = ((0.0, 0.0, 0.0), (4.0, 0.5, 0.5))
+        pts = []
+        for x in np.arange(0.85, 3.2, 0.11):
+            pts.append([x, 0.25, 0.06])
+        pts = np.asarray(pts)
+
+        # reference: near-origin single-device run
+        sys_ = DEMSystem(radius=radius, density=2500, box=box,
+                         friction_mode="single_step", rebuild_every=4,
+                         max_neighbors=8)
+        sys_.set_material(youngs=5e6, restitution=0.4, mu_s=0.3)
+        sys_.set_wall_material(youngs=5e6, restitution=0.4, mu_s=0.3)
+        sys_.create_particles(pts)
+        n_cycles = 40
+        ref_state, _ = sys_._advance(sys_.state, n_cycles)
+        ref = np.asarray(ref_state.pos)
+
+        # far-domain sharded run in slab-local coordinates
+        mesh = make_mesh(D)
+        cutoff = 2 * radius * 1.3
+        spec = SlabSpec(x0=X0, width=1.0, n_slabs=D, capacity=32,
+                        halo_capacity=16, migrate_capacity=8,
+                        cutoff=cutoff, local_coords=True)
+        pts_far = np.asarray(pts, np.float64) + np.asarray([X0, 0.0, 0.0])
+        sp = distribute(spec, pts_far, np.zeros_like(pts))
+        omega = jnp.zeros_like(sp.pos)
+        # slab-local grid: x ∈ [−2 cells, width + 2 cells], same cell size
+        cell = float(sys_.grid.cell_size)
+        nxl = int(np.ceil((1.0 + 4 * cell) / cell))
+        grid_local = GridSpec(
+            origin=(-2 * cell, sys_.grid.origin[1], sys_.grid.origin[2]),
+            cell_size=cell,
+            dims=(nxl, sys_.grid.dims[1], sys_.grid.dims[2]))
+        # walls GLOBAL (re-expressed per slab in-program)
+        bcs_far = DEMBoundaries(planes=box_boundaries(
+            (X0, 0.0, 0.0), (X0 + 4.0, 0.5, 0.5)))
+        adv = make_sharded_dem_advance(spec, mesh, sys_.params, bcs_far,
+                                       grid_local)
+        p, v, o, m, ov = adv(sp.pos, sp.vel, omega, sp.valid, n_cycles)
+        assert int(ov) == 0
+        pg = gather_global(spec, p) - np.asarray([X0, 0.0, 0.0])
+        got = pg[np.asarray(m)]
+        assert got.shape[0] == len(pts)
+
+        def canon(a):
+            return a[np.lexsort((a[:, 2], a[:, 1], a[:, 0]))]
+
+        np.testing.assert_allclose(canon(got), canon(ref), atol=2e-4)
+
 
 class TestShardedSPH:
     def test_sph_parity_with_single_device(self):
