@@ -424,13 +424,19 @@ def bench_crm():
     from demos import demo_vehicle_crm
 
     n_int = int(os.environ.get("SUITE_CRM_INTERVALS", 6))
+    engine = os.environ.get("SUITE_CRM_ENGINE")
     out = demo_vehicle_crm.main(n_intervals=n_int, outer_per_interval=40,
-                                engine=os.environ.get("SUITE_CRM_ENGINE"))
+                                engine=engine)
     return dict(metric="vehicle-on-CRM end-to-end RTF",
                 value=round(out["rtf"], 2), unit="RTF",
                 markers=out["markers"], bodies=out["bodies"],
                 sim_s=round(out["sim_s"], 3),
                 distance_m=round(out["distance"], 3),
+                engine=engine or ("persistent"
+                                  if jax.default_backend() != "cpu"
+                                  else "gather"),
+                capacity=int(os.environ.get("CRM_CAPACITY", 32)),
+                rebuild_outer=int(os.environ.get("CRM_REBUILD_OUTER", 5)),
                 backend=jax.default_backend())
 
 

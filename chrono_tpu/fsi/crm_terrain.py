@@ -44,7 +44,8 @@ def make_crm_terrain_state(params: SPHParams, crm: CRMParams,
                            size, depth, spacing=None,
                            rigid_pts=None, rigid_body_ids=None,
                            rigid_local=None, carve_fn=None,
-                           surface_fn=None, dtype=jnp.float32):
+                           surface_fn=None, air: float = 30.0,
+                           dtype=jnp.float32):
     """Box terrain patch: granular bed (lithostatic pre-stress) + wall BCE
     floor/side layers + optional rigid-body BCE markers (wheels).
 
@@ -54,7 +55,11 @@ def make_crm_terrain_state(params: SPHParams, crm: CRMParams,
     ``surface_fn(x, y) -> z`` shapes the bed surface from a heightmap
     (reference ChFsiProblemCartesian::Construct(heightmap),
     ChFsiProblemSPH.h:324-366) — depths are measured from z=0 up to
-    min(depth, surface).  Returns (CRMState, GridSpec).
+    min(depth, surface).  ``air``: headroom above the bed surface in d0
+    units covered by the neighbor grid (and side walls, capped at 20·d0)
+    — empty z-cells cost lanes linearly in the pencil/flat-lane engines,
+    so low-splash scenes (vehicle ruts) should trim this (≈10–12).
+    Returns (CRMState, GridSpec).
     """
     from chrono_tpu.utils.samplers import grid_sample_box
     from chrono_tpu.fsi.sph.system import make_sph_state
@@ -70,8 +75,9 @@ def make_crm_terrain_state(params: SPHParams, crm: CRMParams,
         z_top = None
     if carve_fn is not None:
         gran = gran[np.asarray(carve_fn(gran), bool)]
-    walls = bce.box_wall_markers((0, 0, 0), (Lx, Ly, H + 20 * d0), d0,
-                                 layers=3, top_open=True)
+    walls = bce.box_wall_markers(
+        (0, 0, 0), (Lx, Ly, H + min(20.0, float(air)) * d0), d0,
+        layers=3, top_open=True)
     sph = make_sph_state(params, gran, boundary_pts=walls,
                          rigid_pts=rigid_pts, rigid_body_ids=rigid_body_ids,
                          rigid_local=rigid_local, dtype=dtype)
@@ -90,7 +96,7 @@ def make_crm_terrain_state(params: SPHParams, crm: CRMParams,
     support = KERNELS[params.kernel][2]
     cell = support * float(params.h)
     margin = 6 * d0
-    zmax = H + 30 * d0
+    zmax = H + float(air) * d0
     dims = (int(np.ceil((Lx + 2 * margin) / cell)),
             int(np.ceil((Ly + 2 * margin) / cell)),
             int(np.ceil((zmax + 2 * margin) / cell)))
@@ -235,5 +241,169 @@ def make_crm_fsi_advance_fn(model: Model, params: SPHParams, crm: CRMParams,
         (state2, ovf), _ = lax.scan(body, (state, jnp.zeros((), jnp.int32)),
                                     None, length=n_outer)
         return state2, ovf
+
+    return advance
+
+
+def make_crm_fsi_advance_persistent(
+        model: Model, params: SPHParams, crm: CRMParams, grid: GridSpec,
+        n_substeps: int, wheel_bodies,
+        mbs_settings: SolverSettings = SolverSettings(solver="direct"),
+        f_ext_fn=None, pencil_capacity: int = 32, pencil_Bxy: int = 4,
+        rebuild_outer: int = 5, interpret: bool = False,
+        layout: str = "auto", dv_mode: str = "fresh"):
+    """Vehicle-on-CRM advance with PERSISTENT pencil binning.
+
+    The per-outer pipeline of :func:`make_crm_fsi_advance_fn` (engine
+    "pencil") re-bins the whole marker set (sort + 16-plane scatter), runs
+    the substeps, and un-bins (16-plane gather) EVERY outer step even
+    though the markers move ~1e-2·d0 per outer.  Here the terrain lives in
+    the binned plane layout across ``rebuild_outer`` outer steps:
+
+      * wheel BCE marker kinematics are updated IN-PLANE from the body
+        states (body-local offsets + body index are binned once per rebuild
+        as aux planes through the same sort),
+      * per-body force/torque reduction happens directly on the granular
+        reaction acceleration planes (masked plane sums per wheel),
+      * bin + un-bin only run once per ``rebuild_outer`` outer steps.
+
+    Cell assignments go stale by the marker motion between rebuilds —
+    the same soft staleness the reference accepts between proximity
+    searches (ChFsiParamsSPH.h:200 num_proximity_search_steps); keep
+    ``rebuild_outer · n_substeps · dt · v_max`` well under the cell margin.
+
+    ``dv_mode``: "fresh" (default) pays one extra forces-only sweep per
+    outer step to evaluate the BCE granular reaction at the post-substep
+    state (matches the per-outer pipeline exactly); "last" reuses the last
+    substep's momentum-sweep acceleration (a free kernel by-product, one
+    substep staler — same explicit-coupling order, ~1 of 9 sweeps saved).
+
+    Same contract as make_crm_fsi_advance_fn: advance(state, n_outer)
+    -> (state, overflow).  No active-domain support (the persistent layout
+    IS the working set); use the per-outer driver for activity compaction.
+    """
+    from chrono_tpu.fsi.sph.crm_pencil import (
+        make_crm_pencil_engine, pencils_to_crm_state,
+    )
+    from chrono_tpu.fsi.sph.state import RIGID_BCE
+
+    eng = make_crm_pencil_engine(params, crm, grid, pencil_capacity,
+                                 pencil_Bxy, interpret, layout)
+    wheel_list = [int(w) for w in np.asarray(wheel_bodies).reshape(-1)]
+    m_marker = float(params.rho0) * float(params.d0) ** 3
+    h_outer = params.dt * n_substeps
+
+    def extras_of(st: CRMState):
+        # body index SHIFTED by +1 so empty slots (scattered as 0) read as
+        # "no body"; local marker offsets ride the same sort
+        is_r = st.kind == RIGID_BCE
+        bid = jnp.where(is_r, st.body_id + 1, 0).astype(jnp.float32)
+        return [bid, st.bce_local[:, 0], st.bce_local[:, 1],
+                st.bce_local[:, 2]]
+
+    def update_bce_planes(feat, aux, bodies: BodyState):
+        """x_m = x_b + R ξ, v_m = v_b + ω×(R ξ) written into the planes
+        (bce.update_rigid_markers, in the binned layout)."""
+        px, py, pz = feat[:, 0], feat[:, 1], feat[:, 2]
+        vx, vy, vz = feat[:, 3], feat[:, 4], feat[:, 5]
+        bid, lx, ly, lz = aux[:, 0], aux[:, 1], aux[:, 2], aux[:, 3]
+        for w in wheel_list:
+            mk = (bid == w + 1).astype(feat.dtype)
+            R = Q.q_to_matrix(bodies.q[w])
+            rx = R[0, 0] * lx + R[0, 1] * ly + R[0, 2] * lz
+            ry = R[1, 0] * lx + R[1, 1] * ly + R[1, 2] * lz
+            rz = R[2, 0] * lx + R[2, 1] * ly + R[2, 2] * lz
+            om = Q.qrotate(bodies.q[w], bodies.w[w])      # ω world
+            x_w, v_w = bodies.x[w], bodies.v[w]
+            px = px + mk * (x_w[0] + rx - px)
+            py = py + mk * (x_w[1] + ry - py)
+            pz = pz + mk * (x_w[2] + rz - pz)
+            vx = vx + mk * (v_w[0] + om[1] * rz - om[2] * ry - vx)
+            vy = vy + mk * (v_w[1] + om[2] * rx - om[0] * rz - vy)
+            vz = vz + mk * (v_w[2] + om[0] * ry - om[1] * rx - vz)
+        return jnp.concatenate(
+            [jnp.stack([px, py, pz, vx, vy, vz], axis=1), feat[:, 6:]],
+            axis=1)
+
+    def body_forces_planes(feat, aux, acc, bodies: BodyState):
+        """bce.rigid_body_forces on planes: f = m·a masked per wheel,
+        torque about each wheel's COM — six plane reductions per wheel."""
+        f_b = jnp.zeros((model.n_bodies, 3), feat.dtype)
+        tau_b = jnp.zeros((model.n_bodies, 3), feat.dtype)
+        bid = aux[:, 0]
+        for w in wheel_list:
+            mk = m_marker * (bid == w + 1).astype(feat.dtype)
+            ax, ay, az = mk * acc[:, 0], mk * acc[:, 1], mk * acc[:, 2]
+            rx = feat[:, 0] - bodies.x[w, 0]
+            ry = feat[:, 1] - bodies.x[w, 1]
+            rz = feat[:, 2] - bodies.x[w, 2]
+            f_b = f_b.at[w].set(jnp.stack(
+                [jnp.sum(ax), jnp.sum(ay), jnp.sum(az)]))
+            tau_b = tau_b.at[w].set(jnp.stack(
+                [jnp.sum(ry * az - rz * ay),
+                 jnp.sum(rz * ax - rx * az),
+                 jnp.sum(rx * ay - ry * ax)]))
+        return f_b, tau_b
+
+    if dv_mode not in ("fresh", "last"):
+        raise ValueError(f"unknown dv_mode {dv_mode!r}")
+
+    def outer_body(carry, _, aux):
+        feat, bodies, t = carry
+        feat = update_bce_planes(feat, aux, bodies)
+
+        def inner(f, _):
+            return eng["substep"](f), None
+
+        if dv_mode == "last":
+            feat, _ = lax.scan(inner, feat, None, length=n_substeps - 1)
+            feat, acc = eng["substep_acc"](feat)
+        else:
+            feat, _ = lax.scan(inner, feat, None, length=n_substeps)
+            acc = eng["forces"](feat)
+        f_b, tau_b = body_forces_planes(feat, aux, acc, bodies)
+        tau_local = Q.qrotate_inv(bodies.q, tau_b)
+        f_drv = tau_drv = None
+        if f_ext_fn is not None:
+            f_drv, tau_drv = f_ext_fn(t, bodies)
+        f_tot = f_b if f_drv is None else f_b + f_drv
+        tau_tot = tau_local if tau_drv is None else tau_local + tau_drv
+        bodies2, _ = step_euler_implicit_linearized(
+            model, bodies, t, h_outer, mbs_settings,
+            f_ext=f_tot, tau_ext=tau_tot)
+        return (feat, bodies2, t + h_outer), None
+
+    def run_chunk(bodies, terrain, t, chunk_len):
+        pos, vel = bce.update_rigid_markers(
+            terrain.pos, terrain.vel, terrain.kind, terrain.body_id,
+            terrain.bce_local, bodies.x, bodies.q, bodies.v, bodies.w)
+        terrain = terrain.replace(pos=pos, vel=vel)
+        feat, aux, perm, ov = eng["bin"](terrain, extras_of(terrain))
+        (feat, bodies, t), _ = lax.scan(
+            functools.partial(outer_body, aux=aux), (feat, bodies, t),
+            None, length=chunk_len)
+        return bodies, pencils_to_crm_state(feat, perm, terrain), t, ov
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def advance(state: CRMFSIState, n_outer: int):
+        bodies, terrain, t = state.bodies, state.terrain, state.time
+        ovf = jnp.zeros((), jnp.int32)
+        n_chunks, rem = divmod(n_outer, rebuild_outer)
+
+        if n_chunks:
+            # scan over rebuild cycles (one traced chunk, not unrolled)
+            def chunk_body(carry, _):
+                bodies, terrain, t, ovf = carry
+                bodies, terrain, t, ov = run_chunk(bodies, terrain, t,
+                                                   rebuild_outer)
+                return (bodies, terrain, t, jnp.maximum(ovf, ov)), None
+
+            (bodies, terrain, t, ovf), _ = lax.scan(
+                chunk_body, (bodies, terrain, t, ovf), None,
+                length=n_chunks)
+        if rem:
+            bodies, terrain, t, ov = run_chunk(bodies, terrain, t, rem)
+            ovf = jnp.maximum(ovf, ov)
+        return CRMFSIState(bodies=bodies, terrain=terrain, time=t), ovf
 
     return advance

@@ -61,11 +61,17 @@ def pencils_to_crm_state(feat, perm, st: CRMState) -> CRMState:
                       tau_o=tau_o)
 
 
-def make_crm_substeps_pencil(params, crm: CRMParams, grid: GridSpec,
-                             capacity: int = 16, Bxy: int = 4,
-                             interpret: bool = False, layout: str = "auto"):
-    """substeps(st, n) -> (st2, dv (N,3), overflow) on the pencil engine —
-    the drop-in replacement for the gather `substeps` in crm_fsi_step.
+def make_crm_pencil_engine(params, crm: CRMParams, grid: GridSpec,
+                           capacity: int = 16, Bxy: int = 4,
+                           interpret: bool = False, layout: str = "auto"):
+    """Shared layout/kernel plumbing for the pencil CRM drivers.
+
+    Returns a dict with:
+      bin(st, extra_feats=()) -> (feat (RB, 16, C, NL), extras (RB, E, C,
+        NL) binned through the SAME sort, perm, overflow)
+      substep(feat) -> feat   (one elastoplastic substep, fused sweeps)
+      forces(feat)  -> (RB, 3, C, NL) granular-reaction acceleration planes
+      layout, aperm (binning axis permutation)
 
     ``layout``: "pencil" (rows = xy, lanes = z), "flat" (rows = longest
     axis, lanes = packed (y, z) — ops.pallas.flatlane_kernel, the engine for
@@ -73,7 +79,9 @@ def make_crm_substeps_pencil(params, crm: CRMParams, grid: GridSpec,
     pencil layout would use <60% of its lane tiles and the packed lanes fit
     VMEM — e.g. the vehicle-on-CRM demo bed at (22, 16, 19) cells runs
     5-6x better utilized flat)."""
-    from chrono_tpu.fsi.sph.pencil import bin_to_flat, flat_lane_geometry
+    from chrono_tpu.fsi.sph.pencil import (
+        bin_to_flat, bin_to_pencils, flat_lane_geometry,
+    )
 
     support = KERNELS[params.kernel][2]
     if float(grid.cell_size) < support * float(params.h) - 1e-9:
@@ -103,9 +111,11 @@ def make_crm_substeps_pencil(params, crm: CRMParams, grid: GridSpec,
                          cell_size=grid.cell_size, dims=pdims)
         SZ, NL = flat_lane_geometry(pgrid)
 
-        def binner(st):
-            return bin_to_flat(pgrid, capacity, SZ, NL,
-                               st.pos[:, list(aperm)], _crm_feats(st))
+        def bin_all(st, extra_feats=()):
+            planes, perm, ovf = bin_to_flat(
+                pgrid, capacity, SZ, NL, st.pos[:, list(aperm)],
+                _crm_feats(st) + list(extra_feats))
+            return _split_extras(planes, len(extra_feats)) + (perm, ovf)
 
         sub_kw = dict(cp=cp, grid_dims=pdims, C=capacity, Bxy=Bxy,
                       interpret=interpret, layout="flat", SZ=SZ)
@@ -117,22 +127,55 @@ def make_crm_substeps_pencil(params, crm: CRMParams, grid: GridSpec,
                          cell_size=grid.cell_size, dims=pdims)
         nzp = ((pdims[2] + 1 + 127) // 128) * 128
 
-        def binner(st):
-            return crm_state_to_pencils(pgrid, capacity, nzp, st,
-                                        perm=aperm)
+        def bin_all(st, extra_feats=()):
+            planes, perm, ovf = bin_to_pencils(
+                pgrid, capacity, nzp, st.pos[:, list(aperm)],
+                _crm_feats(st) + list(extra_feats))
+            return _split_extras(planes, len(extra_feats)) + (perm, ovf)
 
         sub_kw = dict(cp=cp, grid_dims=pdims, C=capacity, Bxy=Bxy,
                       interpret=interpret)
         edge = edge_ok_fwd(pdims)
 
+    def _split_extras(planes, n_extra):
+        # binners append VALID last; the kernel wants it at plane 15
+        if n_extra == 0:
+            return planes, planes[:, :0]
+        feat = jnp.concatenate([planes[:, :15], planes[:, -1:]], axis=1)
+        return feat, planes[:, 15:15 + n_extra]
+
+    def substep(feat):
+        return crm_substep_sym(feat, edge, **sub_kw)
+
+    def substep_acc(feat):
+        """(feat2, acc): acc = M-sweep granular acceleration at the
+        pre-substep state — a free by-product replacing a forces() sweep
+        for explicit couplings (one substep staler than forces(feat2))."""
+        return crm_substep_sym(feat, edge, with_acc=True, **sub_kw)
+
+    def forces(feat):
+        return crm_substep_sym(feat, edge, forces_only=True, **sub_kw)
+
+    return dict(bin=bin_all, substep=substep, substep_acc=substep_acc,
+                forces=forces, layout=layout, aperm=aperm)
+
+
+def make_crm_substeps_pencil(params, crm: CRMParams, grid: GridSpec,
+                             capacity: int = 16, Bxy: int = 4,
+                             interpret: bool = False, layout: str = "auto"):
+    """substeps(st, n) -> (st2, dv (N,3), overflow) on the pencil engine —
+    the drop-in replacement for the gather `substeps` in crm_fsi_step."""
+    eng = make_crm_pencil_engine(params, crm, grid, capacity, Bxy,
+                                 interpret, layout)
+
     def substeps(st: CRMState, n_substeps: int):
-        feat, perm, ovf = binner(st)
+        feat, _, perm, ovf = eng["bin"](st)
 
         def inner(f, _):
-            return crm_substep_sym(f, edge, **sub_kw), None
+            return eng["substep"](f), None
 
         feat, _ = lax.scan(inner, feat, None, length=n_substeps)
-        acc = crm_substep_sym(feat, edge, forces_only=True, **sub_kw)
+        acc = eng["forces"](feat)
         st2 = pencils_to_crm_state(feat, perm, st)
         dv = jnp.stack([acc[:, k].reshape(-1)[perm] for k in range(3)],
                        axis=1)

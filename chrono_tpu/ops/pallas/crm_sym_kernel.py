@@ -45,17 +45,21 @@ def _pair_geom(s, n):
 
 @functools.partial(jax.jit, static_argnames=(
     "cp", "grid_dims", "C", "Bxy", "interpret", "n_dz", "forces_only",
-    "layout", "SZ"))
+    "layout", "SZ", "with_acc"))
 def crm_substep_sym(feat, edge_fwd, *, cp, grid_dims, C, Bxy=4,
                     interpret=False, n_dz=1, forces_only=False,
-                    layout="pencil", SZ=0):
+                    layout="pencil", SZ=0, with_acc=False):
     """One CRM substep on pencil planes (or, with ``forces_only``, just the
     granular-reaction acceleration planes for the BCE force reduction).
 
     ``cp``: hashable tuple of static python floats: h (kernel), m, d0, c_s,
     alpha_visc, dt, gx, gy, gz, shear_G, bulk_K, friction_angle, cohesion,
     rho0.  Returns updated (NXY, 16, C, NZp) planes, or (NXY, 3, C, NZp)
-    acceleration planes when ``forces_only``.
+    acceleration planes when ``forces_only``; ``with_acc`` returns
+    (planes, acc) with the M-sweep granular acceleration (evaluated at the
+    pre-substep state) as a free by-product — callers coupling explicitly
+    every few substeps can use it for the BCE reduction instead of paying
+    a separate ``forces_only`` sweep.
 
     ``layout``: "pencil" (rows = xy columns, lanes = z) or "flat" (rows = x,
     lanes = y·SZ + z — the small-grid engine, ops.pallas.flatlane_kernel;
@@ -156,10 +160,13 @@ def crm_substep_sym(feat, edge_fwd, *, cp, grid_dims, C, Bxy=4,
         vx = pls[_VX] + it * dt * (acc[0] + g[0])
         vy = pls[_VY] + it * dt * (acc[1] + g[1])
         vz = pls[_VZ] + it * dt * (acc[2] + g[2])
+        if with_acc:
+            return (vx, vy, vz, acc[0], acc[1], acc[2])
         return (vx, vy, vz)
 
-    velM = SWEEP(feat, n_out=3, n_acc=3, pair2_fn=pairM, post_fn=postM,
-                 flops_per_pair=90)
+    outM = SWEEP(feat, n_out=6 if with_acc else 3, n_acc=3,
+                 pair2_fn=pairM, post_fn=postM, flops_per_pair=90)
+    velM, accM = outM[:, 0:3], outM[:, 3:6]
 
     featG = jnp.concatenate([feat[:, 0:3], velM, feat[:, 6:]], axis=1)
 
@@ -254,9 +261,12 @@ def crm_substep_sym(feat, edge_fwd, *, cp, grid_dims, C, Bxy=4,
     outG = SWEEP(featG, n_out=10, n_acc=10, pair2_fn=pairG, post_fn=postG,
                  flops_per_pair=60)
 
-    return jnp.concatenate(
+    out = jnp.concatenate(
         [outG[:, 0:3], velM, outG[:, 3:4], outG[:, 4:10], feat[:, 13:]],
         axis=1)
+    if with_acc:
+        return out, accM
+    return out
 
 
 def crm_static_params(params, crm) -> tuple:

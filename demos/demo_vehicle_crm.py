@@ -30,7 +30,7 @@ from chrono_tpu.fsi.sph.state import SPHParams
 from chrono_tpu.fsi.sph.crm import CRMParams
 from chrono_tpu.fsi.crm_terrain import (
     make_crm_terrain_state, wheel_bce_markers, CRMFSIState,
-    make_crm_fsi_advance_fn,
+    make_crm_fsi_advance_fn, make_crm_fsi_advance_persistent,
 )
 from chrono_tpu.fsi.active import ActiveDomainSpec
 from chrono_tpu.physics.builder import SystemBuilder
@@ -111,10 +111,12 @@ def main(n_intervals=25, outer_per_interval=40, engine=None):
             keep &= ~(in_r & in_y)
         return keep
 
+    # air=12·d0 headroom: wheel ruts splash millimetres, and empty z-cells
+    # cost lanes linearly in the flat-lane engine
     terrain, grid = make_crm_terrain_state(
         params, crm, bed, depth,
         rigid_pts=np.concatenate(rigid_pts), rigid_body_ids=rigid_ids,
-        rigid_local=np.concatenate(rigid_loc), carve_fn=carve)
+        rigid_local=np.concatenate(rigid_loc), carve_fn=carve, air=12.0)
     n_markers = terrain.pos.shape[0]
 
     def drive(t, b):
@@ -135,12 +137,27 @@ def main(n_intervals=25, outer_per_interval=40, engine=None):
                               capacity=16384) if use_active else None
     if engine is None:
         import jax as _jax
-        engine = "pencil" if _jax.default_backend() != "cpu" else "gather"
-    adv = make_crm_fsi_advance_fn(model, params, crm, grid,
-                                  n_substeps=params.rebuild_every,
-                                  wheel_bodies=wheels, active=active,
-                                  f_ext_fn=drive, engine=engine,
-                                  pencil_capacity=32)
+        engine = "persistent" if _jax.default_backend() != "cpu" \
+            else "gather"
+    import os
+    # C=24 was measured 1.4x faster but overflows (wheel-rim BCE + bed
+    # lattice stack 27 markers/cell at contact) — the per-interval ovf
+    # print guards any experiment with CRM_CAPACITY
+    cap = int(os.environ.get("CRM_CAPACITY", "32"))
+    if engine == "persistent":
+        # terrain stays binned across outer steps; bin/unbin amortized
+        rebuild_outer = int(os.environ.get("CRM_REBUILD_OUTER", "5"))
+        adv = make_crm_fsi_advance_persistent(
+            model, params, crm, grid, n_substeps=params.rebuild_every,
+            wheel_bodies=wheels, f_ext_fn=drive, pencil_capacity=cap,
+            rebuild_outer=rebuild_outer,
+            dv_mode=os.environ.get("CRM_DV_MODE", "last"))
+    else:
+        adv = make_crm_fsi_advance_fn(model, params, crm, grid,
+                                      n_substeps=params.rebuild_every,
+                                      wheel_bodies=wheels, active=active,
+                                      f_ext_fn=drive, engine=engine,
+                                      pencil_capacity=cap)
     state = CRMFSIState(bodies=bodies, terrain=terrain, time=jnp.zeros(()))
 
     print(f"vehicle-on-CRM: {n_markers} markers, {model.n_bodies} bodies, "

@@ -166,3 +166,89 @@ def test_heightmap_bed_construction():
     tzz = np.asarray(terrain.tau_d[:, 2])[kind == FLUID]
     ref = -1700.0 * 9.81 * (zs - pos[:, 2])
     np.testing.assert_allclose(tzz, ref, rtol=1e-4, atol=1.0)
+
+
+def test_persistent_pencil_parity():
+    """Persistent-pencil vehicle advance (terrain stays binned across outer
+    steps, BCE kinematics + body-force reduction in-plane) matches the
+    per-outer pencil pipeline at rebuild_outer=1 and stays on-trajectory at
+    rebuild_outer=3 (bounded binning staleness)."""
+    from chrono_tpu.fsi.crm_terrain import (
+        crm_fsi_step, make_crm_fsi_advance_persistent,
+    )
+    from chrono_tpu.fsi.sph.crm_pencil import make_crm_substeps_pencil
+
+    params, crm = _params(), _crm()
+    d0 = float(params.d0)
+    bed = (0.45, 0.24)
+    depth = 0.12
+    r_wheel, w_wheel = 0.08, 0.09
+    sink0 = 0.02
+    wheel_local = wheel_bce_markers(r_wheel, w_wheel, d0)
+    x0 = np.array([0.18, bed[1] / 2, depth + r_wheel + 0.5 * d0 - sink0])
+
+    def carve(pts):
+        dxz = pts[:, [0, 2]] - x0[[0, 2]]
+        in_r = np.linalg.norm(dxz, axis=1) < (r_wheel + d0)
+        in_y = np.abs(pts[:, 1] - x0[1]) < (w_wheel / 2 + d0)
+        return ~(in_r & in_y)
+
+    bld = SystemBuilder()
+    bld.set_gravity((0, 0, -9.81))
+    wheel = bld.add_body(mass=10.0, inertia=(0.05, 0.08, 0.05), pos=x0)
+    model, bodies = bld.finalize()
+    terrain, grid = make_crm_terrain_state(
+        params, crm, bed, depth,
+        rigid_pts=wheel_local + x0, rigid_body_ids=[wheel] * len(wheel_local),
+        rigid_local=wheel_local, carve_fn=carve)
+
+    def drive(t, b):
+        f = jnp.zeros((model.n_bodies, 3))
+        tau = jnp.zeros((model.n_bodies, 3))
+        tau = tau.at[wheel, 1].set(3.0)
+        return f, tau
+
+    n_sub, n_outer = 2, 4
+    subs = make_crm_substeps_pencil(params, crm, grid, capacity=32, Bxy=2,
+                                    interpret=True)
+    state0 = CRMFSIState(bodies=bodies, terrain=terrain, time=jnp.zeros(()))
+
+    # eager interpret execution: jitting these interpret-mode graphs costs
+    # minutes of XLA CPU compile for a correctness-only test
+    with jax.disable_jit():
+        ref = state0
+        ovf_ref = 0
+        for _ in range(n_outer):
+            ref, ov, _ = crm_fsi_step(model, params, crm, grid, ref, n_sub,
+                                      [wheel], f_ext_fn=drive,
+                                      substeps_fn=subs)
+            ovf_ref = max(ovf_ref, int(ov))
+        assert ovf_ref == 0
+
+        adv1 = make_crm_fsi_advance_persistent(
+            model, params, crm, grid, n_substeps=n_sub, wheel_bodies=[wheel],
+            f_ext_fn=drive, pencil_capacity=32, pencil_Bxy=2,
+            rebuild_outer=1, interpret=True)
+        got1, ov1 = adv1(state0, n_outer)
+        assert int(ov1) == 0
+        np.testing.assert_allclose(np.asarray(got1.bodies.x),
+                                   np.asarray(ref.bodies.x),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got1.bodies.v),
+                                   np.asarray(ref.bodies.v),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got1.terrain.pos),
+                                   np.asarray(ref.terrain.pos),
+                                   rtol=1e-6, atol=1e-7)
+
+        adv3 = make_crm_fsi_advance_persistent(
+            model, params, crm, grid, n_substeps=n_sub, wheel_bodies=[wheel],
+            f_ext_fn=drive, pencil_capacity=32, pencil_Bxy=2,
+            rebuild_outer=3, interpret=True, dv_mode="last")
+        got3, ov3 = adv3(state0, n_outer)
+        assert int(ov3) == 0
+        # staleness-bounded (rebuild cadence + last-substep dv): same
+        # trajectory within a loose tolerance
+        dx = np.abs(np.asarray(got3.bodies.x) - np.asarray(ref.bodies.x))
+        assert dx.max() < 2e-3, dx
+        assert np.isfinite(np.asarray(got3.terrain.pos)).all()
