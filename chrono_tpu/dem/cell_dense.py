@@ -174,6 +174,37 @@ def field_to_pencils(field: CellField, nzp: int):
     return jnp.pad(feat, ((0, 0), (0, 0), (0, 0), (0, nzp - nz)))
 
 
+def field_to_flat(field: CellField, SZ: int, NL: int):
+    """CellField → (nx, F, C, NL) flat-lane planes (lane = y·SZ + z) for the
+    v5 kernel (chrono_tpu.ops.pallas.dem_flat_kernel): rows = x, the (y, z)
+    plane packed into lanes with SZ − nz pad lanes splitting the z columns."""
+    nx, ny, nz, C = field.mask.shape
+
+    def t(a):  # (nx,ny,nz,C,k) -> (nx, k, C, ny·SZ)
+        a = jnp.pad(a, ((0, 0), (0, 0), (0, SZ - nz), (0, 0), (0, 0)))
+        return a.reshape(nx, ny * SZ, C, a.shape[-1]).transpose(0, 3, 2, 1)
+
+    mask = jnp.pad(field.mask, ((0, 0), (0, 0), (0, SZ - nz), (0, 0)))
+    mask = mask.reshape(nx, ny * SZ, C).transpose(0, 2, 1)[:, None]
+    feat = jnp.concatenate(
+        [t(field.pos), t(field.vel), t(field.omega),
+         mask.astype(jnp.float32)], axis=1)            # (nx, 10, C, ny·SZ)
+    return jnp.pad(feat, ((0, 0), (0, 0), (0, 0), (0, NL - ny * SZ)))
+
+
+def flat_to_particles(feat, field: CellField, grid_dims, C, SZ):
+    """Flat-lane planes → per-particle (pos, vel, omega) via the binning
+    perm."""
+    nx, ny, nz = grid_dims
+
+    def grab(f0):  # 3 consecutive planes -> (nx,ny,nz,C,3)
+        a = feat[:, f0:f0 + 3, :, :ny * SZ]            # (nx, 3, C, ny·SZ)
+        a = a.transpose(0, 3, 2, 1).reshape(nx, ny, SZ, C, 3)
+        return a[:, :, :nz]
+
+    return from_cells(field, grab(_F_PX), grab(_F_VX), grab(_F_WX))
+
+
 def pencils_to_field_arrays(out, grid_dims, C):
     """(NXY, 6, C, NZp) kernel output → force/torque (nx,ny,nz,C,3)."""
     nx, ny, nz = grid_dims
@@ -284,24 +315,30 @@ def make_cell_dense_advance(params: DEMParams, bcs, grid: GridSpec,
 
     nb = _n_walls(bcs)
     if pallas_block is None:
-        pallas_block = 8 if backend in ("pencil", "sym") else 256
+        pallas_block = 8 if backend in ("pencil", "sym", "flat") else 256
     if backend == "pallas":
         from chrono_tpu.ops.pallas.dem_cell_kernel import edge_ok_table
         edge_table = edge_ok_table(grid.dims, tuple(grid.periodic))
         coefs = pallas_static_coefs(params)   # concrete, outside the trace
-    elif backend in ("pencil", "sym"):
+    elif backend in ("pencil", "sym", "flat"):
         from chrono_tpu.ops.pallas.dem_pencil_kernel import edge_ok_xy
         from chrono_tpu.ops.pallas.dem_sym_kernel import edge_ok_fwd
         if any(grid.periodic):
             raise ValueError("pencil backend supports non-periodic boxes")
-        edge_table = (edge_ok_fwd(grid.dims) if backend == "sym"
+        edge_table = (None if backend == "flat"
+                      else edge_ok_fwd(grid.dims) if backend == "sym"
                       else edge_ok_xy(grid.dims))
         coefs = pallas_static_coefs(params)
         nzp = ((grid.dims[2] + 1 + 127) // 128) * 128
+        # flat-lane layout geometry: SZ pads z with one guard lane, NL
+        # leaves headroom for the largest forward roll (SZ + 1)
+        flat_SZ = grid.dims[2] + 1
+        flat_NL = ((grid.dims[1] * flat_SZ + flat_SZ + 1 + 127)
+                   // 128) * 128
     elif backend != "xla":
         raise ValueError(f"unknown cell-dense backend {backend!r}")
 
-    if backend in ("pencil", "sym"):
+    if backend in ("pencil", "sym", "flat"):
         # whole-substep plane pipeline: pair kernel + wall pass + integration
         # all stay in (NXY, ·, C, NZp) planes (minor dims = one (8,128) vreg)
         if bcs.cylinders is not None or bcs.spheres is not None \
@@ -313,7 +350,11 @@ def make_cell_dense_advance(params: DEMParams, bcs, grid: GridSpec,
         from chrono_tpu.ops.pallas.dem_sym_kernel import (
             dem_sym_substep_pallas,
         )
-        substep_pallas = (dem_sym_substep_pallas if backend == "sym"
+        from chrono_tpu.ops.pallas.dem_flat_kernel import (
+            dem_flat_substep_pallas,
+        )
+        substep_pallas = (dem_flat_substep_pallas if backend == "flat"
+                          else dem_sym_substep_pallas if backend == "sym"
                           else dem_pencil_substep_pallas)
         import numpy as _np
 
@@ -333,19 +374,32 @@ def make_cell_dense_advance(params: DEMParams, bcs, grid: GridSpec,
         def one_cycle(carry, _):
             pos, vel, omega = carry
             field = to_cells(grid, capacity, pos, vel, omega)
-            feat0 = field_to_pencils(field, nzp)
+            if backend == "flat":
+                feat0 = field_to_flat(field, flat_SZ, flat_NL)
+            else:
+                feat0 = field_to_pencils(field, nzp)
 
             def substep(feat, __):
-                feat2 = substep_pallas(
-                    feat, edge_table, grid_dims=grid.dims, C=capacity,
-                    Bxy=pallas_block, interpret=pallas_interpret,
-                    **coefs, **fused_kw)
+                if backend == "flat":
+                    feat2 = substep_pallas(
+                        feat, grid_dims=grid.dims, SZ=flat_SZ, C=capacity,
+                        Bxy=pallas_block, interpret=pallas_interpret,
+                        **coefs, **fused_kw)
+                else:
+                    feat2 = substep_pallas(
+                        feat, edge_table, grid_dims=grid.dims, C=capacity,
+                        Bxy=pallas_block, interpret=pallas_interpret,
+                        **coefs, **fused_kw)
                 return feat2, None
 
             feat, _ = lax.scan(substep, feat0, None,
                                length=params.rebuild_every)
-            p, v, o = pencils_to_particles(feat, field, grid.dims, capacity,
-                                           grid.dims[2])
+            if backend == "flat":
+                p, v, o = flat_to_particles(feat, field, grid.dims,
+                                            capacity, flat_SZ)
+            else:
+                p, v, o = pencils_to_particles(feat, field, grid.dims,
+                                               capacity, grid.dims[2])
             return (p, v, o), field.overflow
 
         cycle_jit = jax.jit(lambda p, v, o: one_cycle((p, v, o), None))

@@ -220,3 +220,47 @@ def test_sym_block_boundary_reactions():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(vs), np.asarray(vx),
                                rtol=1e-3, atol=1e-4)
+
+
+# ---------------- v5 flat-lane kernel ----------------
+
+
+@pytest.mark.parametrize("friction_mode", ["frictionless", "single_step"])
+def test_flat_advance_parity(friction_mode):
+    """Full advance cycles: the flat-lane backend (rows = x, lane = y*SZ+z,
+    dem_flat_kernel on the flatlane scaffold) tracks the XLA 27-roll
+    backend — pairs across x-rows exercise the rolling window, y/z column
+    crossings the pad-lane masking."""
+    from chrono_tpu.dem.bc import DEMBoundaries, box_boundaries
+
+    rng = np.random.default_rng(7)
+    radius = 0.05
+    grid = GridSpec(origin=(0.0, 0.0, 0.0), cell_size=0.13, dims=(5, 4, 3))
+    n = 120
+    pos = np.stack([rng.uniform(0.07, 5 * 0.13 - 0.07, n),
+                    rng.uniform(0.07, 4 * 0.13 - 0.07, n),
+                    rng.uniform(0.07, 3 * 0.13 - 0.07, n)],
+                   axis=1).astype(np.float32)
+    params = DEMParams(
+        radius=jnp.asarray(radius), mass=jnp.asarray(1.0),
+        material=DEMMaterial(), wall_material=DEMMaterial(),
+        gravity=jnp.asarray([0.0, 0.0, -9.81]), dt=jnp.asarray(2e-5),
+        friction_mode=friction_mode, rebuild_every=4,
+    )
+    bcs = DEMBoundaries(planes=box_boundaries(
+        (0, 0, 0), (5 * 0.13, 4 * 0.13, 3 * 0.13)))
+    adv_x = make_cell_dense_advance(params, bcs, grid, backend="xla",
+                                    capacity=16)
+    adv_f = make_cell_dense_advance(params, bcs, grid, backend="flat",
+                                    capacity=16, pallas_block=2,
+                                    pallas_interpret=True)
+    z = jnp.zeros((n, 3))
+    px, vx, ox, ovx = adv_x(jnp.asarray(pos), z, z, 3)
+    pf, vf, of_, ovf = adv_f(jnp.asarray(pos), z, z, 3)
+    assert int(ovx) == 0 and int(ovf) == 0
+    np.testing.assert_allclose(np.asarray(pf), np.asarray(px),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vf), np.asarray(vx),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(of_), np.asarray(ox),
+                               rtol=1e-3, atol=1e-4)
