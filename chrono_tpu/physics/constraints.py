@@ -122,12 +122,19 @@ def lower_gap_function(
 
     _batched = jax.vmap(_one, in_axes=(0, 0, 0, 0, 0))
 
-    def lower(states_x, states_q, body_a, body_b, params, h, stab_factor=1.0):
+    def lower(states_x, states_q, body_a, body_b, params, h, stab_factor=1.0,
+              deadband=0.0):
         x_a = states_x[body_a]
         q_a = states_q[body_a]
         x_b = states_x[body_b]
         q_b = states_q[body_b]
         C, J = _batched(x_a, q_a, x_b, q_b, params)  # (J, n), (J, n, 12)
+        if deadband:
+            # soft-threshold the violation at the fp32 position-roundoff
+            # floor: Baumgarte would otherwise convert eps32·|x| jitter into
+            # stab/h-scaled velocity kicks (and /h again into reported
+            # accelerations/reactions) every step
+            C = jnp.sign(C) * jnp.maximum(jnp.abs(C) - deadband, 0.0)
         nj = body_a.shape[0]
         flat = lambda a: a.reshape(nj * n_rows, -1)
         rep = lambda a: jnp.repeat(a, n_rows)

@@ -183,7 +183,7 @@ _LOWERERS = {
 
 
 def joint_rows(kind: str, data: JointData, state_x, state_q, h,
-               stab_factor=1.0) -> ConstraintRows:
+               stab_factor=1.0, deadband=0.0) -> ConstraintRows:
     """Lower all joints of one type to stabilized constraint rows."""
     params = {
         "fa_pos": data.fa_pos, "fa_rot": data.fa_rot,
@@ -191,7 +191,8 @@ def joint_rows(kind: str, data: JointData, state_x, state_q, h,
         "aux": data.aux,
     }
     return _LOWERERS[kind](
-        state_x, state_q, data.body_a, data.body_b, params, h, stab_factor
+        state_x, state_q, data.body_a, data.body_b, params, h, stab_factor,
+        deadband,
     )
 
 

@@ -63,11 +63,13 @@ def relative_displacement_along_axis(x_a, q_a, x_b, q_b, fa_pos, fa_rot, fb_pos)
 
 
 def motor_rows(kind: str, data: MotorData, state_x, state_q, t, h,
-               stab_factor=1.0) -> ConstraintRows:
+               stab_factor=1.0, vel_scale=1.0) -> ConstraintRows:
     """Lower one motor kind to constraint rows.
 
     Kinds: ``rot_speed`` | ``rot_angle`` | ``lin_speed`` | ``lin_pos``.
     Row convention: positive γ drives body b forward relative to body a.
+    ``vel_scale=0`` with ``h=1, stab_factor=1`` yields pure position-error
+    rows (rhs = −err) for post-step position projection.
     """
     a, b = data.body_a, data.body_b
     x_a, q_a = state_x[a], state_q[a]
@@ -83,7 +85,8 @@ def motor_rows(kind: str, data: MotorData, state_x, state_q, t, h,
         Ja_v = jnp.zeros((M, 3), dtype)
         Jb_v = jnp.zeros((M, 3), dtype)
         if kind == "rot_speed":
-            rhs = jnp.broadcast_to(jnp.asarray(data.profile.value(t), dtype), (M,))
+            rhs = vel_scale * jnp.broadcast_to(
+                jnp.asarray(data.profile.value(t), dtype), (M,))
         else:
             angle = relative_angle_about_axis(
                 x_a, q_a, x_b, q_b, data.fa_rot, data.fb_rot
@@ -92,7 +95,8 @@ def motor_rows(kind: str, data: MotorData, state_x, state_q, t, h,
             target_v = jnp.asarray(data.profile.deriv(t), dtype)
             # wrap error to (-pi, pi] so angle targets work across branch cuts
             err = jnp.mod(angle - target + jnp.pi, 2 * jnp.pi) - jnp.pi
-            rhs = jnp.broadcast_to(target_v, (M,)) - (stab_factor / h) * err
+            rhs = (vel_scale * jnp.broadcast_to(target_v, (M,))
+                   - (stab_factor / h) * err)
     elif kind in ("lin_speed", "lin_pos"):
         # row: za·(v_pb - v_pa) = rhs  with attachment-point velocities
         ra = Q.qrotate(q_a, data.fa_pos)  # world lever arms
@@ -102,14 +106,16 @@ def motor_rows(kind: str, data: MotorData, state_x, state_q, t, h,
         Ja_w = -Q.qrotate_inv(q_a, jnp.cross(ra, za))
         Jb_w = Q.qrotate_inv(q_b, jnp.cross(rb, za))
         if kind == "lin_speed":
-            rhs = jnp.broadcast_to(jnp.asarray(data.profile.value(t), dtype), (M,))
+            rhs = vel_scale * jnp.broadcast_to(
+                jnp.asarray(data.profile.value(t), dtype), (M,))
         else:
             disp = relative_displacement_along_axis(
                 x_a, q_a, x_b, q_b, data.fa_pos, data.fa_rot, data.fb_pos
             )
             target = jnp.asarray(data.profile.value(t), dtype)
             target_v = jnp.asarray(data.profile.deriv(t), dtype)
-            rhs = jnp.broadcast_to(target_v, (M,)) - (stab_factor / h) * (disp - target)
+            rhs = (vel_scale * jnp.broadcast_to(target_v, (M,))
+                   - (stab_factor / h) * (disp - target))
     else:
         raise ValueError(f"unknown motor kind {kind!r}")
 

@@ -40,6 +40,26 @@ class SolverSettings:
     max_iter: int = static_field(default=100)
     tol: float = static_field(default=1e-6)
     stab_factor: float = static_field(default=1.0)   # Baumgarte C/h scaling
+    # soft-threshold on joint violations before stabilization: set to the
+    # fp32 position-roundoff floor (~1e-6 · pose scale) for long fp32 runs
+    stab_deadband: float = static_field(default=0.0)
+    # "baumgarte": rhs += -stab·C/h (velocity-level, the reference default).
+    # "project": rhs stab term dropped; positions projected back onto the
+    # constraint manifold AFTER each step (M⁻¹-weighted least squares).  At
+    # fp32 this avoids Baumgarte's eps32·|x|·stab/h velocity-jitter
+    # injection — but the position teleport adds potential energy with no
+    # kinetic bookkeeping (measured O(h²·t) energy drift), so prefer:
+    # "filtered": Baumgarte on a bias-corrected EMA of C (carried across
+    # steps via ``stab_state``).  The true violation signal is smooth in
+    # time; the eps32·|x| evaluation noise is white — the running mean
+    # passes the signal and divides the noise by √k (and its STEP-TO-STEP
+    # difference, which is what pollutes Dv/h accelerations, by k).
+    # Corrections stay velocity-level, so energy bookkeeping matches the
+    # reference's Baumgarte semantics exactly.
+    stab_mode: str = static_field(default="baumgarte")
+    # "filtered" steady-state EMA gain (reached once 1/k < alpha_min);
+    # lag·drift must stay under the constraint tolerance
+    stab_alpha_min: float = static_field(default=1.0 / 2048.0)
     max_recovery_speed: float = static_field(default=1e30)  # contact -C/h clamp
     # per-movable-body row-valence bound of the Dᵀγ incidence gather (shape
     # of the plan table: N·valence_bound·8 elements gathered PER ITERATION —
@@ -121,12 +141,15 @@ def applied_forces(model: Model, state: BodyState, t, f_ext=None, tau_ext=None):
 def bilateral_rows(model: Model, state: BodyState, t, h,
                    settings: SolverSettings) -> ConstraintRows:
     """Lower all joints and constraint motors to stabilized rows."""
+    stab = (0.0 if settings.stab_mode in ("project", "filtered")
+            else settings.stab_factor)
     parts = [
-        joint_rows(kind, data, state.x, state.q, h, settings.stab_factor)
+        joint_rows(kind, data, state.x, state.q, h, stab,
+                   settings.stab_deadband)
         for kind, data in model.joints.items()
     ]
     parts += [
-        motor_rows(kind, data, state.x, state.q, t, h, settings.stab_factor)
+        motor_rows(kind, data, state.x, state.q, t, h, stab)
         for kind, data in model.motors.items()
     ]
     if model.shaft_constraints:
@@ -140,8 +163,34 @@ def bilateral_rows(model: Model, state: BodyState, t, h,
     return concat_rows(parts)
 
 
+def bilateral_C(model: Model, state: BodyState, t, m_total: int) -> Array:
+    """Position-level violation vector aligned with ``bilateral_rows`` order.
+
+    joints → C; angle/pos motors → tracking error; speed motors, shafts and
+    couplers (velocity-level rows, no position gap) → 0, padded at the tail
+    to ``m_total``.
+    """
+    parts = [joint_rows(kind, data, state.x, state.q, 1.0, 1.0)
+             for kind, data in model.joints.items()]
+    parts += [
+        motor_rows(kind, data, state.x, state.q, t, 1.0, 1.0, vel_scale=0.0)
+        for kind, data in model.motors.items()
+    ]
+    rows = concat_rows(parts)
+    C = -rows.rhs if rows.m else jnp.zeros((0,), state.x.dtype)
+    return jnp.pad(C, (0, m_total - C.shape[0]))
+
+
+def init_stab_state(model: Model, state: BodyState, t, h,
+                    settings: SolverSettings):
+    """Zero-initialised carry for ``stab_mode='filtered'``: (C_ema, k)."""
+    m = bilateral_rows(model, state, t, h, settings).m
+    return jnp.zeros((m,), state.x.dtype), jnp.zeros((), jnp.int32)
+
+
 def _solve(rows: ConstraintRows, model: Model, v_free, w_free,
-           settings: SolverSettings, n_contacts=0, mu=None, gamma0=None):
+           settings: SolverSettings, n_contacts=0, mu=None, gamma0=None,
+           n_rolling=0, mu_roll=0.0, mu_spin=0.0):
     """Dispatch to the configured constraint solver."""
     m = rows.m
     if m == 0:
@@ -172,7 +221,9 @@ def _solve(rows: ConstraintRows, model: Model, v_free, w_free,
             g)
 
     r = desc.schur_rhs_packed(packed, desc.pack_u(v_free, w_free))
-    project = make_projector(m - 3 * n_contacts, n_contacts, mu)
+    project = make_projector(m - 3 * n_contacts - 3 * n_rolling,
+                             n_contacts, mu, n_rolling=n_rolling,
+                             mu_roll=mu_roll, mu_spin=mu_spin)
     g0 = jnp.zeros((m,), v_free.dtype) if gamma0 is None else gamma0
     if settings.solver == "apgd":
         sol = vi_solvers.solve_apgd(Nop, r, project, g0,
@@ -228,6 +279,11 @@ def step_euler_implicit_linearized(
     n_contacts: int = 0,
     contact_mu: Optional[Array] = None,
     gamma_warm: Optional[Array] = None,
+    position_comp=None,
+    stab_state=None,
+    n_rolling: int = 0,
+    mu_roll: float = 0.0,
+    mu_spin: float = 0.0,
 ):
     """One DVI step (Anitescu/Tasora one-Newton-iteration implicit Euler).
 
@@ -247,12 +303,26 @@ def step_euler_implicit_linearized(
     w_free = state.w + h * model.props.inv_inertia * tau
 
     rows = bilateral_rows(model, state, t, h, settings)
+    if settings.stab_mode == "filtered" and stab_state is not None:
+        # bias-corrected EMA of the violation: running mean until 1/k hits
+        # alpha_min, then exponential with that gain.  THIS step's rhs uses
+        # the updated mean (step 1 ≡ plain Baumgarte).
+        C_ema, k = stab_state
+        k = k + 1
+        alpha = jnp.maximum(1.0 / k.astype(C_ema.dtype),
+                            settings.stab_alpha_min)
+        C_now = bilateral_C(model, state, t, rows.m)
+        C_ema = C_ema + alpha * (C_now - C_ema)
+        stab_state = (C_ema, k)
+        rows = rows.replace(
+            rhs=rows.rhs - (settings.stab_factor / h) * C_ema)
     if extra_rows is not None:
         rows = concat_rows([rows, extra_rows])
 
     gamma, iters, res = _solve(
         rows, model, v_free, w_free, settings,
         n_contacts=n_contacts, mu=contact_mu, gamma0=gamma_warm,
+        n_rolling=n_rolling, mu_roll=mu_roll, mu_spin=mu_spin,
     )
     if rows.m > 0:
         v_new, w_new = desc.velocity_update_packed(
@@ -261,10 +331,78 @@ def step_euler_implicit_linearized(
     else:
         v_new, w_new = v_free, w_free
 
-    new_state = integrate_positions(state.replace(v=v_new, w=w_new), h)
     info = StepInfo(iterations=iters, residual=res,
                     joint_reactions=gamma / h, n_rows=rows.m)
+    if position_comp is not None:
+        # Kahan-compensated long-fp32-run variant: carry = (cx, cq)
+        from chrono_tpu.physics.body import integrate_positions_compensated
+        cx, cq = position_comp
+        new_state, cx, cq = integrate_positions_compensated(
+            state.replace(v=v_new, w=w_new), h, cx, cq)
+        if settings.stab_mode == "project":
+            new_state, cx = project_positions(model, new_state, t + h,
+                                              comp_x=cx)
+        if stab_state is not None:
+            return new_state, (cx, cq), stab_state, info
+        return new_state, (cx, cq), info
+    new_state = integrate_positions(state.replace(v=v_new, w=w_new), h)
+    if settings.stab_mode == "project":
+        new_state, _ = project_positions(model, new_state, t + h)
+    if stab_state is not None:
+        return new_state, stab_state, info
     return new_state, info
+
+
+def project_positions(model: Model, state: BodyState, t, n_iter: int = 1,
+                      comp_x=None, C_offset=None):
+    """Project positions back onto the constraint manifold (M⁻¹-weighted).
+
+    Solves ``(D M⁻¹ Dᵀ) λ = −(C − C_offset)`` on the position-level rows
+    (joints + motor tracking errors) and applies ``Δx = M⁻¹ Dᵀ λ`` to poses.
+
+    Used standalone (``C_offset=None``, mode "project") it keeps violations
+    at the solve floor but pumps energy O(h²·t) — the position teleport does
+    no kinetic-energy bookkeeping.  Its production role is the RESIDUAL
+    projector of mode "filtered": Baumgarte-on-EMA corrects the smooth
+    (systematic) violation energy-consistently, and this projects only the
+    zero-mean remainder ``C − C_ema`` — the eps32 evaluation noise plus the
+    √L random walk the EMA lag would otherwise admit — at position level,
+    where it is never amplified by 1/h.  ``C_offset`` must align with this
+    function's row order (joints then ALL motors — the ``bilateral_C``
+    layout).  ``comp_x``: Kahan carry for x.  Returns (state, comp_x).
+    """
+    def rows_at(st):
+        parts = [joint_rows(kind, data, st.x, st.q, 1.0, 1.0)
+                 for kind, data in model.joints.items()]
+        parts += [
+            motor_rows(kind, data, st.x, st.q, t, 1.0, 1.0, vel_scale=0.0)
+            for kind, data in model.motors.items()
+        ]
+        return concat_rows(parts)
+
+    if rows_at(state).m == 0:
+        return state, comp_x
+    for _ in range(n_iter):
+        rows = rows_at(state)
+        if C_offset is not None:
+            # rhs = −C + C_ema = −(C − C_ema): project the residual only
+            rows = rows.replace(rhs=rows.rhs + C_offset[:rows.m])
+        zero_v = jnp.zeros_like(state.v)
+        zero_w = jnp.zeros_like(state.w)
+        lam = solve_dense_schur(rows, model.props, zero_v, zero_w)
+        dv, dw = desc.velocity_update_packed(
+            desc.pack_rows(rows), desc.pack_minv(model.props), lam,
+            desc.pack_u(zero_v, zero_w))
+        if comp_x is None:
+            x_new = state.x + dv
+        else:
+            y = dv - comp_x
+            x_new = state.x + y
+            comp_x = (x_new - state.x) - y
+        proj = integrate_positions(state.replace(x=x_new, v=zero_v, w=dw),
+                                   1.0)
+        state = state.replace(x=x_new, q=proj.q)
+    return state, comp_x
 
 
 def make_step_fn(model: Model, h: float, settings: SolverSettings = SolverSettings()):

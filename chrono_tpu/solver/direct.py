@@ -20,6 +20,60 @@ from chrono_tpu.physics.constraints import ConstraintRows
 from chrono_tpu.solver import descriptor as desc
 
 
+def _two_prod(a, b):
+    """Dekker error-free product: a·b = p + err exactly (Veltkamp split)."""
+    split = 4097.0 if a.dtype == jnp.float32 else 134217729.0  # 2^s + 1
+    p = a * b
+    ca = split * a
+    ah = ca - (ca - a)
+    al = a - ah
+    cb = split * b
+    bh = cb - (cb - b)
+    bl = b - bh
+    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, err
+
+
+def _comp_sum(terms):
+    """Neumaier-compensated sum of a list of equal-shaped arrays."""
+    s = terms[0]
+    c = jnp.zeros_like(s)
+    for t in terms[1:]:
+        s1 = s + t
+        bv = s1 - s
+        c = c + (s - (s1 - bv)) + (t - bv)
+        s = s1
+    return s, c
+
+
+def compensated_schur_rhs(rows: ConstraintRows, v_free, w_free) -> Array:
+    """``r = D u_free − b`` with error-free products + compensated summation.
+
+    The constrained-direction relative velocities cancel O(|v|·|J|) terms to
+    O(h): at fp32 the plain contraction's rounding (eps·20 on the golden
+    pendula) passes through N⁻¹ into γ and is amplified by 1/h in the
+    reported reactions/accelerations — the dominant fp32 noise once
+    stabilization jitter is deadbanded.  Cost: ~4× the plain contraction on
+    a tiny (m, 12) product set; only the direct path uses it.
+    """
+    va = v_free[rows.body_a]
+    wa = w_free[rows.body_a]
+    vb = v_free[rows.body_b]
+    wb = w_free[rows.body_b]
+    wc = w_free[rows.body_c]
+    prods, errs = [], []
+    for J, u in ((rows.Ja_v, va), (rows.Ja_w, wa), (rows.Jb_v, vb),
+                 (rows.Jb_w, wb), (rows.Jc_w, wc)):
+        for k in range(3):
+            p, e = _two_prod(J[:, k], u[:, k])
+            prods.append(p)
+            errs.append(e)
+    prods.append(-rows.rhs)
+    s, c = _comp_sum(prods)
+    r = s + (c + sum(errs))
+    return jnp.where(rows.active, r, 0.0)
+
+
 def solve_dense_schur(
     rows: ConstraintRows,
     props: BodyProps,
@@ -45,10 +99,31 @@ def solve_dense_schur(
     m = rows.m
     scale = jnp.maximum(jnp.trace(N) / jnp.maximum(m, 1), 1.0)
     N = N + (reg * scale) * jnp.eye(m, dtype=N.dtype)
-    r = desc.schur_rhs(rows, v_free, w_free)
+    r = compensated_schur_rhs(rows, v_free, w_free)
     # inactive rows: force gamma=0 via identity rows
     N = jnp.where(rows.active[:, None] & rows.active[None, :], N,
                   jnp.eye(m, dtype=N.dtype))
     r = jnp.where(rows.active, r, 0.0)
-    cho = jsl.cho_factor(N, lower=True)
-    return jsl.cho_solve(cho, -r)
+    # Jacobi equilibration: joint rows mix translational (|J|~1, 1/m) and
+    # rotational (|J|~arm, 1/I) scales — raw cond(N) reaches 1e5+ on the
+    # golden pendula, which at fp32 puts eps·cond noise straight into γ/h
+    # reactions.  Symmetric scaling drops cond to the scaled matrix's.
+    s = 1.0 / jnp.sqrt(jnp.maximum(jnp.diagonal(N), 1e-30))
+    Ns = N * s[:, None] * s[None, :]
+    cho = jsl.cho_factor(Ns, lower=True)
+    gamma = s * jsl.cho_solve(cho, -(s * r))
+    # two steps of iterative refinement with a COMPENSATED residual
+    # (a plain fp32 N@γ+r has the same eps·‖N‖·‖γ‖ rounding as the error
+    # being corrected — the residual must be error-free to gain digits)
+    for _ in range(2):
+        terms = []
+        errs = []
+        for k in range(m):
+            p, e = _two_prod(N[:, k], gamma[k])
+            terms.append(p)
+            errs.append(e)
+        terms.append(r)
+        ssum, c = _comp_sum(terms)
+        resid = ssum + (c + sum(errs))
+        gamma = gamma - s * jsl.cho_solve(cho, s * resid)
+    return gamma

@@ -41,19 +41,47 @@ def project_friction_cone(gc: Array, mu: Array, eps: float = 1e-12) -> Array:
     return jnp.concatenate([gn_new[:, None], gt * t_scale[:, None]], axis=-1)
 
 
-def make_projector(n_bilateral: int, n_contacts: int, mu: Array | None):
+def make_projector(n_bilateral: int, n_contacts: int, mu: Array | None,
+                   n_rolling: int = 0, mu_roll=0.0, mu_spin=0.0):
     """Build ``project(gamma) -> gamma`` for the mixed multiplier vector.
 
     Bilateral rows are unconstrained (equality constraints, free multiplier);
-    the trailing ``3·n_contacts`` entries are cone-projected per triple.
+    the next ``3·n_contacts`` entries are cone-projected per (n, u, v)
+    triple.  With ``n_rolling = n_contacts`` a trailing block of 3-row
+    rolling triples ``(τ_spin, τ_u, τ_v)`` is projected onto the
+    spinning/rolling friction cones against the SAME normal multiplier,
+    updating it — the reference's ChConstraintRollingNormal::Project
+    (/root/reference/src/chrono/solver/ChConstraintRollingNormal.cpp:46):
+    spinning cone first, rolling cone second, each the Anitescu–Tasora
+    generator projection (identical algebra to the sliding cone with the
+    torque in the tangential role; μ_roll/μ_spin carry length units —
+    torque limit = μ·γ_n).
     """
     if n_contacts == 0:
         return lambda g: g
 
     def project(gamma: Array) -> Array:
         gb = gamma[:n_bilateral]
-        gc = gamma[n_bilateral:].reshape(n_contacts, 3)
+        gc = gamma[n_bilateral:n_bilateral + 3 * n_contacts].reshape(
+            n_contacts, 3)
         gc = project_friction_cone(gc, mu)
-        return jnp.concatenate([gb, gc.reshape(-1)])
+        if n_rolling == 0:
+            return jnp.concatenate([gb, gc.reshape(-1)])
+        gr = gamma[n_bilateral + 3 * n_contacts:].reshape(n_rolling, 3)
+        gn = gc[:, 0]
+        # spinning cone on (γ_n, τ_spin)
+        zero = jnp.zeros_like(gn)
+        sp = project_friction_cone(
+            jnp.stack([gn, gr[:, 0], zero], axis=1),
+            jnp.full_like(gn, mu_spin))
+        gn, t_spin = sp[:, 0], sp[:, 1]
+        # rolling cone on (γ_n, τ_u, τ_v)
+        rl = project_friction_cone(
+            jnp.concatenate([gn[:, None], gr[:, 1:3]], axis=1),
+            jnp.full_like(gn, mu_roll))
+        gn, t_uv = rl[:, 0], rl[:, 1:3]
+        gc = jnp.concatenate([gn[:, None], gc[:, 1:3]], axis=1)
+        gr = jnp.concatenate([t_spin[:, None], t_uv], axis=1)
+        return jnp.concatenate([gb, gc.reshape(-1), gr.reshape(-1)])
 
     return project

@@ -282,7 +282,20 @@ def run_case(case: dict, dtype_str: str = "f64",
         joint_loc = np.asarray(case["joint_loc"], float)
     model, state0 = bld.finalize()
 
-    settings = SolverSettings(solver="direct")
+    # fp32: plain Baumgarte turns the eps32·|x| violation-evaluation noise
+    # into stab/h velocity kicks (measured ≈3e-4 white jitter per substep,
+    # i.e. Acc RMS ≈ √2·σ/h ≈ 1); "filtered" runs Baumgarte on a
+    # bias-corrected running mean of C, keeping corrections velocity-level
+    # (energy-consistent — position projection instead drifts O(h²·t)) while
+    # dividing the white noise by k
+    stab_mode = os.environ.get(
+        "CHRONO_GOLDEN_STAB", "baumgarte" if dtype_str == "f64" else "filtered")
+    # α=1/128 measured best on Revolute fp32: Vel 5.8e-5 / Acc 1.2e-2 /
+    # cviol 3.8e-6 (larger windows let out-of-plane violations random-walk
+    # √L·eps32·|x|; smaller ones pass more white kick noise)
+    alpha = float(os.environ.get("CHRONO_GOLDEN_ALPHA", 1.0 / 128.0))
+    settings = SolverSettings(solver="direct", stab_mode=stab_mode,
+                              stab_alpha_min=alpha)
     h = sim_step
     record_every = int(round(out_step / sim_step))
     n_out = int(round(t_end / out_step)) + 1
@@ -372,16 +385,20 @@ def run_case(case: dict, dtype_str: str = "f64",
         return jnp.max(jnp.stack(vals))
 
     def one_output_block(carry, _):
-        state, t = carry
+        state, t, cx, cq, ss = carry
 
         def substep(c, __):
-            s, tt = c
-            s2, info = step_euler_implicit_linearized(
-                model, s, tt, h, settings)
-            return (s2, tt + h), (s2, info.joint_reactions)
+            s, tt, cx_, cq_, ss_ = c
+            # Kahan-compensated integration: at fp32 the plain x += h v drops
+            # the increment's low bits every step (up to N·eps·|x| over the
+            # 5e5-step cases); the carry restores O(eps) accumulation
+            s2, (cx2, cq2), ss2, info = step_euler_implicit_linearized(
+                model, s, tt, h, settings, position_comp=(cx_, cq_),
+                stab_state=ss_)
+            return (s2, tt + h, cx2, cq2, ss2), (s2, info.joint_reactions)
 
-        (state2, t2), (straj, gammas) = jax.lax.scan(
-            substep, (state, t), None, length=record_every)
+        (state2, t2, cx2, cq2, ss2), (straj, gammas) = jax.lax.scan(
+            substep, (state, t, cx, cq, ss), None, length=record_every)
         # acceleration over the LAST substep (Chrono scatters Dv/h as accel)
         last = jax.tree_util.tree_map(lambda a: a[-1], straj)
         prev = jax.tree_util.tree_map(
@@ -390,19 +407,27 @@ def run_case(case: dict, dtype_str: str = "f64",
         aacc_loc = (last.w - prev.w) / h
         # gamma of the last substep pairs with rows built at its start state
         F, T = _reaction(prev, gammas[-1])
-        return (state2, t2), (last, acc, aacc_loc, F, T, _violation(last))
+        return (state2, t2, cx2, cq2, ss2), (last, acc, aacc_loc, F, T,
+                                             _violation(last))
 
     # initial accelerations: reference does a full DoAssembly before the loop;
     # approximate with the first-step Dv/h (error O(h), far below Acc tol)
+    from chrono_tpu.physics.system import init_stab_state
+
     @jax.jit
     def run_all():
         st1, info0 = step_euler_implicit_linearized(
-            model, state0, jnp.asarray(0.0, dt), h, settings)
+            model, state0, jnp.asarray(0.0, dt), h,
+            settings.replace(stab_mode="baumgarte"))
         acc0 = (st1.v - state0.v) / h
         aacc0 = (st1.w - state0.w) / h
         F0, T0 = _reaction(state0, info0.joint_reactions)
-        (_, _), outs = jax.lax.scan(
-            one_output_block, (state0, jnp.asarray(0.0, dt)), None,
+        zc = jnp.zeros_like(state0.x), jnp.zeros_like(state0.q)
+        ss0 = init_stab_state(model, state0, jnp.asarray(0.0, dt), h,
+                              settings)
+        _, outs = jax.lax.scan(
+            one_output_block,
+            (state0, jnp.asarray(0.0, dt)) + zc + (ss0,), None,
             length=n_out - 1)
         return (acc0, aacc0, F0, T0, _violation(state0)), outs
 
