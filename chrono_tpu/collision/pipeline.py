@@ -97,6 +97,15 @@ class CollisionModel:
     max_per_cell: int = static_field(default=8)
     max_contacts: int = static_field(default=1024)
     envelope: float = static_field(default=0.0)  # detection margin
+    # scene-level rolling/spinning friction coefficients (length units:
+    # torque limit = μ·γ_n, the reference's ChContactNSCrolling contract).
+    # Non-zero → 3 extra rolling rows per contact in the DVI solve.
+    mu_roll: float = static_field(default=0.0)
+    mu_spin: float = static_field(default=0.0)
+
+    @property
+    def use_rolling(self) -> bool:
+        return self.mu_roll > 0.0 or self.mu_spin > 0.0
 
 
 class Contacts(NamedTuple):
@@ -322,6 +331,44 @@ def contact_rows(contacts: Contacts, state: BodyState, h,
     )
 
 
+def rolling_rows(contacts: Contacts, state: BodyState) -> ConstraintRows:
+    """Rolling/spinning reaction rows — 3 per contact, contact-major
+    ``[spin(n), roll(t1), roll(t2)]``, appended AFTER the sliding triples.
+
+    The reference's ChContactNSCrolling adds 3 torque multipliers per
+    contact (/root/reference/src/chrono/physics/ChContactNSCrolling.h:26)
+    whose Jacobians act on relative angular velocity about the contact
+    frame; the cone projection lives in solver.projection.make_projector.
+    """
+    a, b = contacts.body_a, contacts.body_b
+    Cn = contacts.normal
+    t1, t2 = _tangent_basis(Cn)
+
+    def wrows(d):
+        return (-Q.qrotate_inv(state.q[a], d), Q.qrotate_inv(state.q[b], d))
+
+    n_r = wrows(Cn)
+    u_r = wrows(t1)
+    v_r = wrows(t2)
+    zero3 = jnp.zeros_like(Cn)
+    zrhs = jnp.zeros_like(contacts.gap)
+
+    def interleave(xs):
+        return jnp.stack(xs, axis=1).reshape((-1,) + xs[0].shape[1:])
+
+    act = contacts.active
+    return ConstraintRows.two_body(
+        body_a=interleave([a, a, a]),
+        body_b=interleave([b, b, b]),
+        Ja_v=interleave([zero3, zero3, zero3]),
+        Ja_w=interleave([n_r[0], u_r[0], v_r[0]]),
+        Jb_v=interleave([zero3, zero3, zero3]),
+        Jb_w=interleave([n_r[1], u_r[1], v_r[1]]),
+        rhs=interleave([zrhs, zrhs, zrhs]),
+        active=interleave([act, act, act]),
+    )
+
+
 def nsc_step(model, coll: CollisionModel, state: BodyState, t, h,
              settings=None, gamma_warm=None):
     """One NSC (DVI) step with contacts: detect → lower → mixed VI solve.
@@ -338,9 +385,17 @@ def nsc_step(model, coll: CollisionModel, state: BodyState, t, h,
     contacts = detect_contacts(coll, state)
     rows = contact_rows(contacts, state, h, settings.stab_factor,
                         settings.max_recovery_speed)
+    n_rolling = 0
+    if coll.use_rolling:
+        # 3 rolling reaction rows per contact, appended AFTER the sliding
+        # triples (reference: ChContactNSCrolling.h:26)
+        from chrono_tpu.physics.constraints import concat_rows
+        rows = concat_rows([rows, rolling_rows(contacts, state)])
+        n_rolling = coll.max_contacts
     new_state, info = step_euler_implicit_linearized(
         model, state, t, h, settings,
         extra_rows=rows, n_contacts=coll.max_contacts,
         contact_mu=contacts.mu, gamma_warm=gamma_warm,
+        n_rolling=n_rolling, mu_roll=coll.mu_roll, mu_spin=coll.mu_spin,
     )
     return new_state, contacts, info

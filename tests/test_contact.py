@@ -121,7 +121,8 @@ class TestBroadphase:
                                       [[True, True, True], [True, False, False]])
 
 
-def drop_scene(mu=0.5, n_spheres=1, solver="apgd"):
+def drop_scene(mu=0.5, n_spheres=1, solver="apgd", mu_roll=0.0,
+               mu_spin=0.0):
     """Sphere(s) dropped in a box on the ground."""
     b = SystemBuilder()
     g = b.add_ground()
@@ -148,6 +149,7 @@ def drop_scene(mu=0.5, n_spheres=1, solver="apgd"):
         grid=GridSpec(origin=(-12.0, -12.0, -2.0), cell_size=1.2,
                       dims=(20, 20, 8)),
         max_per_cell=8, max_contacts=64,
+        mu_roll=mu_roll, mu_spin=mu_spin,
     )
     return model, coll, state
 
@@ -218,6 +220,56 @@ class TestContactDynamics:
         v_xy = np.asarray(final.v[1:, :2])
         slip = v_xy + np.cross(w_world, np.array([0.0, 0.0, -0.5]))[:, :2]
         assert np.abs(slip).max() < 0.1, f"contact slip {slip}"
+
+    def test_rolling_friction_stops_rolling(self):
+        """NSC rolling-resistance rows (ChContactNSCrolling role): a sphere
+        rolling without slip keeps rolling forever with μ_r=0, but μ_r>0
+        decelerates it at a = μ_r·N/(r·m·(1+I/(m r²))) until it stops."""
+        v_roll = 2.0 / (1.0 + 2.0 / 5.0)  # post-slide rolling speed
+        settings = SolverSettings(solver="apgd", max_iter=150, tol=1e-8,
+                                  stab_factor=0.2)
+
+        def run(mu_roll, n):
+            model, coll, state = drop_scene(mu=0.5, mu_roll=mu_roll)
+            state = state.replace(
+                x=state.x.at[1, 2].set(0.5),
+                v=state.v.at[1, 0].set(v_roll),
+                w=state.w.at[1, 1].set(v_roll / 0.5))
+            return run_contact(model, coll, state, 5e-3, n, settings)
+
+        free = run(0.0, 300)
+        np.testing.assert_allclose(float(free.v[1, 0]), v_roll, atol=0.05)
+
+        # μ_r=0.1 m → a = 0.1·9.81/(0.5·1.4) = 1.40 m/s²: stopped well
+        # within 1.5 s
+        resisted = run(0.1, 300)
+        assert abs(float(resisted.v[1, 0])) < 0.1, \
+            f"still rolling: v={float(resisted.v[1, 0])}"
+        assert abs(float(resisted.w[1, 1])) < 0.25
+        # deceleration magnitude at ~0.5 s (still rolling): v ≈ v0 − a·t
+        mid = run(0.1, 100)
+        np.testing.assert_allclose(float(mid.v[1, 0]),
+                                   v_roll - 1.4014 * 0.5, atol=0.1)
+
+    def test_spinning_friction_stops_spin(self):
+        """μ_spin resists rotation about the contact normal: α = μ_s·N/I."""
+        settings = SolverSettings(solver="apgd", max_iter=150, tol=1e-8,
+                                  stab_factor=0.2)
+
+        def run(mu_spin, n):
+            model, coll, state = drop_scene(mu=0.5, mu_spin=mu_spin)
+            state = state.replace(x=state.x.at[1, 2].set(0.5),
+                                  w=state.w.at[1, 2].set(3.0))
+            return run_contact(model, coll, state, 5e-3, n, settings)
+
+        free = run(0.0, 200)
+        np.testing.assert_allclose(float(free.w[1, 2]), 3.0, atol=0.05)
+        # μ_s=0.05 → α = 0.05·9.81/0.1 = 4.9 rad/s²: stops at ~0.61 s
+        spun = run(0.05, 200)
+        assert abs(float(spun.w[1, 2])) < 0.2, \
+            f"still spinning: w={float(spun.w[1, 2])}"
+        mid = run(0.05, 60)  # 0.3 s: w ≈ 3 − 4.9·0.3 = 1.53
+        np.testing.assert_allclose(float(mid.w[1, 2]), 1.53, atol=0.15)
 
     def test_contact_count(self):
         model, coll, state = drop_scene()
