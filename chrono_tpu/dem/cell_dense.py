@@ -39,29 +39,45 @@ class CellField:
     overflow: Array
 
 
-def to_cells(grid: GridSpec, capacity: int, pos, vel, omega) -> CellField:
-    """Bin particles into cell slots (sort + rank-in-cell, no atomics)."""
+def to_cells(grid: GridSpec, capacity: int, pos, vel, omega,
+             valid=None, bin_pos=None) -> CellField:
+    """Bin particles into cell slots (sort + rank-in-cell, no atomics).
+
+    ``valid``: optional (N,) mask — invalid rows (fixed-capacity buffer
+    padding) are routed to a discard bucket instead of the clamped corner
+    cell.  ``bin_pos``: optional positions used ONLY for the cell-index
+    computation (the stored values stay ``pos``) — lets a sharded caller bin
+    against a slab-local grid while keeping global coordinates in the field.
+    """
     n = pos.shape[0]
     nx, ny, nz = grid.dims
+    n_cells = nx * ny * nz
     ids = (lambda ijk: (ijk[..., 0] * ny + ijk[..., 1]) * nz + ijk[..., 2])(
-        cell_ijk(grid, pos))
+        cell_ijk(grid, pos if bin_pos is None else bin_pos))
+    if valid is not None:
+        ids = jnp.where(valid, ids, n_cells)       # discard bucket
     order = jnp.argsort(ids)
     ids_sorted = ids[order]
     # rank within the cell = position − first-occurrence index
     first = jnp.searchsorted(ids_sorted, ids_sorted)
     rank = jnp.arange(n) - first
-    overflow = jnp.maximum(rank.max() + 1 - capacity, 0).astype(jnp.int32)
+    real = ids_sorted < n_cells
+    overflow = (jnp.maximum(
+        jnp.max(jnp.where(real, rank, 0)) + 1 - capacity, 0)
+        .astype(jnp.int32))
     slot = jnp.minimum(rank, capacity - 1)
     flat = ids_sorted * capacity + slot            # slot of sorted particle k
     perm = jnp.zeros((n,), flat.dtype).at[order].set(flat)  # original order
+    n_flat = (n_cells + (1 if valid is not None else 0)) * capacity
 
     def scatter(x):
-        out = jnp.zeros((nx * ny * nz * capacity,) + x.shape[1:], x.dtype)
-        return out.at[flat].set(x[order]).reshape(
-            (nx, ny, nz, capacity) + x.shape[1:])
+        out = jnp.zeros((n_flat,) + x.shape[1:], x.dtype)
+        out = out.at[flat].set(x[order])[:n_cells * capacity]
+        return out.reshape((nx, ny, nz, capacity) + x.shape[1:])
 
-    mask = jnp.zeros((nx * ny * nz * capacity,), bool).at[flat].set(
-        rank < capacity).reshape(nx, ny, nz, capacity)
+    mask = jnp.zeros((n_flat,), bool).at[flat].set(
+        (rank < capacity) & real)[:n_cells * capacity].reshape(
+        nx, ny, nz, capacity)
     return CellField(pos=scatter(pos), vel=scatter(vel), omega=scatter(omega),
                      mask=mask, perm=perm, overflow=overflow)
 

@@ -291,3 +291,70 @@ class TestShardedSPH:
             return a[np.lexsort((a[:, 2], a[:, 1], a[:, 0]))]
 
         np.testing.assert_allclose(canon(got), canon(ref), atol=5e-4)
+
+
+class TestShardedFlatPallas:
+    """VERDICT r2 item 2: the multi-chip path must certify the SAME engine
+    the benches measure — the flat-lane symmetric Pallas kernel
+    (ops.pallas.dem_flat_kernel), not the gather/XLA backend."""
+
+    def test_sharded_flat_parity_with_single_chip_flat(self):
+        from chrono_tpu.collision.cell_list import GridSpec
+        from chrono_tpu.dem import DEMSystem
+        from chrono_tpu.dem.cell_dense import make_cell_dense_advance
+        from chrono_tpu.parallel.pallas_dem import (
+            make_sharded_flat_dem_advance,
+        )
+        from chrono_tpu.utils.samplers import grid_sample_box
+
+        D = 4
+        radius = 0.05
+        cell = 2 * radius * 1.45
+        nx, ny, nz = 8, 5, 5
+        origin = (-cell, -cell, -cell)
+        # box walls well inside the grid; particles straddle all 3 slab faces
+        box = ((0.0, 0.0, 0.0),
+               (nx * cell - 2 * cell, ny * cell - 2 * cell,
+                nz * cell - 2 * cell))
+        grid = GridSpec(origin=origin, cell_size=cell, dims=(nx, ny, nz))
+        pts = grid_sample_box((0.06, 0.06, 0.06),
+                              (box[1][0] - 0.06, box[1][1] - 0.06,
+                               box[1][2] - 0.1),
+                              0.115, jitter=0.03, seed=7)
+        sys_ = DEMSystem(radius=radius, density=2500, box=box,
+                         friction_mode="single_step", rebuild_every=4,
+                         max_neighbors=12)
+        sys_.set_material(youngs=5e6, restitution=0.4, mu_s=0.4)
+        sys_.set_wall_material(youngs=5e6, restitution=0.4, mu_s=0.4)
+        sys_.create_particles(pts)
+        n_cycles = 8
+
+        # single-chip flat-lane Pallas reference (interpret on CPU)
+        adv1 = make_cell_dense_advance(sys_.params, sys_.bcs, grid,
+                                       capacity=8, backend="flat",
+                                       pallas_interpret=True)
+        p1, v1, o1, ov1 = adv1(jnp.asarray(pts, jnp.float32),
+                               jnp.zeros((len(pts), 3), jnp.float32),
+                               jnp.zeros((len(pts), 3), jnp.float32),
+                               n_cycles)
+        assert int(ov1) == 0
+        ref = np.asarray(p1)
+
+        # sharded flat-lane Pallas over 4 slabs
+        spec = SlabSpec(x0=origin[0], width=(nx // D) * cell, n_slabs=D,
+                        capacity=64, halo_capacity=32, migrate_capacity=16,
+                        cutoff=cell)
+        sp = distribute(spec, pts, np.zeros_like(pts))
+        omega = jnp.zeros_like(sp.pos)
+        adv = make_sharded_flat_dem_advance(
+            spec, make_mesh(D), sys_.params, sys_.bcs, grid,
+            capacity=8, interpret=True)
+        p, v, o, m, ov = adv(sp.pos, sp.vel, omega, sp.valid, n_cycles)
+        assert int(ov) == 0
+        got = np.asarray(p)[np.asarray(m)]
+        assert got.shape[0] == len(pts)
+
+        def canon(a):
+            return a[np.lexsort((a[:, 2], a[:, 1], a[:, 0]))]
+
+        np.testing.assert_allclose(canon(got), canon(ref), atol=5e-4)
