@@ -290,6 +290,112 @@ def bench_mixer_pencil(n_spheres=None):
                 backend=jax.default_backend())
 
 
+def bench_mixer_blade(n_spheres=None):
+    """Config #2, the reference's ACTUAL bladed-mixer scene: a box tank with
+    a rotating box paddle (btest_CH_mixerNSC.cpp:74-108 — floor, 4 walls, a
+    10×5×1 blade at π/3 rad/s driven by an ideal speed motor).  The blade is
+    a traced-pose ``rotbox`` wall in the half-stencil Pallas DVI engine; the
+    ideal motor makes its motion exactly prescribed, and the motor torque is
+    read back from the contact impulses (track_wall_reactions).
+
+    TPU-informed geometry: gravity along −x so the tank's long axis fills
+    the 128-lane z dim (SUITE_TANK_ASPECT, default 4 — the aspect-8-drum
+    move); proportions otherwise follow the reference (blade sweep ≈ half
+    the tank width, blade reaches the floor, submerged in the bed).
+    """
+    import jax
+    import jax.numpy as jnp
+    from chrono_tpu.collision.cell_list import GridSpec
+    from chrono_tpu.solver.nsc_pencil import (
+        NSCPencilParams, make_nsc_pencil_advance,
+    )
+
+    n_target = n_spheres or int(os.environ.get("SUITE_N", 40_000))
+    radius = 0.03
+    aspect = float(os.environ.get("SUITE_TANK_ASPECT", 4.0))
+    vol = n_target * (4.0 / 3.0) * np.pi * radius ** 3 / 0.58
+    Ly = (4.0 * vol / aspect) ** (1 / 3)    # bed depth ≈ Ly/4
+    Lz = aspect * Ly
+    depth = vol / (Ly * Lz)
+    cell = 2.1 * radius
+    dims = (int(np.ceil(3.0 * depth / cell)),
+            int(np.ceil(Ly / cell)) + 2,
+            int(np.ceil(Lz / cell)) + 2)
+    grid = GridSpec(origin=(0.0, -cell, -cell), cell_size=cell, dims=dims)
+    cy, cz = Ly / 2, Lz / 2
+    spin = np.pi / 3                        # the reference's blade speed
+    blade = ("rotbox", 0, (0.6 * depth, cy, cz),
+             (0.45 * Ly, 2.0 * radius, 0.7 * depth), spin, 0.4)
+    walls = (
+        ("plane", (1.0, 0.0, 0.0), 0.0, (0.0, 0.0, 0.0), 0.4),   # floor
+        ("plane", (0.0, 1.0, 0.0), 0.0, (0.0, 0.0, 0.0), 0.3),
+        ("plane", (0.0, -1.0, 0.0), -Ly, (0.0, 0.0, 0.0), 0.3),
+        ("plane", (0.0, 0.0, 1.0), 0.0, (0.0, 0.0, 0.0), 0.3),
+        ("plane", (0.0, 0.0, -1.0), -Lz, (0.0, 0.0, 0.0), 0.3),
+        blade,
+    )
+    p = NSCPencilParams(radius=radius, mass=0.2, mu=0.4,
+                        gravity=(-9.81, 0.0, 0.0),
+                        dt=2e-3, n_iter=int(os.environ.get("SUITE_IT", 50)),
+                        envelope=0.1 * radius, omega=0.3,
+                        track_wall_reactions=True)
+
+    # lattice fill of the bed, skipping the blade's initial footprint
+    rng = np.random.default_rng(4)
+    s = 2.02 * radius
+    pts = []
+    for ix in np.arange(radius * 1.2, 2.0 * depth, s):
+        for iy in np.arange(radius * 1.2, Ly - radius, s):
+            for iz in np.arange(radius * 1.2, Lz - radius, s):
+                if abs(iy - cy) < 0.45 * Ly + 3 * radius and \
+                        abs(iz - cz) < 5 * radius and \
+                        ix < 1.4 * depth + radius:
+                    continue               # blade footprint (θ=0: along y)
+                pts.append((ix, iy, iz))
+                if len(pts) >= n_target:
+                    break
+            if len(pts) >= n_target:
+                break
+        if len(pts) >= n_target:
+            break
+    pts = np.asarray(pts)
+    pts += rng.uniform(-0.005, 0.005, pts.shape) * radius
+    n = len(pts)
+
+    engine = os.environ.get("SUITE_NSC_ENGINE", "half")
+    adv = make_nsc_pencil_advance(p, grid, walls, backend=engine,
+                                  partners=int(os.environ.get(
+                                      "SUITE_PARTNERS", 8)),
+                                  Bxy=int(os.environ.get("SUITE_BXY", 1)))
+    pos = jnp.asarray(pts, jnp.float32)
+    vel = jnp.zeros((n, 3), jnp.float32)
+    om = jnp.zeros((n, 3), jnp.float32)
+    pos, vel, om, ovf, reac = adv(pos, vel, om, 25)
+    pos.block_until_ready()
+    assert int(ovf) == 0, f"cell overflow {int(ovf)}"
+    steps = int(os.environ.get("SUITE_STEPS", 25))
+    t0 = time.perf_counter()
+    pos, vel, om, ovf, (wforce, wtorque) = adv(
+        pos, vel, om, steps, theta0=np.asarray([25 * p.dt * spin]))
+    pos.block_until_ready()
+    dt = time.perf_counter() - t0
+    assert int(ovf) == 0
+    assert bool(np.isfinite(np.asarray(pos)).all())
+
+    from chrono_tpu.dem.cell_dense import to_cells
+    field = to_cells(grid, 8, pos, vel, om)
+    npairs = _count_pairs(field, grid, radius, p.envelope)
+    return dict(metric=f"NSC bladed mixer DVI iterations/sec ({engine})",
+                value=round(p.n_iter * steps / dt, 1), unit="iters/s",
+                ms_per_step=round(dt / steps * 1e3, 2),
+                rtf=round(dt / (steps * p.dt), 2),
+                contacts=int(npairs), n_spheres=n,
+                blade_torque_x=round(float(wtorque[5, 0]), 4),
+                iters_per_step=p.n_iter,
+                grid="x".join(str(d) for d in dims),
+                backend=jax.default_backend())
+
+
 def _count_pairs(field, grid, radius, envelope):
     """Active pair-contact count (each pair once) via dense rolls."""
     import jax.numpy as jnp
@@ -351,7 +457,8 @@ def bench_sph(n_target=None):
         c_s=jnp.asarray(10.0 * np.sqrt(2 * 9.81 * H)),
         gravity=jnp.asarray([0.0, 0.0, -9.81]),
         dt=jnp.asarray(1e-4),
-        max_neighbors=96, max_per_cell=64, rebuild_every=4,
+        max_neighbors=96, max_per_cell=64,
+        rebuild_every=int(os.environ.get("SUITE_SPH_REBUILD", 4)),
         integrator="symplectic", viscosity_model="artificial",
     )
     params = params.replace(dt=jnp.asarray(suggest_sph_dt(params)))
@@ -365,11 +472,38 @@ def bench_sph(n_target=None):
         walls.append(grid_sample_box((-3 * d0, -3 * d0, -o),
                                      (L + 3 * d0, W + 3 * d0, -o), d0))
     floor = np.concatenate(walls)
-    cell = 2.0 * float(params.h)
+    # TPU-informed knobs (physics-identical):
+    #   SUITE_SPH_ROT=1  — lane-filling orientation: the tank length (the
+    #     longest grid axis) goes into the 128-lane z dim (the same trick as
+    #     the NSC aspect-8 drum); gravity moves to -y.
+    #   SUITE_SPH_CELL   — cell-size multiplier on the 2h support (bigger
+    #     cells raise slot occupancy toward C, cutting padded slot-evals —
+    #     the DEM v5 move); worst-case wall cells stay ≤ C (overflow assert).
+    cell = float(os.environ.get("SUITE_SPH_CELL", "1.0")) \
+        * 2.0 * float(params.h)
+    rot = os.environ.get("SUITE_SPH_ROT", "0")
+    if rot == "1":
+        # lane-filling: tank length L (the longest axis) into the lanes
+        perm = [1, 2, 0]                   # (L, W, H) -> (W, H, L)
+        fluid = fluid[:, perm]
+        floor = floor[:, perm]
+        params = params.replace(gravity=jnp.asarray([0.0, -9.81, 0.0]))
+        ext = (W + 8 * d0, 1.6 * H + 8 * d0, L + 8 * d0)
+    elif rot == "2":
+        # skip-optimal: the ALWAYS-WET axis (the tank width W — the dam
+        # spans it at all times) into the lanes, so the (L, height) row
+        # plane carries the air and the active-row mask skips it.  Active
+        # rows = wet cells / wet-lane extent, minimized by laning the axis
+        # with the largest wet extent.
+        perm = [0, 2, 1]                   # (L, W, H) -> (L, H, W)
+        fluid = fluid[:, perm]
+        floor = floor[:, perm]
+        params = params.replace(gravity=jnp.asarray([0.0, -9.81, 0.0]))
+        ext = (L + 8 * d0, 1.6 * H + 8 * d0, W + 8 * d0)
+    else:
+        ext = (L + 8 * d0, W + 8 * d0, 1.6 * H + 8 * d0)
     grid = GridSpec(origin=(-4 * d0, -4 * d0, -4 * d0), cell_size=cell,
-                    dims=(int(np.ceil((L + 8 * d0) / cell)),
-                          int(np.ceil((W + 8 * d0) / cell)),
-                          int(np.ceil((1.6 * H + 8 * d0) / cell))))
+                    dims=tuple(int(np.ceil(e / cell)) for e in ext))
     state = make_sph_state(params, fluid, boundary_pts=floor)
     n = int(fluid.shape[0])
     engine = os.environ.get("SUITE_SPH_ENGINE",
@@ -393,9 +527,12 @@ def bench_sph(n_target=None):
         else:
             pgrid = grid
         cap = int(os.environ.get("SUITE_SPH_C", 32))
-        adv = make_sph_advance_pencil(params, pgrid, capacity=cap, Bxy=4,
+        bxy = int(os.environ.get("SUITE_SPH_BXY", 4))
+        layout = os.environ.get("SUITE_SPH_LAYOUT", "auto")
+        adv = make_sph_advance_pencil(params, pgrid, capacity=cap, Bxy=bxy,
                                       backend=("sym" if engine == "sym"
-                                               else "pencil"))
+                                               else "pencil"),
+                                      layout=layout)
     else:
         adv = make_sph_advance_fn(params, grid)
     state, ovf = adv(state, 1)

@@ -240,9 +240,19 @@ def make_sph_advance_pencil(params: SPHParams, grid: GridSpec,
 
     def one_cycle(state):
         feat, perm, ovf = binner(state)
+        kw = dict(sub_kw)
+        if backend == "sym":
+            # row-activity mask for the cycle: a row block with no markers
+            # owns no pairs and receives no reactions (both pair sides need
+            # markers), so the kernel skips its DMAs and sweeps outright —
+            # most of a dam-break tank is air.  Rows are fixed within a
+            # cycle (binning happens once), so occupancy is exact, not a
+            # skin estimate.
+            kw["active"] = (jnp.max(feat[:, -1], axis=(1, 2)) > 0) \
+                .astype(jnp.int32)
 
         def substep(f, _):
-            return substep_fn(f, edge, **sub_kw), None
+            return substep_fn(f, edge, **kw), None
 
         feat, _ = lax.scan(substep, feat, None,
                            length=params.rebuild_every)

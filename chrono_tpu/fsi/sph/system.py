@@ -66,13 +66,18 @@ def sph_substep(params: SPHParams, grid: GridSpec, state: SPHState,
         rho = state.rho + h * drho
     elif params.integrator == "symplectic":
         # acoustic-stable kick-drift: v from p(ρⁿ), then ρ from the NEW v
-        # (see wcsph.continuity_rhs), then transport with XSPH velocity
+        # (see wcsph.continuity_rhs), then transport with XSPH velocity.
+        # The XSPH weight uses ρⁿ — the same time level as the continuity
+        # pair sums, matching the reference's single-force-pass evaluation
+        # (SphForceWCSPH.cu computes all RHS terms from the current state);
+        # it also lets the TPU plane engines fuse the continuity and drift
+        # sweeps into one pass (sph_sym_kernel sweep CD).
         _, dv = rhs(state.pos, state.vel, state.rho)
         vel = jnp.where(is_fluid, state.vel + h * dv, state.vel)
         drho = wcsph.continuity_rhs(params, grid, state.pos, vel, state.rho,
                                     state.kind, state.nbr.idx, state.nbr.valid)
         rho = state.rho + h * drho
-        vt = transport_velocity(state.pos, vel, rho)
+        vt = transport_velocity(state.pos, vel, state.rho)
         pos = jnp.where(is_fluid, state.pos + h * vt, state.pos)
     elif params.integrator == "rk2":
         drho1, dv1 = rhs(state.pos, state.vel, state.rho)

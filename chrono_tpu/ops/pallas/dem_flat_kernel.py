@@ -170,7 +170,7 @@ def dem_flat_substep_pallas(feat, *, radius, kn, gn, kt=0.0, gt=0.0,
                             mu=0.0, dt=0.0, friction=False, grid_dims,
                             SZ, C, Bxy=8, interpret=False, walls=(),
                             wall_coefs=(), gravity=(0, 0, 0), inv_m=1.0,
-                            inv_I=1.0):
+                            inv_I=1.0, active=None):
     """One whole DEM substep on flat-lane planes.
 
     ``feat``: (nx, 10, C, NL) with lane = y*SZ + z (see
@@ -186,4 +186,4 @@ def dem_flat_substep_pallas(feat, *, radius, kn, gn, kt=0.0, gt=0.0,
     return sym_sweep_flat(
         feat, grid_dims=grid_dims, SZ=SZ, C=C, Bxy=Bxy, n_out=F_FEAT,
         n_acc=6, pair2_fn=pair2, post_fn=post, interpret=interpret,
-        flops_per_pair=flops, n_dz=1, val_idx=_MASK)
+        flops_per_pair=flops, n_dz=1, val_idx=_MASK, active=active)

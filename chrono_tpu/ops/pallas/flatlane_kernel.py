@@ -57,76 +57,94 @@ def _make_flat_kernel(F_in, n_out, n_acc, C, NL, SZ, Bxy, WB,
              [(1, dy * SZ + dz) for dy in (-1, 0, 1)
               for dz in range(-n_dz, n_dz + 1)]
 
-    def kernel(feat_ref, out_ref, buf, accA, accB, react, acc_ref, sem):
+    def kernel(act_ref, feat_ref, out_ref, buf, accA, accB, react, acc_ref,
+               sem):
         b = pl.program_id(0)
         base = b * Bxy
+        act = act_ref[0] > 0
 
         @pl.when(b == 0)
         def _init():
             accA[...] = jnp.zeros((WB, n_acc, C, NL), jnp.float32)
 
-        cp = pltpu.make_async_copy(
-            feat_ref.at[pl.ds(base, Bxy + 1)], buf, sem)
-        cp.start()
-        cp.wait()
         react[...] = jnp.zeros((WB, n_acc, C, NL), jnp.float32)
         acc_ref[...] = jnp.zeros((Bxy, n_acc, C, NL), jnp.float32)
 
-        self_slab = buf[0:Bxy]
+        def pair_work():
+            # DMA + all pair sweeps — skipped wholesale for inactive row
+            # blocks (rows with no markers in [base−1, base+Bxy]): the
+            # sweeps would only accumulate zeros.  The rolling window and
+            # the ping-pong combine below still run so reaction state stays
+            # consistent across skipped blocks.
+            cp = pltpu.make_async_copy(
+                feat_ref.at[pl.ds(base, Bxy + 1)], buf, sem)
+            cp.start()
+            cp.wait()
+            self_slab = buf[0:Bxy]
 
-        s_chunks = [
-            [self_slab[:, f, c * CS:(c + 1) * CS][:, :, None, :]
-             for f in range(F_in)]
-            for c in range(n_chunks)]
-        tris = [
-            (jax.lax.broadcasted_iota(jnp.int32, (CS, C, NL), 0) + c * CS
-             < jax.lax.broadcasted_iota(jnp.int32, (CS, C, NL), 1)
-             ).astype(jnp.float32)
-            for c in range(n_chunks)]
+            s_chunks = [
+                [self_slab[:, f, c * CS:(c + 1) * CS][:, :, None, :]
+                 for f in range(F_in)]
+                for c in range(n_chunks)]
+            tris = [
+                (jax.lax.broadcasted_iota(jnp.int32, (CS, C, NL), 0)
+                 + c * CS
+                 < jax.lax.broadcasted_iota(jnp.int32, (CS, C, NL), 1)
+                 ).astype(jnp.float32)
+                for c in range(n_chunks)]
+            return self_slab, s_chunks, tris
 
-        def sweep(off, shift, tri, tok):
-            """One neighbor block; scratch-accumulated (off = reaction row
-            offset: 0 = own rows, 1 = one row forward).  ``tok`` serializes
-            consecutive sweeps: without it the Mosaic scheduler overlaps
-            every sweep's independent pair chain (measured 208 MB of vector
-            spills at C=32, NL=384 even with per-sweep scratch stores —
-            the RMW only orders the cheap accumulate, not the chains).
-            ``dep`` is exactly +0.0 at runtime but not provably so, making
-            every neighbor plane of sweep k+1 data-depend on sweep k
-            (lax.optimization_barrier is unimplemented in this Pallas TPU
-            lowering)."""
-            dep = jnp.where(jnp.isfinite(tok), 0.0, tok)
-            slab = buf[off:off + Bxy]
-            rsum = [jnp.zeros((Bxy, C, NL), jnp.float32)
-                    for _ in range(n_acc)]
-            outs = []
-            for c in range(n_chunks):
-                s = s_chunks[c]
-                n = [((slab[:, f] if shift == 0 else
-                       pltpu.roll(slab[:, f], (-shift) % NL, 2))
-                      + dep)[:, None]
-                     for f in range(F_in)]
-                ok = s[val_idx] * n[val_idx]
-                if tri:
-                    ok = ok * tris[c][None]
-                ts, tr = pair2_fn(s, n, ok)
-                outs.append(tuple(jnp.sum(ts[a], axis=2)
-                                  for a in range(n_acc)))
-                for a in range(n_acc):
-                    rsum[a] = rsum[a] + jnp.sum(tr[a], axis=1)
-            acc_ref[...] += jnp.stack(
-                [jnp.concatenate([outs[c][a] for c in range(n_chunks)],
-                                 axis=1) for a in range(n_acc)], axis=1)
-            if shift != 0:
-                rsum = [pltpu.roll(r, shift % NL, 2) for r in rsum]
-            stk = jnp.stack(rsum, axis=1)
-            react[off:off + Bxy] += stk
-            return jnp.sum(stk[:, 0, 0])
+        @pl.when(act)
+        def _sweeps():
+            self_slab, s_chunks, tris = pair_work()
 
-        tok = sweep(0, 0, True, jnp.zeros((), jnp.float32))
-        for off, sh in shifts:
-            tok = sweep(off, sh, False, tok)
+            def sweep(off, shift, tri, tok):
+                """One neighbor block; scratch-accumulated (off = reaction
+                row offset: 0 = own rows, 1 = one row forward).  ``tok``
+                serializes consecutive sweeps: without it the Mosaic
+                scheduler overlaps every sweep's independent pair chain
+                (measured 208 MB of vector spills at C=32, NL=384 even with
+                per-sweep scratch stores — the RMW only orders the cheap
+                accumulate, not the chains).  ``dep`` is exactly +0.0 at
+                runtime but not provably so, making every neighbor plane of
+                sweep k+1 data-depend on sweep k (lax.optimization_barrier
+                is unimplemented in this Pallas TPU lowering)."""
+                dep = jnp.where(jnp.isfinite(tok), 0.0, tok)
+                slab = buf[off:off + Bxy]
+                rsum = [jnp.zeros((Bxy, C, NL), jnp.float32)
+                        for _ in range(n_acc)]
+                outs = []
+                for c in range(n_chunks):
+                    s = s_chunks[c]
+                    n = [((slab[:, f] if shift == 0 else
+                           pltpu.roll(slab[:, f], (-shift) % NL, 2))
+                          + dep)[:, None]
+                         for f in range(F_in)]
+                    ok = s[val_idx] * n[val_idx]
+                    if tri:
+                        ok = ok * tris[c][None]
+                    ts, tr = pair2_fn(s, n, ok)
+                    outs.append(tuple(jnp.sum(ts[a], axis=2)
+                                      for a in range(n_acc)))
+                    for a in range(n_acc):
+                        rsum[a] = rsum[a] + jnp.sum(tr[a], axis=1)
+                acc_ref[...] += jnp.stack(
+                    [jnp.concatenate([outs[c][a] for c in range(n_chunks)],
+                                     axis=1) for a in range(n_acc)], axis=1)
+                if shift != 0:
+                    rsum = [pltpu.roll(r, shift % NL, 2) for r in rsum]
+                stk = jnp.stack(rsum, axis=1)
+                react[off:off + Bxy] += stk
+                return jnp.sum(stk[:, 0, 0])
 
+            tok = sweep(0, 0, True, jnp.zeros((), jnp.float32))
+            for off, sh in shifts:
+                tok = sweep(off, sh, False, tok)
+            react[0, 0, 0, 0] += jnp.where(jnp.isfinite(tok), 0.0, tok)
+
+        # the rolling window and the ping-pong combine run for EVERY block
+        # (active or not) so the reaction state stays consistent across
+        # skipped blocks
         def window(acc_in, acc_out):
             fin = acc_in[0:Bxy] + react[0:Bxy]
             acc_out[0:WB - Bxy] = acc_in[Bxy:WB] + react[Bxy:WB]
@@ -144,11 +162,18 @@ def _make_flat_kernel(F_in, n_out, n_acc, C, NL, SZ, Bxy, WB,
         def _odd():
             out_ref[:, 0:n_acc] = window(accB, accA)
 
-        planes0 = [self_slab[:, f] for f in range(F_in)]
-        acc = [acc_ref[:, a] + out_ref[:, a] for a in range(n_acc)]
-        outs = post_fn(planes0, tuple(acc))
-        for f in range(n_out):
-            out_ref[:, f] = outs[f]
+        @pl.when(act)
+        def _post():
+            planes0 = [buf[0:Bxy][:, f] for f in range(F_in)]
+            acc = [acc_ref[:, a] + out_ref[:, a] for a in range(n_acc)]
+            outs = post_fn(planes0, tuple(acc))
+            for f in range(n_out):
+                out_ref[:, f] = outs[f]
+
+        @pl.when(jnp.logical_not(act))
+        def _blank():
+            nw = max(n_out, n_acc)
+            out_ref[...] = jnp.zeros((Bxy, nw, C, NL), jnp.float32)
 
     return kernel
 
@@ -166,11 +191,19 @@ def flat_auto_bxy(C, NL, budget_vregs=3000, chain_temps=40):
 
 def sym_sweep_flat(feat, *, grid_dims, SZ, C, Bxy, n_out, n_acc,
                    pair2_fn, post_fn, interpret=False, flops_per_pair=60,
-                   n_dz=1, val_idx):
+                   n_dz=1, val_idx, active=None):
     """feat: (nx, F, C, NL) flat-lane planes (lane = y·SZ + z); returns
     (nx, n_out, C, NL).  ``SZ`` must be ≥ nz + n_dz and ``NL`` a 128-multiple
     with roll headroom — the binning guarantees NL ≥ ny·SZ + SZ + n_dz.
-    ``Bxy`` is clamped by the register-pressure model (flat_auto_bxy)."""
+    ``Bxy`` is clamped by the register-pressure model (flat_auto_bxy).
+
+    ``active``: optional (nx,) row-activity mask (int/bool, traced) — rows
+    with no markers in [r−1, r+1].  Row blocks whose rows are all inactive
+    skip the DMA and every pair sweep (the dominant cost in scenes where
+    most of the grid is air — a collapsing dam break wets ~1/7 of its tank).
+    Activity is per REBUILD (markers move < skin within a cycle), so the
+    mask is data-dependent but shape-static: dynamic work, static shapes.
+    """
     nx, ny, nz = grid_dims
     F_in = feat.shape[1]
     NL = feat.shape[3]
@@ -186,6 +219,15 @@ def sym_sweep_flat(feat, *, grid_dims, SZ, C, Bxy, n_out, n_acc,
     pad_hi = jnp.zeros((nx_pad - nx + 1, F_in, C, NL), jnp.float32)
     feat_p = jnp.concatenate([feat, pad_hi], axis=0)
 
+    n_blocks = nx_pad // Bxy
+    if active is None:
+        act_b = jnp.ones((n_blocks,), jnp.int32)
+    else:
+        # block active ⇔ any of its rows is active (mask already carries
+        # the ±1-row margin)
+        act_rows = jnp.pad(active.astype(jnp.int32), (0, nx_pad - nx))
+        act_b = jnp.max(act_rows.reshape(n_blocks, Bxy), axis=1)
+
     n_wide = max(n_out, n_acc)
     kernel = _make_flat_kernel(F_in, n_out, n_acc, C, NL, SZ, Bxy, WB,
                                pair2_fn, post_fn, n_dz, val_idx)
@@ -195,7 +237,9 @@ def sym_sweep_flat(feat, *, grid_dims, SZ, C, Bxy, n_out, n_acc,
         out_shape=jax.ShapeDtypeStruct((nx_pad, n_wide, C, NL),
                                        jnp.float32),
         grid=(nx_pad // Bxy,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec((1,), lambda b: (b,),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((Bxy, n_wide, C, NL),
                                lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -216,5 +260,5 @@ def sym_sweep_flat(feat, *, grid_dims, SZ, C, Bxy, n_out, n_acc,
             vmem_limit_bytes=110 * 1024 * 1024,
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(feat_p)
+    )(act_b, feat_p)
     return out[:nx, :n_out]

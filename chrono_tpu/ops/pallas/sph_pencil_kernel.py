@@ -348,8 +348,11 @@ def sph_substep_pencil(feat, edge_ok, *, sp, grid_dims, C, Bxy=4,
                          n_out=1, pair_fn=pairC, post_fn=postC,
                          interpret=interpret, n_dz=n_dz)
 
+    # XSPH weight at ρⁿ — the reference's single-force-pass time level
+    # (SphForceWCSPH.cu); matches the gather backend and the fused CD sweep
+    # of sph_sym_kernel.
     featD = jnp.concatenate(
-        [feat[:, 0:3], velB, rhoC, feat[:, 7:9]], axis=1)
+        [feat[:, 0:3], velB, feat[:, 6:7], feat[:, 7:9]], axis=1)
 
     # ---- sweep D: XSPH transport + drift ----
     def pairD(s, n, ok, acc):

@@ -53,127 +53,155 @@ def _make_sym_sweep_kernel(F_in, n_out, n_acc, C, NZ, Bxy, ny, G, WB,
     n_chunks = (C + CS - 1) // CS
     assert C % CS == 0
 
-    def kernel(edge_ref, feat_ref, out_ref, self_buf, nbuf, accA, accB,
-               self_sem, nsem):
+    def kernel(act_ref, edge_ref, feat_ref, out_ref, self_buf, nbuf, accA,
+               accB, self_sem, nsem):
         b = pl.program_id(0)
         base = b * Bxy + G
+        act = act_ref[0] > 0
 
         @pl.when(b == 0)
         def _init():
             accA[...] = jnp.zeros((WB, n_acc, C, NZ), jnp.float32)
 
-        cp_self = pltpu.make_async_copy(
-            feat_ref.at[pl.ds(base, Bxy)], self_buf, self_sem)
-        cp_self.start()
+        @pl.when(jnp.logical_not(act))
+        def _skip():
+            # inactive row block (no markers in its rows): no pairs touch
+            # it, so skip the DMAs and every sweep — just advance the
+            # rolling reaction window (ping-pong must stay in step) and
+            # blank the outputs
+            def shift(acc_in, acc_out):
+                acc_out[0:WB - Bxy] = acc_in[Bxy:WB]
+                acc_out[WB - Bxy:WB] = jnp.zeros((Bxy, n_acc, C, NZ),
+                                                 jnp.float32)
 
-        def nbr_dma(slot, k):
-            return pltpu.make_async_copy(
-                feat_ref.at[pl.ds(base + fwd_lin[k], Bxy)],
-                nbuf.at[slot], nsem.at[slot])
+            @pl.when(b % 2 == 0)
+            def _even():
+                shift(accA, accB)
 
-        nbr_dma(0, 0).start()
-        cp_self.wait()
+            @pl.when(b % 2 == 1)
+            def _odd():
+                shift(accB, accA)
 
-        s_chunks = [
-            [self_buf[:, f, c * CS:(c + 1) * CS][:, :, None, :]
-             for f in range(F_in)]
-            for c in range(n_chunks)]
-        # strict upper triangle per chunk: global c_self < c_nbr
-        tris = [
-            (jax.lax.broadcasted_iota(jnp.int32, (CS, C, NZ), 0) + c * CS
-             < jax.lax.broadcasted_iota(jnp.int32, (CS, C, NZ), 1)
-             ).astype(jnp.float32)
-            for c in range(n_chunks)]
+            out_ref[...] = jnp.zeros(
+                (Bxy, out_ref.shape[1], C, NZ), jnp.float32)
 
-        accs = [tuple(jnp.zeros((Bxy, CS, NZ), jnp.float32)
-                      for _ in range(n_acc)) for _ in range(n_chunks)]
-        # reactions within this block's own rows (self column)
-        own_react = [jnp.zeros((Bxy, C, NZ), jnp.float32)
-                     for _ in range(n_acc)]
-        L = jnp.zeros((WB, n_acc, C, NZ), jnp.float32)
+        def _active_body():
+            cp_self = pltpu.make_async_copy(
+                feat_ref.at[pl.ds(base, Bxy)], self_buf, self_sem)
+            cp_self.start()
 
-        def sweep_block(slab, ok_extra, dz, d, L, own_react, accs):
-            """One (offset, dz) block: action += self sums; reactions either
-            into own rows (d = None: self column, lane roll) or into the
-            window L at forward row delta d."""
-            into_own = d is None
-            sl = slab if dz == 0 else pltpu.roll(slab, (-dz) % NZ, 3)
-            n = [sl[:, f][:, None, :, :] for f in range(F_in)]
-            rsum = [jnp.zeros((Bxy, C, NZ), jnp.float32)
-                    for _ in range(n_acc)]
-            for c in range(n_chunks):
-                s = s_chunks[c]
-                ok = s[val_idx] * n[val_idx]
-                if ok_extra is not None:
-                    ok = ok * ok_extra
-                if into_own and dz == 0:
-                    ok = ok * tris[c][None]
-                ts, tr = pair2_fn(s, n, ok)
-                accs[c] = tuple(accs[c][a] + jnp.sum(ts[a], axis=2)
-                                for a in range(n_acc))
-                for a in range(n_acc):
-                    rsum[a] = rsum[a] + jnp.sum(tr[a], axis=1)
-            if dz != 0:
-                rsum = [pltpu.roll(r, dz % NZ, 2) for r in rsum]
-            if into_own:
-                own_react = [own_react[a] + rsum[a] for a in range(n_acc)]
-            else:
-                react = jnp.stack(rsum, axis=1)       # (Bxy, n_acc, C, NZ)
-                L = L + jnp.pad(
-                    react, ((d, WB - d - Bxy), (0, 0), (0, 0), (0, 0)))
-            return L, own_react, accs
+            def nbr_dma(slot, k):
+                return pltpu.make_async_copy(
+                    feat_ref.at[pl.ds(base + fwd_lin[k], Bxy)],
+                    nbuf.at[slot], nsem.at[slot])
 
-        # ---- self column: dz = 0 triangle + dz = 1..n_dz ----
-        for dz in range(0, n_dz + 1):
-            L, own_react, accs = sweep_block(self_buf[...], None, dz, None,
-                                             L, own_react, accs)
+            nbr_dma(0, 0).start()
+            cp_self.wait()
 
-        # ---- 4 forward xy offsets × dz ∈ [−n_dz, n_dz] ----
-        for k in range(4):
-            if k + 1 < 4:
-                nbr_dma((k + 1) % 2, k + 1).start()
-            nbr_dma(k % 2, k).wait()
-            slab = nbuf[k % 2]
-            ok_xy = edge_ref[0, :, k][:, None, None, None]
-            for dz in range(-n_dz, n_dz + 1):
-                L, own_react, accs = sweep_block(slab, ok_xy, dz,
-                                                 fwd_lin[k],
+            s_chunks = [
+                [self_buf[:, f, c * CS:(c + 1) * CS][:, :, None, :]
+                 for f in range(F_in)]
+                for c in range(n_chunks)]
+            # strict upper triangle per chunk: global c_self < c_nbr
+            tris = [
+                (jax.lax.broadcasted_iota(jnp.int32, (CS, C, NZ), 0) + c * CS
+                 < jax.lax.broadcasted_iota(jnp.int32, (CS, C, NZ), 1)
+                 ).astype(jnp.float32)
+                for c in range(n_chunks)]
+
+            accs = [tuple(jnp.zeros((Bxy, CS, NZ), jnp.float32)
+                          for _ in range(n_acc)) for _ in range(n_chunks)]
+            # reactions within this block's own rows (self column)
+            own_react = [jnp.zeros((Bxy, C, NZ), jnp.float32)
+                         for _ in range(n_acc)]
+            L = jnp.zeros((WB, n_acc, C, NZ), jnp.float32)
+
+            def sweep_block(slab, ok_extra, dz, d, L, own_react, accs):
+                """One (offset, dz) block: action += self sums; reactions either
+                into own rows (d = None: self column, lane roll) or into the
+                window L at forward row delta d."""
+                into_own = d is None
+                sl = slab if dz == 0 else pltpu.roll(slab, (-dz) % NZ, 3)
+                n = [sl[:, f][:, None, :, :] for f in range(F_in)]
+                rsum = [jnp.zeros((Bxy, C, NZ), jnp.float32)
+                        for _ in range(n_acc)]
+                for c in range(n_chunks):
+                    s = s_chunks[c]
+                    ok = s[val_idx] * n[val_idx]
+                    if ok_extra is not None:
+                        ok = ok * ok_extra
+                    if into_own and dz == 0:
+                        ok = ok * tris[c][None]
+                    ts, tr = pair2_fn(s, n, ok)
+                    accs[c] = tuple(accs[c][a] + jnp.sum(ts[a], axis=2)
+                                    for a in range(n_acc))
+                    for a in range(n_acc):
+                        rsum[a] = rsum[a] + jnp.sum(tr[a], axis=1)
+                if dz != 0:
+                    rsum = [pltpu.roll(r, dz % NZ, 2) for r in rsum]
+                if into_own:
+                    own_react = [own_react[a] + rsum[a] for a in range(n_acc)]
+                else:
+                    react = jnp.stack(rsum, axis=1)       # (Bxy, n_acc, C, NZ)
+                    L = L + jnp.pad(
+                        react, ((d, WB - d - Bxy), (0, 0), (0, 0), (0, 0)))
+                return L, own_react, accs
+
+            # ---- self column: dz = 0 triangle + dz = 1..n_dz ----
+            for dz in range(0, n_dz + 1):
+                L, own_react, accs = sweep_block(self_buf[...], None, dz, None,
                                                  L, own_react, accs)
 
-        # ---- combine: action + own reactions + rolling window ----
-        def window(acc_in, acc_out):
-            fin = acc_in[0:Bxy] + L[0:Bxy]
-            acc_out[0:WB - Bxy] = acc_in[Bxy:WB] + L[Bxy:WB]
-            acc_out[WB - Bxy:WB] = jnp.zeros((Bxy, n_acc, C, NZ),
-                                             jnp.float32)
-            return fin
+            # ---- 4 forward xy offsets × dz ∈ [−n_dz, n_dz] ----
+            for k in range(4):
+                if k + 1 < 4:
+                    nbr_dma((k + 1) % 2, k + 1).start()
+                nbr_dma(k % 2, k).wait()
+                slab = nbuf[k % 2]
+                ok_xy = edge_ref[0, :, k][:, None, None, None]
+                for dz in range(-n_dz, n_dz + 1):
+                    L, own_react, accs = sweep_block(slab, ok_xy, dz,
+                                                     fwd_lin[k],
+                                                     L, own_react, accs)
 
-        is_even = b % 2 == 0
+            # ---- combine: action + own reactions + rolling window ----
+            def window(acc_in, acc_out):
+                fin = acc_in[0:Bxy] + L[0:Bxy]
+                acc_out[0:WB - Bxy] = acc_in[Bxy:WB] + L[Bxy:WB]
+                acc_out[WB - Bxy:WB] = jnp.zeros((Bxy, n_acc, C, NZ),
+                                                 jnp.float32)
+                return fin
 
-        @pl.when(is_even)
-        def _even():
-            out_ref[:, 0:n_acc] = window(accA, accB)
+            is_even = b % 2 == 0
 
-        @pl.when(jnp.logical_not(is_even))
-        def _odd():
-            out_ref[:, 0:n_acc] = window(accB, accA)
+            @pl.when(is_even)
+            def _even():
+                out_ref[:, 0:n_acc] = window(accA, accB)
 
-        acc = []
-        for a in range(n_acc):
-            act = jnp.concatenate([accs[c][a] for c in range(n_chunks)],
-                                  axis=1)
-            acc.append(act + own_react[a] + out_ref[:, a])
-        planes = [self_buf[:, f] for f in range(F_in)]
-        outs = post_fn(planes, tuple(acc))
-        for f in range(n_out):
-            out_ref[:, f] = outs[f]
+            @pl.when(jnp.logical_not(is_even))
+            def _odd():
+                out_ref[:, 0:n_acc] = window(accB, accA)
+
+            acc = []
+            for a in range(n_acc):
+                act = jnp.concatenate([accs[c][a] for c in range(n_chunks)],
+                                      axis=1)
+                acc.append(act + own_react[a] + out_ref[:, a])
+            planes = [self_buf[:, f] for f in range(F_in)]
+            outs = post_fn(planes, tuple(acc))
+            for f in range(n_out):
+                out_ref[:, f] = outs[f]
+
+        @pl.when(act)
+        def _active():
+            _active_body()
 
     return kernel
 
 
 def _sym_sweep(feat, edge_fwd, *, grid_dims, C, Bxy, n_out, n_acc,
                pair2_fn, post_fn, interpret=False, flops_per_pair=60,
-               n_dz=1, val_idx=_VAL):
+               n_dz=1, val_idx=_VAL, active=None):
     nx, ny, nz = grid_dims
     if ny < 2:
         raise ValueError("symmetric sweep needs ny >= 2")
@@ -191,6 +219,12 @@ def _sym_sweep(feat, edge_fwd, *, grid_dims, C, Bxy, n_out, n_acc,
     edge_p = jnp.concatenate(
         [edge_fwd, jnp.zeros((4, nxy_pad - nxy), jnp.float32)],
         axis=1).T.reshape(nxy_pad // Bxy, Bxy, 4)
+    n_blocks = nxy_pad // Bxy
+    if active is None:
+        act_b = jnp.ones((n_blocks,), jnp.int32)
+    else:
+        act_rows = jnp.pad(active.astype(jnp.int32), (0, nxy_pad - nxy))
+        act_b = jnp.max(act_rows.reshape(n_blocks, Bxy), axis=1)
 
     n_wide = max(n_out, n_acc)
     kernel = _make_sym_sweep_kernel(F_in, n_out, n_acc, C, NZp, Bxy, ny, G,
@@ -203,6 +237,7 @@ def _sym_sweep(feat, edge_fwd, *, grid_dims, C, Bxy, n_out, n_acc,
                                        jnp.float32),
         grid=(nxy_pad // Bxy,),
         in_specs=[
+            pl.BlockSpec((1,), lambda b: (b,), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, Bxy, 4), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -228,14 +263,15 @@ def _sym_sweep(feat, edge_fwd, *, grid_dims, C, Bxy, n_out, n_acc,
             vmem_limit_bytes=110 * 1024 * 1024,
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(edge_p, feat_p)
+    )(act_b, edge_p, feat_p)
     return out[:nxy, :n_out]
 
 
 @functools.partial(jax.jit, static_argnames=(
     "sp", "grid_dims", "C", "Bxy", "interpret", "n_dz", "layout", "SZ"))
 def sph_substep_sym(feat, edge_fwd, *, sp, grid_dims, C, Bxy=4,
-                    interpret=False, n_dz=1, layout="pencil", SZ=0):
+                    interpret=False, n_dz=1, layout="pencil", SZ=0,
+                    active=None):
     """One symplectic WCSPH substep on the symmetric half stencil.  Same
     contract as sph_pencil_kernel.sph_substep_pencil but ``edge_fwd`` is
     the 4-offset forward table (dem_sym_kernel.edge_ok_fwd).  With
@@ -255,14 +291,14 @@ def sph_substep_sym(feat, edge_fwd, *, sp, grid_dims, C, Bxy=4,
                 ft, grid_dims=grid_dims, SZ=SZ, C=C, Bxy=Bxy, n_out=n_out,
                 n_acc=n_acc, pair2_fn=pair2_fn, post_fn=post_fn,
                 interpret=interpret, flops_per_pair=flops_per_pair,
-                n_dz=n_dz, val_idx=_VAL)
+                n_dz=n_dz, val_idx=_VAL, active=active)
     else:
         def _SW(ft, *, n_out, n_acc, pair2_fn, post_fn, flops_per_pair):
             return _sym_sweep(
                 ft, edge_fwd, grid_dims=grid_dims, C=C, Bxy=Bxy,
                 n_out=n_out, n_acc=n_acc, pair2_fn=pair2_fn,
                 post_fn=post_fn, interpret=interpret,
-                flops_per_pair=flops_per_pair, n_dz=n_dz)
+                flops_per_pair=flops_per_pair, n_dz=n_dz, active=active)
 
     # ---- sweep A: Adami BC (solid pressure + ghost velocity) ----
     def pairA(s, n, ok):
@@ -364,8 +400,14 @@ def sph_substep_sym(feat, edge_fwd, *, sp, grid_dims, C, Bxy=4,
 
     featC = jnp.concatenate([feat[:, 0:3], velB, feat[:, 6:9]], axis=1)
 
-    # ---- sweep C: continuity at kicked velocities ----
-    def pairC(s, n, ok):
+    # ---- fused sweep CD: continuity at kicked velocities + XSPH drift ----
+    # One pass instead of two: both sweeps share the pair geometry (r, the
+    # kernel value and gradient) and the same feature planes (positions,
+    # kicked velocities, ρⁿ).  The XSPH weight uses ρⁿ — the same time
+    # level the reference uses (SphForceWCSPH.cu evaluates every RHS term
+    # from the current state in one kernel pass); the gather backend
+    # (fsi/sph/system.py symplectic branch) matches term for term.
+    def pairCD(s, n, ok):
         dx, dy, dz, r2, r = _pair_geom(s, n, h)
         dwdr = _cubic_dwdr(r, h)
         inv_r = 1.0 / jnp.maximum(r, 1e-12)
@@ -379,42 +421,34 @@ def sph_substep_sym(feat, edge_fwd, *, sp, grid_dims, C, Bxy=4,
         psi = 2.0 * (n[_RHO] - s[_RHO]) * ddgw / (r2 + 1e-12)
         okff = ok * s[_FLU] * n[_FLU]
         dh = p["delta_sph"] * h * c_s
-        ts = (drho + dh * okff * m / jnp.maximum(n[_RHO], 1e-9) * psi,)
-        tr = (drho - dh * okff * m / jnp.maximum(s[_RHO], 1e-9) * psi,)
+        # XSPH transport correction (shares the pair geometry)
+        Wij = _cubic_w(r, h)
+        rho_avg = jnp.maximum(0.5 * (s[_RHO] + n[_RHO]), 1e-9)
+        cx = okff * m / rho_avg * Wij
+        tx = cx * (n[_VX] - s[_VX])
+        ty = cx * (n[_VY] - s[_VY])
+        tz = cx * (n[_VZ] - s[_VZ])
+        ts = (drho + dh * okff * m / jnp.maximum(n[_RHO], 1e-9) * psi,
+              tx, ty, tz)
+        tr = (drho - dh * okff * m / jnp.maximum(s[_RHO], 1e-9) * psi,
+              -tx, -ty, -tz)
         return ts, tr
 
-    def postC(pls, acc):
-        rho = pls[_RHO] + pls[_FLU] * dt * acc[0]
-        return (jnp.clip(rho, 0.7 * rho0, 1.5 * rho0),)
-
-    rhoC = _SW(featC, n_out=1, n_acc=1, pair2_fn=pairC, post_fn=postC,
-               flops_per_pair=50)
-
-    featD = jnp.concatenate([feat[:, 0:3], velB, rhoC, feat[:, 7:9]],
-                            axis=1)
-
-    # ---- sweep D: XSPH transport + drift ----
-    def pairD(s, n, ok):
-        dx, dy, dz, r2, r = _pair_geom(s, n, h)
-        Wij = _cubic_w(r, h)
-        okff = ok * s[_FLU] * n[_FLU]
-        rho_avg = jnp.maximum(0.5 * (s[_RHO] + n[_RHO]), 1e-9)
-        c = okff * m / rho_avg * Wij
-        tx = c * (n[_VX] - s[_VX])
-        ty = c * (n[_VY] - s[_VY])
-        tz = c * (n[_VZ] - s[_VZ])
-        return (tx, ty, tz), (-tx, -ty, -tz)
-
-    def postD(pls, acc):
+    def postCD(pls, acc):
         flu = pls[_FLU]
-        vtx = pls[_VX] + p["xsph_eps"] * acc[0]
-        vty = pls[_VY] + p["xsph_eps"] * acc[1]
-        vtz = pls[_VZ] + p["xsph_eps"] * acc[2]
-        return (pls[_PX] + flu * dt * vtx,
+        rho = jnp.clip(pls[_RHO] + flu * dt * acc[0],
+                       0.7 * rho0, 1.5 * rho0)
+        vtx = pls[_VX] + p["xsph_eps"] * acc[1]
+        vty = pls[_VY] + p["xsph_eps"] * acc[2]
+        vtz = pls[_VZ] + p["xsph_eps"] * acc[3]
+        return (rho,
+                pls[_PX] + flu * dt * vtx,
                 pls[_PY] + flu * dt * vty,
                 pls[_PZ] + flu * dt * vtz)
 
-    posD = _SW(featD, n_out=3, n_acc=3, pair2_fn=pairD, post_fn=postD,
-               flops_per_pair=40)
+    outCD = _SW(featC, n_out=4, n_acc=4, pair2_fn=pairCD, post_fn=postCD,
+                flops_per_pair=70)
+    rhoC = outCD[:, 0:1]
+    posD = outCD[:, 1:4]
 
     return jnp.concatenate([posD, velB, rhoC, feat[:, 7:9]], axis=1)
