@@ -289,9 +289,16 @@ def _make_half_kernel(C, NZ, Bxy, ny, G, P, WB, phys, walls, mode):
         if mode == "g":
             v0 = tuple(self_buf[:, f] for f in (_VX, _VY, _VZ))
             w0 = tuple(self_buf[:, f] for f in (_WX, _WY, _WZ))
+        rb = 0
         for w, wall in enumerate(walls):
             mu_w = wall[4] if wall[0] == "plane" else wall[5]
-            nhat, gap, vsurf = wall_geometry(wall, px, py, pz, radius)
+            if wall[0] == "rotbox":
+                # traced blade pose rides the SMEM scalar block after β
+                cs = (beta_ref[0, 1 + 2 * rb], beta_ref[0, 2 + 2 * rb])
+                rb += 1
+            else:
+                cs = None
+            nhat, gap, vsurf = wall_geometry(wall, px, py, pz, radius, cs)
             okw = mask * (gap < envelope).astype(jnp.float32)
             armw = radius + 0.5 * jnp.minimum(gap, 0.0)
             t1, t2 = _wall_tangent(*nhat)
@@ -347,7 +354,10 @@ def _pad_feat(feat, G, nxy, nxy_pad):
 
 
 def _call_half(mode, feat, codes, gam, gprev, wgam, wgprev, beta, *,
-               phys, walls, grid_dims, C, P, Bxy, interpret):
+               phys, walls, grid_dims, C, P, Bxy, interpret, cs=None):
+    n_rb = sum(1 for w in walls if w[0] == "rotbox")
+    if n_rb and (cs is None or len(cs) != 2 * n_rb):
+        raise ValueError("rotbox walls need cs=(cosθ, sinθ, ...) scalars")
     nx, ny, nz = grid_dims
     if ny < 2:
         raise ValueError("half kernel needs ny >= 2")
@@ -398,7 +408,8 @@ def _call_half(mode, feat, codes, gam, gprev, wgam, wgprev, beta, *,
         out_shape=out_shape,
         grid=(nxy_pad // Bxy,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1 + 2 * n_rb), lambda b: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((Bxy, P, C, NZp), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Bxy, P3, C, NZp), lambda b: (b, 0, 0, 0),
@@ -424,21 +435,24 @@ def _call_half(mode, feat, codes, gam, gprev, wgam, wgprev, beta, *,
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )
-    beta_s = jnp.reshape(beta.astype(jnp.float32), (1, 1))
+    scal = [beta.astype(jnp.float32)]
+    if n_rb:
+        scal += [jnp.asarray(c, jnp.float32) for c in cs]
+    beta_s = jnp.stack(scal).reshape(1, 1 + 2 * n_rb)
     return fn(beta_s, codes, gam, gprev, wgam, wgprev, feat_p)
 
 
 def nsc_half_sweep_u_pallas(feat, codes, gam, gprev, wgam, wgprev,
                             beta, *, phys, walls, grid_dims, C, P,
-                            Bxy=1, interpret=False):
+                            Bxy=1, interpret=False, cs=None):
     return _call_half("u", feat, codes, gam, gprev, wgam, wgprev, beta,
                       phys=phys, walls=walls, grid_dims=grid_dims, C=C,
-                      P=P, Bxy=Bxy, interpret=interpret)
+                      P=P, Bxy=Bxy, interpret=interpret, cs=cs)
 
 
 def nsc_half_sweep_g_pallas(featU, codes, gam, gprev, wgam, wgprev,
                             beta, *, phys, walls, grid_dims, C, P,
-                            Bxy=1, interpret=False):
+                            Bxy=1, interpret=False, cs=None):
     return _call_half("g", featU, codes, gam, gprev, wgam, wgprev, beta,
                       phys=phys, walls=walls, grid_dims=grid_dims, C=C,
-                      P=P, Bxy=Bxy, interpret=interpret)
+                      P=P, Bxy=Bxy, interpret=interpret, cs=cs)

@@ -132,13 +132,84 @@ def pair_velocity(nhat, t1, t2, arm, sv, nv, sw, nw):
     return gn, gu, gv
 
 
-def wall_geometry(wall, px, py, pz, radius):
-    """Static wall contact geometry: normal (self→wall), gap, surface
-    velocity at the contact point.  ``wall`` is a compile-time tuple:
+def wall_geometry(wall, px, py, pz, radius, cs=None):
+    """Wall contact geometry: normal (self→wall), gap, surface velocity at
+    the contact point.  ``wall`` is a compile-time tuple:
       ("plane", (nx,ny,nz), offset, (vx,vy,vz), mu)
       ("cyl", axis (0|1|2), (cx,cy,cz), R, spin, mu)   — inner surface
+      ("rotbox", axis (0|1|2), (cx,cy,cz), (ha,hb,hc), spin, mu)
+        — a box obstacle (the reference mixer's blade,
+        /root/reference/src/tests/benchmark_tests/physics/
+        btest_CH_mixerNSC.cpp:100-108) rotating about the world ``axis``
+        through its center at constant ``spin``; half-extents (ha, hb)
+        in the rotating plane, hc along the axis.  The pose angle is
+        TRACED: ``cs = (cos θ, sin θ)`` scalars (the only run-time wall
+        state — everything else is compile-time like the other kinds).
+        An ideal speed motor makes the blade motion exactly prescribed,
+        so this kinematic treatment is exact for the particle dynamics;
+        the motor torque is the contact-impulse sum (wall_reactions).
     """
     kind = wall[0]
+    if kind == "rotbox":
+        axis, (cx, cy, cz), (ha, hb, hc), spin, _ = (
+            wall[1], wall[2], wall[3], wall[4], wall[5])
+        cth, sth = cs
+        dx = px - cx
+        dy = py - cy
+        dz = pz - cz
+        # permute so the rotation axis is the local 3rd component
+        if axis == 0:
+            a1, a2, a3 = dy, dz, dx
+        elif axis == 1:
+            a1, a2, a3 = dz, dx, dy
+        else:
+            a1, a2, a3 = dx, dy, dz
+        u = cth * a1 + sth * a2          # blade-frame coords
+        v = -sth * a1 + cth * a2
+        w = a3
+        qu = jnp.abs(u) - ha
+        qv = jnp.abs(v) - hb
+        qw = jnp.abs(w) - hc
+        ou = jnp.maximum(qu, 0.0)
+        ov = jnp.maximum(qv, 0.0)
+        ow = jnp.maximum(qw, 0.0)
+        d_out = jnp.sqrt(ou * ou + ov * ov + ow * ow + 1e-18)
+        q_in = jnp.minimum(jnp.maximum(jnp.maximum(qu, qv), qw), 0.0)
+        sdf = jnp.where(q_in < 0.0, q_in, d_out)
+        # outward normal in the blade frame (branch-free):
+        is_out = (q_in >= 0.0).astype(px.dtype)
+        inv_do = 1.0 / d_out
+        no_u = jnp.sign(u) * ou * inv_do
+        no_v = jnp.sign(v) * ov * inv_do
+        no_w = jnp.sign(w) * ow * inv_do
+        # inside: face of least penetration (max q)
+        iu = ((qu >= qv) & (qu >= qw)).astype(px.dtype)
+        iv = ((qv > qu) & (qv >= qw)).astype(px.dtype)
+        iw = 1.0 - iu - iv
+        ni_u = jnp.sign(u) * iu
+        ni_v = jnp.sign(v) * iv
+        ni_w = jnp.sign(w) * iw
+        nl_u = is_out * no_u + (1.0 - is_out) * ni_u
+        nl_v = is_out * no_v + (1.0 - is_out) * ni_v
+        nl_w = is_out * no_w + (1.0 - is_out) * ni_w
+        # back to the permuted world frame; nhat points self → wall = −n_out
+        n1 = cth * nl_u - sth * nl_v
+        n2 = sth * nl_u + cth * nl_v
+        n3 = nl_w
+        # surface velocity = spin · axis × (p − c) in permuted coords
+        s1 = -spin * a2
+        s2 = spin * a1
+        s3 = jnp.zeros_like(px)
+        if axis == 0:
+            nx, ny, nz = n3, n1, n2
+            sx, sy, sz = s3, s1, s2
+        elif axis == 1:
+            nx, ny, nz = n2, n3, n1
+            sx, sy, sz = s2, s3, s1
+        else:
+            nx, ny, nz = n1, n2, n3
+            sx, sy, sz = s1, s2, s3
+        return (-nx, -ny, -nz), sdf - radius, (sx, sy, sz)
     if kind == "plane":
         (wnx, wny, wnz), off, (vx, vy, vz), _ = wall[1], wall[2], wall[3], \
             wall[4]

@@ -61,6 +61,13 @@ class NSCPencilParams:
     n_iter: int = static_field(default=50)
     restart_every: int = static_field(default=0)  # Nesterov θ reset (0=off)
     track_residual: bool = static_field(default=False)  # per-iter ‖Δγ‖
+    # per-wall contact reactions (force, torque about the wall center) from
+    # the final multipliers — the role of the reference's motor/link
+    # Get_react readout (e.g. the mixer blade's ChLinkMotorRotationSpeed
+    # torque).  Exact for the prescribed-motion blade: an ideal speed motor
+    # must supply exactly the contact torque (plus the blade's constant-ω
+    # inertial term, which is zero).
+    track_wall_reactions: bool = static_field(default=False)
 
     @property
     def inertia(self) -> float:
@@ -171,8 +178,26 @@ def _pair_block(p, grid, pos, maskf, nstack_extra=()):
     return nhat, gap, arm, t1, t2, ok, extras
 
 
+def wall_cs_list(walls, theta):
+    """Per-wall traced (cos θ, sin θ) for ``rotbox`` walls (None for static
+    kinds); ``theta``: (n_rotbox,) traced angles in wall order."""
+    out, k = [], 0
+    for wall in walls:
+        if wall[0] == "rotbox":
+            out.append((jnp.cos(theta[k]), jnp.sin(theta[k])))
+            k += 1
+        else:
+            out.append(None)
+    return out
+
+
+def n_rotbox(walls):
+    return sum(1 for w in walls if w[0] == "rotbox")
+
+
 def dense_sweep_u(p: NSCPencilParams, grid: GridSpec, walls, pos, ufree_v,
-                  ufree_w, mask, gam, gprev, wgam, wgprev, beta):
+                  ufree_w, mask, gam, gprev, wgam, wgprev, beta,
+                  cs_list=None):
     """u(y) on the dense (nx,ny,nz,C) lattice.  gam: (nx,ny,nz,27,3,C,C)."""
     inv_m = 1.0 / p.mass
     inv_I = 1.0 / p.inertia
@@ -191,7 +216,8 @@ def dense_sweep_u(p: NSCPencilParams, grid: GridSpec, walls, pos, ufree_v,
     px, py, pz = pos[..., 0], pos[..., 1], pos[..., 2]
     yw_all = wgam + beta * (wgam - wgprev)
     for w, wall in enumerate(walls):
-        nhat, gap, _ = wall_geometry(wall, px, py, pz, p.radius)
+        nhat, gap, _ = wall_geometry(wall, px, py, pz, p.radius,
+                                     None if cs_list is None else cs_list[w])
         okw = maskf * (gap < p.envelope).astype(pos.dtype)
         armw = p.radius + 0.5 * jnp.minimum(gap, 0.0)
         t1, t2 = _wall_tangents(nhat)
@@ -223,7 +249,7 @@ def _wall_tangents(nhat):
 
 
 def dense_sweep_g(p: NSCPencilParams, grid: GridSpec, walls, pos, u_v, u_w,
-                  mask, gam, gprev, wgam, wgprev, beta):
+                  mask, gam, gprev, wgam, wgprev, beta, cs_list=None):
     """Projected-gradient update on the dense lattice → (gam⁺, wgam⁺)."""
     inv_m = 1.0 / p.mass
     inv_I = 1.0 / p.inertia
@@ -254,7 +280,9 @@ def dense_sweep_g(p: NSCPencilParams, grid: GridSpec, walls, pos, u_v, u_w,
     yw_all = wgam + beta * (wgam - wgprev)
     for w, wall in enumerate(walls):
         mu_w = wall[4] if wall[0] == "plane" else wall[5]
-        nhat, gap, vsurf = wall_geometry(wall, px, py, pz, p.radius)
+        nhat, gap, vsurf = wall_geometry(wall, px, py, pz, p.radius,
+                                         None if cs_list is None
+                                         else cs_list[w])
         okw = maskf * (gap < p.envelope).astype(pos.dtype)
         armw = p.radius + 0.5 * jnp.minimum(gap, 0.0)
         t1, t2 = _wall_tangents(nhat)
@@ -271,6 +299,65 @@ def dense_sweep_g(p: NSCPencilParams, grid: GridSpec, walls, pos, u_v, u_w,
         wout = wout.at[..., w, :].set(
             jnp.stack([okw * pn, okw * pu, okw * pv], axis=-1))
     return out, wout
+
+
+def _wall_center(wall):
+    if wall[0] == "plane":
+        return (0.0, 0.0, 0.0)
+    return wall[2]
+
+
+def _reaction_from(p, wall, px, py, pz, maskf, yn, yu, yv, cs):
+    """Per-wall total (force (3,), torque (3,) about the wall center) from
+    the final contact impulses γ (force = γ/dt; reaction ON the wall is the
+    opposite of the particle force)."""
+    nhat, gap, _ = wall_geometry(wall, px, py, pz, p.radius, cs)
+    okw = maskf * (gap < p.envelope).astype(px.dtype)
+    armw = p.radius + 0.5 * jnp.minimum(gap, 0.0)
+    t1, t2 = _wall_tangents(nhat)
+    inv_h = 1.0 / p.dt
+    f = [okw * inv_h * (yn * nhat[i] + yu * t1[i] + yv * t2[i])
+         for i in range(3)]
+    cx, cy, cz = _wall_center(wall)
+    rx = px + armw * nhat[0] - cx        # contact point − wall center
+    ry = py + armw * nhat[1] - cy
+    rz = pz + armw * nhat[2] - cz
+    tq = (ry * f[2] - rz * f[1],
+          rz * f[0] - rx * f[2],
+          rx * f[1] - ry * f[0])
+    force = jnp.stack([jnp.sum(c) for c in f])
+    torque = jnp.stack([jnp.sum(c) for c in tq])
+    return force, torque
+
+
+def _wall_reactions_planes(p, walls, feat, wgam, cs_list):
+    """Reactions from the pencil-plane layout (feat (nxy,10,C,NZp), wgam
+    (nxy,3W,C,NZp))."""
+    px, py, pz, maskf = feat[:, 0], feat[:, 1], feat[:, 2], feat[:, 9]
+    out_f, out_t = [], []
+    for w, wall in enumerate(walls):
+        f, t = _reaction_from(
+            p, wall, px, py, pz, maskf,
+            wgam[:, 3 * w], wgam[:, 3 * w + 1], wgam[:, 3 * w + 2],
+            None if cs_list is None else cs_list[w])
+        out_f.append(f)
+        out_t.append(t)
+    return jnp.stack(out_f), jnp.stack(out_t)
+
+
+def _wall_reactions_dense(p, walls, pos, maskf, wgam, cs_list):
+    """Reactions from the dense layout (pos (nx,ny,nz,C,3), wgam
+    (nx,ny,nz,C,W,3))."""
+    px, py, pz = pos[..., 0], pos[..., 1], pos[..., 2]
+    out_f, out_t = [], []
+    for w, wall in enumerate(walls):
+        f, t = _reaction_from(
+            p, wall, px, py, pz, maskf,
+            wgam[..., w, 0], wgam[..., w, 1], wgam[..., w, 2],
+            None if cs_list is None else cs_list[w])
+        out_f.append(f)
+        out_t.append(t)
+    return jnp.stack(out_f), jnp.stack(out_t)
 
 
 # --------------------------------------------------------------------------
@@ -323,8 +410,10 @@ def make_nsc_pencil_advance(p: NSCPencilParams, grid: GridSpec, walls,
                                 nsc_partner_sweep_g_pallas)
         P = partners
         pd = dict(phys)
+        if backend == "partner" and n_rotbox(walls):
+            raise ValueError("rotbox walls: use the 'half' or 'xla' backend")
 
-        def solve(field):
+        def solve(field, cs_list=None):
             feat = field_to_pencils(field, nzp)
             codes_d, pover = detect_fn(
                 p.radius, p.envelope, grid, field.pos, field.mask, P)
@@ -336,6 +425,9 @@ def make_nsc_pencil_advance(p: NSCPencilParams, grid: GridSpec, walls,
 
             kw = dict(phys=pd, walls=walls, grid_dims=grid.dims,
                       C=capacity, P=P, Bxy=Bxy, interpret=interpret)
+            if backend == "half":
+                kw["cs"] = None if cs_list is None else tuple(
+                    c for pair in cs_list if pair is not None for c in pair)
 
             def one_iter(st: APGDState, k):
                 u = sweep_u(
@@ -366,12 +458,17 @@ def make_nsc_pencil_advance(p: NSCPencilParams, grid: GridSpec, walls,
                 return a[:nxy, f0:f0 + 3, :, :nz].transpose(
                     0, 3, 2, 1).reshape(nx, ny, nz, capacity, 3)
 
-            return grab(u, 0), grab(u, 3), dgam
+            reac = _wall_reactions_planes(p, walls, feat[:nxy],
+                                          st.wgam[:nxy], cs_list) \
+                if p.track_wall_reactions else None
+            return grab(u, 0), grab(u, 3), dgam, reac
 
     elif backend == "pallas":
         edge_table = edge_ok_xy(grid.dims)
+        if n_rotbox(walls):
+            raise ValueError("rotbox walls: use the 'half' or 'xla' backend")
 
-        def solve(field):
+        def solve(field, cs_list=None):
             feat = field_to_pencils(field, nzp)
 
             def one_iter(st: APGDState, k):
@@ -407,21 +504,21 @@ def make_nsc_pencil_advance(p: NSCPencilParams, grid: GridSpec, walls,
                 return a[:, f0:f0 + 3, :, :nz].transpose(0, 3, 2, 1).reshape(
                     nx, ny, nz, capacity, 3)
 
-            return grab(u, 0), grab(u, 3), dgam
+            return grab(u, 0), grab(u, 3), dgam, None
 
     elif backend == "xla":
 
-        def solve(field):
+        def solve(field, cs_list=None):
             pos, ufv, ufw, mask = field.pos, field.vel, field.omega, \
                 field.mask
 
             def one_iter(st: APGDState, k):
                 uv, uw = dense_sweep_u(p, grid, walls, pos, ufv, ufw, mask,
                                        st.gam, st.gprev, st.wgam, st.wgprev,
-                                       st.beta)
+                                       st.beta, cs_list)
                 gnew, wnew = dense_sweep_g(p, grid, walls, pos, uv, uw, mask,
                                            st.gam, st.gprev, st.wgam,
-                                           st.wgprev, st.beta)
+                                           st.wgprev, st.beta, cs_list)
                 return _momentum_update(st, gnew, wnew, p, k)
 
             C = capacity
@@ -435,30 +532,45 @@ def make_nsc_pencil_advance(p: NSCPencilParams, grid: GridSpec, walls,
             st, dgam = lax.scan(one_iter, st0, jnp.arange(p.n_iter))
             uv, uw = dense_sweep_u(p, grid, walls, pos, ufv, ufw, mask,
                                    st.gam, st.gam, st.wgam, st.wgam,
-                                   jnp.zeros((), jnp.float32))
-            return uv, uw, dgam
+                                   jnp.zeros((), jnp.float32), cs_list)
+            reac = _wall_reactions_dense(p, walls, pos, mask.astype(
+                pos.dtype), st.wgam, cs_list) \
+                if p.track_wall_reactions else None
+            return uv, uw, dgam, reac
     else:
         raise ValueError(f"unknown backend {backend!r}")
 
-    def step(pos, vel, omega):
+    spins = jnp.asarray([w[4] for w in walls if w[0] == "rotbox"],
+                        jnp.float32)
+    R = n_rotbox(walls)
+
+    def step(pos, vel, omega, theta):
         ufree = vel + p.dt * gvec
+        cs_list = wall_cs_list(walls, theta) if R else None
         field = to_cells(grid, capacity, pos, ufree, omega)
-        uv_f, uw_f, dgam = solve(field)
+        uv_f, uw_f, dgam, reac = solve(field, cs_list)
         vel2, om2 = from_cells(field, uv_f, uw_f)
         pos2 = pos + p.dt * vel2
-        return pos2, vel2, om2, field.overflow, dgam
+        theta2 = theta + p.dt * spins
+        return pos2, vel2, om2, theta2, field.overflow, dgam, reac
 
     step_jit = jax.jit(step)
 
-    def advance(pos, vel, omega, n_steps: int):
+    def advance(pos, vel, omega, n_steps: int, theta0=None):
         ovf = jnp.zeros((), jnp.int32)
-        dgam = None
+        dgam, reac = None, None
+        theta = (jnp.zeros((R,), jnp.float32)
+                 if theta0 is None else jnp.asarray(theta0, jnp.float32))
         for _ in range(n_steps):
-            pos, vel, omega, ov, dgam = step_jit(pos, vel, omega)
+            pos, vel, omega, theta, ov, dgam, reac = step_jit(
+                pos, vel, omega, theta)
             ovf = jnp.maximum(ovf, ov)
+        extras = ()
         if p.track_residual:
-            return pos, vel, omega, ovf, dgam   # last step's ‖Δγ‖ series
-        return pos, vel, omega, ovf
+            extras += (dgam,)               # last step's ‖Δγ‖ series
+        if p.track_wall_reactions:
+            extras += (reac,)               # last step's (force, torque)
+        return (pos, vel, omega, ovf) + extras
 
     return advance
 

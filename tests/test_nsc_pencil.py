@@ -347,3 +347,86 @@ def test_half_detection_single_sided():
     n_half = int(np.sum(np.asarray(codes_h) >= 0))
     n_dup = int(np.sum(np.asarray(codes_d) >= 0))
     assert n_dup == 2 * n_half and n_half > 0
+
+
+class TestRotatingBoxBlade:
+    """Rotating box obstacle (the reference mixer's blade,
+    btest_CH_mixerNSC.cpp:100-108) as a traced-pose wall: parity across
+    backends + the blade actually stirs."""
+
+    WALLS = (("plane", (0.0, 0.0, 1.0), 0.0, (0.0, 0.0, 0.0), 0.4),
+             ("rotbox", 2, (0.3, 0.3, 0.1), (0.25, 0.04, 0.1),
+              np.pi / 3, 0.4))
+
+    def test_blade_parity_half_interpret(self):
+        rng = np.random.default_rng(11)
+        n = 14
+        p = NSCPencilParams(radius=R, mass=0.5, mu=0.3, dt=1e-3, n_iter=10,
+                            envelope=0.002 * R)
+        grid = _grid(5)
+        pos0 = jnp.asarray(rng.uniform(0.12, 0.45, (n, 3)))
+        vel0 = jnp.asarray(rng.normal(0.0, 0.2, (n, 3)))
+        om0 = jnp.zeros((n, 3))
+        adv_x = make_nsc_pencil_advance(p, grid, self.WALLS, backend="xla")
+        adv_h = make_nsc_pencil_advance(p, grid, self.WALLS, backend="half",
+                                        interpret=True)
+        theta0 = jnp.asarray([0.3])
+        px, vx, ox, ovx = adv_x(pos0, vel0, om0, 2, theta0=theta0)
+        ph, vh, oh, ovh = adv_h(pos0, vel0, om0, 2, theta0=theta0)
+        assert int(ovx) == 0 and int(ovh) == 0
+        np.testing.assert_allclose(np.asarray(px), np.asarray(ph),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(vx), np.asarray(vh),
+                                   atol=2e-4)
+
+    def test_blade_stirs_and_reacts(self):
+        """A sphere resting in the blade's path gets pushed tangentially,
+        and the blade reaction torque opposes its spin."""
+        p = NSCPencilParams(radius=R, mass=0.5, mu=0.3, dt=1e-3, n_iter=40,
+                            envelope=0.002 * R,
+                            track_wall_reactions=True)
+        grid = _grid(6)
+        # blade spins about z through (0.3, 0.3); sphere sits ahead of the
+        # +u face at theta=0 (blade along x), i.e. at y slightly > 0.3
+        walls = (("plane", (0.0, 0.0, 1.0), 0.0, (0.0, 0.0, 0.0), 0.4),
+                 ("rotbox", 2, (0.3, 0.3, 0.1), (0.25, 0.03, 0.1),
+                  np.pi / 2, 0.4))
+        pos = jnp.asarray([[0.45, 0.3 + 0.03 + R + 0.001, R]])
+        vel = jnp.zeros((1, 3))
+        om = jnp.zeros((1, 3))
+        adv = make_nsc_pencil_advance(p, grid, walls, backend="xla")
+        pos2, vel2, om2, ovf, (wf, wt) = adv(pos, vel, om, 60)
+        assert int(ovf) == 0
+        # blade rotates counterclockwise (+z); at x>c the +v face moves +y:
+        # the sphere must be pushed in +y
+        assert float(vel2[0, 1]) > 0.05, float(vel2[0, 1])
+        # reaction torque on the blade about +z is negative (sphere resists)
+        assert float(wt[1, 2]) < -1e-4, float(wt[1, 2])
+
+    def test_rotbox_geometry(self):
+        from chrono_tpu.ops.pallas.nsc_pencil_kernel import wall_geometry
+        wall = ("rotbox", 2, (0.0, 0.0, 0.0), (0.5, 0.1, 0.2), 1.0, 0.3)
+        px = jnp.asarray([0.0, 0.0, 0.7, 0.0])
+        py = jnp.asarray([0.3, -0.3, 0.0, 0.05])
+        pz = jnp.asarray([0.0, 0.0, 0.0, 0.0])
+        # theta = 0
+        cs = (jnp.asarray(1.0), jnp.asarray(0.0))
+        (nx, ny, nz), gap, (sx, sy, sz) = wall_geometry(
+            wall, px, py, pz, 0.05, cs)
+        np.testing.assert_allclose(gap[0], 0.3 - 0.1 - 0.05, atol=1e-6)
+        np.testing.assert_allclose(ny[0], -1.0, atol=1e-6)  # self→wall: −y
+        np.testing.assert_allclose(ny[1], 1.0, atol=1e-6)
+        np.testing.assert_allclose(gap[2], 0.2 - 0.05, atol=1e-6)
+        np.testing.assert_allclose(nx[2], -1.0, atol=1e-6)
+        # inside: least-penetration face is ±y
+        np.testing.assert_allclose(gap[3], -0.05 - 0.05, atol=1e-6)
+        np.testing.assert_allclose(ny[3], -1.0, atol=1e-6)
+        # surface velocity = ω ẑ × p
+        np.testing.assert_allclose(sx[0], -0.3, atol=1e-6)
+        # theta = 90°: the long axis lies along y — the point at y=0.3 is
+        # now deep inside; nearest face is the thin ±v face (|0−0.1|)
+        cs = (jnp.asarray(0.0), jnp.asarray(1.0))
+        _, gap90, _ = wall_geometry(wall, px, py, pz, 0.05, cs)
+        np.testing.assert_allclose(gap90[0], -0.1 - 0.05, atol=1e-6)
+        # ... and the point at x=0.7 is now outside the thin face
+        np.testing.assert_allclose(gap90[2], 0.7 - 0.1 - 0.05, atol=1e-6)
