@@ -245,3 +245,145 @@ def mpr_contact(a: ConvexShape, b: ConvexShape, n_iters: int = 24,
 
 mpr_contact_batch = jax.vmap(
     functools.partial(mpr_contact), in_axes=(0, 0))
+
+
+def _closest_on_triangle(p, v0, v1, v2, eps=1e-12):
+    """Closest point on a triangle to ``p`` (branch-free barycentric clamp —
+    same construction as narrowphase.sphere_triangle, batched last-dim 3)."""
+    ab = v1 - v0
+    ac = v2 - v0
+    ap = p - v0
+    d1 = jnp.sum(ab * ap, axis=-1)
+    d2 = jnp.sum(ac * ap, axis=-1)
+    bp = p - v1
+    d3 = jnp.sum(ab * bp, axis=-1)
+    d4 = jnp.sum(ac * bp, axis=-1)
+    cp_ = p - v2
+    d5 = jnp.sum(ab * cp_, axis=-1)
+    d6 = jnp.sum(ac * cp_, axis=-1)
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+    denom = jnp.maximum(va + vb + vc, eps)
+    v = vb / denom
+    w = vc / denom
+    p_face = v0 + v[..., None] * ab + w[..., None] * ac
+    t_ab = jnp.clip(d1 / jnp.maximum(d1 - d3, eps), 0.0, 1.0)
+    p_ab = v0 + t_ab[..., None] * ab
+    t_ac = jnp.clip(d2 / jnp.maximum(d2 - d6, eps), 0.0, 1.0)
+    p_ac = v0 + t_ac[..., None] * ac
+    bc = v2 - v1
+    t_bc = jnp.clip((d4 - d3) / jnp.maximum((d4 - d3) + (d5 - d6), eps),
+                    0.0, 1.0)
+    p_bc = v1 + t_bc[..., None] * bc
+    in_a = (d1 <= 0) & (d2 <= 0)
+    in_b = (d3 >= 0) & (d4 <= d3)
+    in_c = (d6 >= 0) & (d5 <= d6)
+    in_ab = (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+    in_ac = (vb <= 0) & (d2 >= 0) & (d6 <= 0)
+    in_bc = (va <= 0) & (d4 - d3 >= 0) & (d5 - d6 >= 0)
+    out = p_face
+    out = jnp.where(in_bc[..., None], p_bc, out)
+    out = jnp.where(in_ac[..., None], p_ac, out)
+    out = jnp.where(in_ab[..., None], p_ab, out)
+    out = jnp.where(in_c[..., None], v2, out)
+    out = jnp.where(in_b[..., None], v1, out)
+    out = jnp.where(in_a[..., None], v0, out)
+    face = ~(in_a | in_b | in_c | in_ab | in_ac | in_bc)
+    return out, face
+
+
+def convex_triangle(shape: ConvexShape, v0, v1, v2, eps=1e-9):
+    """Convex shape vs one triangle: support-plane narrowphase.
+
+    MPR is the wrong tool here — its portal depth is measured along the
+    interior-point ray, which for an off-center triangle overestimates a
+    2 cm penetration as 23 cm with a tilted normal (measured).  Instead:
+
+    * face contact: deepest point of the shape against the triangle's
+      plane via ONE support call in −n̂; exact gap and face normal — the
+      dominant case on mesh terrain;
+    * edge/vertex contact (deepest point projects outside the triangle):
+      the sphere-like direction from the closest triangle point toward the
+      shape's center, with the gap re-measured by a support call along it
+      — exact for spheres/capsules, the standard single-point rounding for
+      boxes on a ridge (a curb edge under a wheel).
+
+    Returns (gap, n, p) with n the A→B contact normal (shape → triangle
+    owner) like the other narrowphase primitives.  One point per triangle:
+    face/line resting contacts on a MESH get their manifold from the
+    neighboring triangles, which is how mesh terrain stabilizes.
+    Reference role: ChCollisionAlgorithmsBullet.cpp convex-vs-trimesh.
+    """
+    nt = jnp.cross(v1 - v0, v2 - v0)
+    nt = nt / jnp.sqrt(jnp.sum(nt * nt) + eps)
+    side = jnp.sign(jnp.sum(nt * (shape.pos - v0)) + eps)
+    nt = nt * side                       # plane normal toward the shape
+    # tangent basis of the face for the perturbed manifold directions
+    a = jnp.where(jnp.abs(nt[0]) < 0.9,
+                  jnp.asarray([1.0, 0.0, 0.0]), jnp.asarray([0.0, 1.0, 0.0]))
+    t1 = jnp.cross(nt, a)
+    t1 = t1 / jnp.sqrt(jnp.sum(t1 * t1) + eps)
+    t2 = jnp.cross(nt, t1)
+
+    gaps, norms, pts, valid = [], [], [], []
+    EPSD = 0.05
+    # 4-point perturbed-support face manifold: support in −n̂ tilted by
+    # ±ε t1 ± ε t2 picks the face-contact EXTREME points (box: 4 corners,
+    # cylinder lying flat: both rim ends; sphere: 4 coincident points,
+    # harmless — the VI solve splits the impulse).  A single support point
+    # makes line/face resting contacts seesaw (measured: a cylinder hops
+    # off a 10° ramp).  Gaps are all measured along the face normal.
+    deep0 = None
+    for (e1, e2) in ((0.0, 0.0), (EPSD, EPSD), (EPSD, -EPSD),
+                     (-EPSD, EPSD), (-EPSD, -EPSD)):
+        d = -nt + e1 * t1 + e2 * t2
+        d = d / jnp.sqrt(jnp.sum(d * d) + eps)
+        deep = support(shape, d)
+        if deep0 is None:
+            deep0 = deep
+            continue                     # the unperturbed point seeds the
+        gap_f = jnp.sum(nt * (deep - v0))  # edge fallback below
+        proj = deep - gap_f * nt
+        cp, _ = _closest_on_triangle(proj, v0, v1, v2)
+        on_face = jnp.sum((cp - proj) ** 2) < 1e-10
+        gaps.append(gap_f)
+        norms.append(-nt)
+        pts.append(cp)
+        valid.append(on_face)
+    # edge/vertex fallback: sphere-like direction from the closest triangle
+    # point to the shape center, gap re-measured by a support call along it
+    # — exact for spheres/capsules, single-point rounding for a box on a
+    # ridge (curb edge under a wheel)
+    gap_f0 = jnp.sum(nt * (deep0 - v0))
+    proj0 = deep0 - gap_f0 * nt
+    cp0, _ = _closest_on_triangle(proj0, v0, v1, v2)
+    on_face0 = jnp.sum((cp0 - proj0) ** 2) < 1e-10
+    d_e = shape.pos - cp0
+    n_e = d_e / jnp.sqrt(jnp.sum(d_e * d_e) + eps)
+    deep_e = support(shape, -n_e)
+    # the triangle is a subset of its plane, so the true gap can never be
+    # MORE penetrating than the plane gap — clamping kills the phantom deep
+    # gaps a tilted n_e can report for long shapes lying across an edge
+    # (measured: a cylinder across the shared diagonal of two coplanar
+    # triangles got gap −0.15 from a rim-end support, i.e. a 30 m/s
+    # Baumgarte kick)
+    gap_e = jnp.maximum(jnp.sum(n_e * (deep_e - cp0)), gap_f0)
+    # the fallback only fires when NO face candidate was valid — a resting
+    # shape whose unperturbed support tie-breaks past the triangle boundary
+    # must not grow a skewed extra contact (measured: with friction it
+    # ratchet-pins a cylinder that should roll down a 15° ramp); a true
+    # ridge/curb contact has zero face candidates, so the fallback engages
+    any_face = jnp.stack(valid).any() | on_face0
+    gaps.append(jnp.where(on_face0, gap_f0, gap_e))
+    norms.append(jnp.where(on_face0, -nt, -n_e))
+    pts.append(cp0)
+    valid.append(on_face0 | jnp.logical_not(any_face))
+    return (jnp.stack(gaps), jnp.stack(norms), jnp.stack(pts),
+            jnp.stack(valid))
+
+
+#: manifold points emitted per (convex, triangle) pair
+N_TRI_MANIFOLD = 5
+
+convex_triangle_batch = jax.vmap(convex_triangle, in_axes=(0, 0, 0, 0))

@@ -87,12 +87,54 @@ class ConvexShapes:
 
 
 @pytree_dataclass
+class MeshShapes:
+    """T collision triangles attached to bodies (triangle soup).
+
+    The role of the reference's ChCollisionShapeTriangleMesh lowered through
+    Bullet's trimesh algorithms (/root/reference/src/chrono/collision/bullet/
+    ChCollisionAlgorithmsBullet.cpp) — mesh obstacles (curbs, ramps, rocks)
+    under MBS bodies and FEA contact surfaces (ChContactSurfaceMesh.h).
+    Triangles are body-local (re-posed each step, so moving mesh bodies
+    work).  TPU-shaped narrowphase, no BVH: sphere–triangle closed form
+    (dense S×T) and convex–triangle via MPR with the triangle as a 3-vertex
+    hull (dense K×T) — batched pair lattices instead of Bullet's per-pair
+    dispatch.  For terrain-scale meshes under granular flows use the binned
+    path (chrono_tpu.dem.mesh / vehicle.granular_terrain) instead.
+    """
+
+    body: Array     # (T,) int32
+    v0: Array       # (T, 3) local vertices
+    v1: Array       # (T, 3)
+    v2: Array       # (T, 3)
+    mu: Array       # (T,)
+
+    @property
+    def n(self) -> int:
+        return self.body.shape[0]
+
+    @staticmethod
+    def from_mesh(body: int, verts, faces, mu: float = 0.5):
+        """Build from a (V,3) vertex array + (T,3) face index array."""
+        import numpy as _np
+        verts = _np.asarray(verts, _np.float32)
+        faces = _np.asarray(faces, _np.int32)
+        T = faces.shape[0]
+        return MeshShapes(
+            body=jnp.full((T,), body, jnp.int32),
+            v0=jnp.asarray(verts[faces[:, 0]]),
+            v1=jnp.asarray(verts[faces[:, 1]]),
+            v2=jnp.asarray(verts[faces[:, 2]]),
+            mu=jnp.full((T,), mu, jnp.float32))
+
+
+@pytree_dataclass
 class CollisionModel:
     """All collision geometry of a scene + static pipeline capacities."""
 
     spheres: SphereShapes
     boxes: Optional[BoxShapes]
     convex: Optional[ConvexShapes] = None
+    meshes: Optional[MeshShapes] = None
     grid: GridSpec = static_field(default=GridSpec())
     max_per_cell: int = static_field(default=8)
     max_contacts: int = static_field(default=1024)
@@ -255,6 +297,57 @@ def detect_contacts(coll: CollisionModel, state: BodyState) -> Contacts:
                 sp.body[ii] != cv.body[jj])
             pack(sc_ok, sp.body[ii], cv.body[jj], gap_sc, n_sc, p_sc,
                  jnp.minimum(sp.mu[ii], cv.mu[jj]), sp.radius[ii])
+
+    # triangle-mesh shapes: sphere–triangle closed form + convex–triangle
+    # via MPR (triangle = 3-vertex hull)
+    if coll.meshes is not None and coll.meshes.n > 0:
+        ms = coll.meshes
+        T = ms.n
+        mb = ms.body
+        w0 = state.x[mb] + Q.qrotate(state.q[mb], ms.v0)   # (T,3) world
+        w1 = state.x[mb] + Q.qrotate(state.q[mb], ms.v1)
+        w2 = state.x[mb] + Q.qrotate(state.q[mb], ms.v2)
+        if S > 0:
+            gap_t, n_t, p_t = nphase.sphere_triangle(
+                centers[:, None, :], sp.radius[:, None],
+                w0[None], w1[None], w2[None])              # (S, T)
+            st_ok = (gap_t < coll.envelope) & (
+                sp.body[:, None] != mb[None, :])
+            pack(st_ok,
+                 jnp.broadcast_to(sp.body[:, None], (S, T)),
+                 jnp.broadcast_to(mb[None, :], (S, T)),
+                 gap_t, n_t, p_t,
+                 jnp.minimum(sp.mu[:, None], ms.mu[None, :]),
+                 jnp.broadcast_to(sp.radius[:, None], (S, T)))
+        if coll.convex is not None and coll.convex.n > 0:
+            # support-plane narrowphase (mpr.convex_triangle) — NOT MPR:
+            # the portal depth of MPR measured along its interior-point ray
+            # overestimates shallow penetrations against off-center
+            # triangles (2 cm reported as 23 cm with a tilted normal)
+            from chrono_tpu.collision.mpr import convex_triangle_batch
+            cv = coll.convex
+            K = cv.n
+            cpos = state.x[cv.body] + Q.qrotate(state.q[cv.body], cv.pos)
+            crot = Q.qmul(state.q[cv.body], cv.rot)
+            world = ConvexShape(kind=cv.kind, pos=cpos, rot=crot,
+                                data=cv.data, verts=cv.verts)
+            ii = jnp.repeat(jnp.arange(K), T)
+            jj = jnp.tile(jnp.arange(T), K)
+            cvx = jax.tree_util.tree_map(lambda x: x[ii], world)
+            # (K·T, 5) manifold points per pair (perturbed-support face
+            # manifold + edge fallback)
+            gap_ct, n_ct, p_ct, ok_m = convex_triangle_batch(
+                cvx, w0[jj], w1[jj], w2[jj])
+            ct_ok = (ok_m & (gap_ct < coll.envelope)
+                     & (cv.body[ii] != mb[jj])[:, None])
+            pack(ct_ok,
+                 jnp.broadcast_to(cv.body[ii][:, None], gap_ct.shape),
+                 jnp.broadcast_to(mb[jj][:, None], gap_ct.shape),
+                 gap_ct, n_ct, p_ct,
+                 jnp.broadcast_to(
+                     jnp.minimum(cv.mu[ii], ms.mu[jj])[:, None],
+                     gap_ct.shape),
+                 jnp.full_like(gap_ct, DEFAULT_EFF_RADIUS))
 
     all_ok = jnp.concatenate(segs_ok)
     all_rows = jnp.concatenate(segs_pack, axis=0)          # (n_tot, 11)

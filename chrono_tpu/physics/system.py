@@ -60,7 +60,9 @@ class SolverSettings:
     # "filtered" steady-state EMA gain (reached once 1/k < alpha_min);
     # lag·drift must stay under the constraint tolerance
     stab_alpha_min: float = static_field(default=1.0 / 2048.0)
-    max_recovery_speed: float = static_field(default=1e30)  # contact -C/h clamp
+    # contact −C/h clamp — the reference's default Qc_clamping
+    # (ChSystem.cpp:59 max_penetration_recovery_speed = 0.6)
+    max_recovery_speed: float = static_field(default=0.6)
     # per-movable-body row-valence bound of the Dᵀγ incidence gather (shape
     # of the plan table: N·valence_bound·8 elements gathered PER ITERATION —
     # size it to the scene; overflow falls back to the scatter form)
