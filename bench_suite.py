@@ -458,7 +458,7 @@ def bench_sph(n_target=None):
         gravity=jnp.asarray([0.0, 0.0, -9.81]),
         dt=jnp.asarray(1e-4),
         max_neighbors=96, max_per_cell=64,
-        rebuild_every=int(os.environ.get("SUITE_SPH_REBUILD", 4)),
+        rebuild_every=int(os.environ.get("SUITE_SPH_REBUILD", 8)),
         integrator="symplectic", viscosity_model="artificial",
     )
     params = params.replace(dt=jnp.asarray(suggest_sph_dt(params)))
@@ -479,9 +479,9 @@ def bench_sph(n_target=None):
     #   SUITE_SPH_CELL   — cell-size multiplier on the 2h support (bigger
     #     cells raise slot occupancy toward C, cutting padded slot-evals —
     #     the DEM v5 move); worst-case wall cells stay ≤ C (overflow assert).
-    cell = float(os.environ.get("SUITE_SPH_CELL", "1.0")) \
+    cell = float(os.environ.get("SUITE_SPH_CELL", "1.25")) \
         * 2.0 * float(params.h)
-    rot = os.environ.get("SUITE_SPH_ROT", "0")
+    rot = os.environ.get("SUITE_SPH_ROT", "2")
     if rot == "1":
         # lane-filling: tank length L (the longest axis) into the lanes
         perm = [1, 2, 0]                   # (L, W, H) -> (W, H, L)
@@ -527,7 +527,7 @@ def bench_sph(n_target=None):
         else:
             pgrid = grid
         cap = int(os.environ.get("SUITE_SPH_C", 32))
-        bxy = int(os.environ.get("SUITE_SPH_BXY", 4))
+        bxy = int(os.environ.get("SUITE_SPH_BXY", 1))
         layout = os.environ.get("SUITE_SPH_LAYOUT", "auto")
         adv = make_sph_advance_pencil(params, pgrid, capacity=cap, Bxy=bxy,
                                       backend=("sym" if engine == "sym"

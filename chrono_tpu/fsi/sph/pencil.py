@@ -116,40 +116,53 @@ def flat_lane_geometry(grid, n_dz: int = 1):
 
 
 def bin_to_flat(grid, capacity: int, SZ: int, NL: int, pos, feats,
-                n_dz: int = 1):
+                n_dz: int = 1, keep=None):
     """Sort markers into flat-lane planes (nx, F+1, C, NL); row = x,
     lane = y·SZ + z.  Same contract as bin_to_pencils (valid plane appended,
-    perm into the flattened per-feature plane, overflow)."""
+    perm into the flattened per-feature plane, overflow).
+
+    ``keep``: optional (N,) mask — dropped markers are routed to a discard
+    bucket (not binned at all, perm points past the planes).  Used to clip
+    markers that cannot interact (e.g. rigid-BCE wheel markers far above
+    the terrain), which lets the caller shrink the grid."""
     n = pos.shape[0]
     nx, ny, nz = grid.dims
+    n_cells = nx * ny * nz
     if isinstance(grid, PencilGrid):
         ix, iy, iz = _pencil_ijk(grid, pos)
     else:
         ijk = cell_ijk(grid, pos)
         ix, iy, iz = ijk[..., 0], ijk[..., 1], ijk[..., 2]
     ids = (ix * ny + iy) * nz + iz
+    if keep is not None:
+        ids = jnp.where(keep, ids, n_cells)
     order = jnp.argsort(ids)
     ids_sorted = ids[order]
     first = jnp.searchsorted(ids_sorted, ids_sorted)
     rank = jnp.arange(n) - first
-    overflow = jnp.maximum(rank.max() + 1 - capacity, 0).astype(jnp.int32)
+    real = ids_sorted < n_cells
+    overflow = (jnp.maximum(
+        jnp.max(jnp.where(real, rank, 0)) + 1 - capacity, 0)
+        .astype(jnp.int32))
     slot = jnp.minimum(rank, capacity - 1)
-    ix_s = ids_sorted // (ny * nz)
-    rem = ids_sorted - ix_s * (ny * nz)
+    ix_s = jnp.minimum(ids_sorted, n_cells - 1) // (ny * nz)
+    rem = jnp.minimum(ids_sorted, n_cells - 1) - ix_s * (ny * nz)
     iy_s = rem // nz
     iz_s = rem - iy_s * nz
-    flat = (ix_s * capacity + slot) * NL + iy_s * SZ + iz_s
+    size = nx * capacity * NL
+    flat = jnp.where(real,
+                     (ix_s * capacity + slot) * NL + iy_s * SZ + iz_s,
+                     size)                                 # discard bucket
     perm = jnp.zeros((n,), flat.dtype).at[order].set(flat)
 
-    size = nx * capacity * NL
-
     def scatter(x):
-        return jnp.zeros((size,), x.dtype).at[flat].set(x[order]).reshape(
-            nx, capacity, NL)
+        out = jnp.zeros((size + 1,), x.dtype).at[flat].set(x[order])
+        return out[:size].reshape(nx, capacity, NL)
 
     planes = [scatter(f) for f in feats]
-    valid = jnp.zeros((size,), jnp.float32).at[flat].set(
-        (rank < capacity).astype(jnp.float32)).reshape(nx, capacity, NL)
+    valid = jnp.zeros((size + 1,), jnp.float32).at[flat].set(
+        jnp.where(real, (rank < capacity).astype(jnp.float32), 0.0)
+    )[:size].reshape(nx, capacity, NL)
     return jnp.stack(planes + [valid], axis=1), perm, overflow
 
 

@@ -45,7 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _make_flat_kernel(F_in, n_out, n_acc, C, NL, SZ, Bxy, WB,
-                      pair2_fn, post_fn, n_dz, val_idx):
+                      pair2_fn, post_fn, n_dz, val_idx, hold_map=None):
     CS = min(8, C)
     n_chunks = (C + CS - 1) // CS
     assert C % CS == 0
@@ -61,7 +61,14 @@ def _make_flat_kernel(F_in, n_out, n_acc, C, NL, SZ, Bxy, WB,
                sem):
         b = pl.program_id(0)
         base = b * Bxy
-        act = act_ref[0] > 0
+        if hold_map is None:
+            ev = kp = act_ref[b] > 0
+        else:
+            # active-domain mode: ev = run the pair sweeps (keep rows + the
+            # block owning pairs INTO them), kp = write updated outputs
+            # (else HOLD the input planes — frozen markers persist)
+            ev = act_ref[b, 0] > 0
+            kp = act_ref[b, 1] > 0
 
         @pl.when(b == 0)
         def _init():
@@ -94,7 +101,7 @@ def _make_flat_kernel(F_in, n_out, n_acc, C, NL, SZ, Bxy, WB,
                 for c in range(n_chunks)]
             return self_slab, s_chunks, tris
 
-        @pl.when(act)
+        @pl.when(ev)
         def _sweeps():
             self_slab, s_chunks, tris = pair_work()
 
@@ -162,7 +169,7 @@ def _make_flat_kernel(F_in, n_out, n_acc, C, NL, SZ, Bxy, WB,
         def _odd():
             out_ref[:, 0:n_acc] = window(accB, accA)
 
-        @pl.when(act)
+        @pl.when(kp)
         def _post():
             planes0 = [buf[0:Bxy][:, f] for f in range(F_in)]
             acc = [acc_ref[:, a] + out_ref[:, a] for a in range(n_acc)]
@@ -170,10 +177,25 @@ def _make_flat_kernel(F_in, n_out, n_acc, C, NL, SZ, Bxy, WB,
             for f in range(n_out):
                 out_ref[:, f] = outs[f]
 
-        @pl.when(jnp.logical_not(act))
-        def _blank():
-            nw = max(n_out, n_acc)
-            out_ref[...] = jnp.zeros((Bxy, nw, C, NL), jnp.float32)
+        if hold_map is None:
+            @pl.when(jnp.logical_not(kp))
+            def _blank():
+                nw = max(n_out, n_acc)
+                out_ref[...] = jnp.zeros((Bxy, nw, C, NL), jnp.float32)
+        else:
+            @pl.when(jnp.logical_not(kp))
+            def _hold():
+                # frozen rows: outputs = the input planes per hold_map
+                # (needs the DMA even when the sweeps were skipped)
+                cp = pltpu.make_async_copy(
+                    feat_ref.at[pl.ds(base, Bxy + 1)], buf, sem)
+                cp.start()
+                cp.wait()
+                for f in range(n_out):
+                    if hold_map[f] < 0:
+                        out_ref[:, f] = jnp.zeros((Bxy, C, NL), jnp.float32)
+                    else:
+                        out_ref[:, f] = buf[0:Bxy][:, hold_map[f]]
 
     return kernel
 
@@ -191,7 +213,7 @@ def flat_auto_bxy(C, NL, budget_vregs=3000, chain_temps=40):
 
 def sym_sweep_flat(feat, *, grid_dims, SZ, C, Bxy, n_out, n_acc,
                    pair2_fn, post_fn, interpret=False, flops_per_pair=60,
-                   n_dz=1, val_idx, active=None):
+                   n_dz=1, val_idx, active=None, hold_map=None):
     """feat: (nx, F, C, NL) flat-lane planes (lane = y·SZ + z); returns
     (nx, n_out, C, NL).  ``SZ`` must be ≥ nz + n_dz and ``NL`` a 128-multiple
     with roll headroom — the binning guarantees NL ≥ ny·SZ + SZ + n_dz.
@@ -221,36 +243,45 @@ def sym_sweep_flat(feat, *, grid_dims, SZ, C, Bxy, n_out, n_acc,
 
     n_blocks = nx_pad // Bxy
     if active is None:
-        act_b = jnp.ones((n_blocks,), jnp.int32)
+        act_b = jnp.ones((n_blocks,) if hold_map is None
+                         else (n_blocks, 2), jnp.int32)
     else:
-        # block active ⇔ any of its rows is active (mask already carries
-        # the ±1-row margin)
         act_rows = jnp.pad(active.astype(jnp.int32), (0, nx_pad - nx))
-        act_b = jnp.max(act_rows.reshape(n_blocks, Bxy), axis=1)
+        keep_b = jnp.max(act_rows.reshape(n_blocks, Bxy), axis=1)
+        if hold_map is None:
+            # skip mode: block active ⇔ any of its rows holds markers
+            act_b = keep_b
+        else:
+            # active-domain mode: [eval, keep] per block — a block owning
+            # pairs into a kept block (the one before it) must still sweep
+            eval_b = jnp.maximum(
+                keep_b, jnp.concatenate([keep_b[1:], keep_b[:1] * 0]))
+            act_b = jnp.stack([eval_b, keep_b], axis=1)
 
     n_wide = max(n_out, n_acc)
     kernel = _make_flat_kernel(F_in, n_out, n_acc, C, NL, SZ, Bxy, WB,
-                               pair2_fn, post_fn, n_dz, val_idx)
+                               pair2_fn, post_fn, n_dz, val_idx,
+                               hold_map=hold_map)
     n_blocks_half = 0.5 * (2 * n_dz + 1) * 9 + 0.5
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nx_pad, n_wide, C, NL),
                                        jnp.float32),
-        grid=(nx_pad // Bxy,),
-        in_specs=[pl.BlockSpec((1,), lambda b: (b,),
-                               memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((Bxy, n_wide, C, NL),
-                               lambda b: (b, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((Bxy + 1, F_in, C, NL), jnp.float32),
-            pltpu.VMEM((WB, n_acc, C, NL), jnp.float32),
-            pltpu.VMEM((WB, n_acc, C, NL), jnp.float32),
-            pltpu.VMEM((WB, n_acc, C, NL), jnp.float32),
-            pltpu.VMEM((Bxy, n_acc, C, NL), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,     # the (n_blocks,) activity mask
+            grid=(nx_pad // Bxy,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((Bxy, n_wide, C, NL),
+                                   lambda b, act: (b, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((Bxy + 1, F_in, C, NL), jnp.float32),
+                pltpu.VMEM((WB, n_acc, C, NL), jnp.float32),
+                pltpu.VMEM((WB, n_acc, C, NL), jnp.float32),
+                pltpu.VMEM((WB, n_acc, C, NL), jnp.float32),
+                pltpu.VMEM((Bxy, n_acc, C, NL), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ]),
         cost_estimate=pl.CostEstimate(
             flops=int(flops_per_pair * n_blocks_half * C * C * nx_pad * NL),
             bytes_accessed=int(2.25 * F_in * C * NL * nx_pad * 4),

@@ -57,7 +57,7 @@ def _make_sym_sweep_kernel(F_in, n_out, n_acc, C, NZ, Bxy, ny, G, WB,
                accB, self_sem, nsem):
         b = pl.program_id(0)
         base = b * Bxy + G
-        act = act_ref[0] > 0
+        act = act_ref[b] > 0
 
         @pl.when(b == 0)
         def _init():
@@ -235,24 +235,25 @@ def _sym_sweep(feat, edge_fwd, *, grid_dims, C, Bxy, n_out, n_acc,
         kernel,
         out_shape=jax.ShapeDtypeStruct((nxy_pad, n_wide, C, NZp),
                                        jnp.float32),
-        grid=(nxy_pad // Bxy,),
-        in_specs=[
-            pl.BlockSpec((1,), lambda b: (b,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Bxy, 4), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((Bxy, n_wide, C, NZp),
-                               lambda b: (b, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((Bxy, F_in, C, NZp), jnp.float32),
-            pltpu.VMEM((2, Bxy, F_in, C, NZp), jnp.float32),
-            pltpu.VMEM((WB, n_acc, C, NZp), jnp.float32),
-            pltpu.VMEM((WB, n_acc, C, NZp), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,     # the (n_blocks,) activity mask
+            grid=(nxy_pad // Bxy,),
+            in_specs=[
+                pl.BlockSpec((1, Bxy, 4), lambda b, act: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((Bxy, n_wide, C, NZp),
+                                   lambda b, act: (b, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((Bxy, F_in, C, NZp), jnp.float32),
+                pltpu.VMEM((2, Bxy, F_in, C, NZp), jnp.float32),
+                pltpu.VMEM((WB, n_acc, C, NZp), jnp.float32),
+                pltpu.VMEM((WB, n_acc, C, NZp), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]),
         cost_estimate=pl.CostEstimate(
             flops=int(flops_per_pair * n_blocks_half * C * C * nxy_pad
                       * NZp),
