@@ -462,12 +462,25 @@ def rolling_rows(contacts: Contacts, state: BodyState) -> ConstraintRows:
     )
 
 
+def concat_contacts(a: Contacts, b: Contacts) -> Contacts:
+    """Concatenate two fixed-capacity contact buffers."""
+    return Contacts(*[jnp.concatenate([x, y]) for x, y in
+                      zip(a[:-1], b[:-1])],
+                    count=a.count + b.count)
+
+
 def nsc_step(model, coll: CollisionModel, state: BodyState, t, h,
-             settings=None, gamma_warm=None):
+             settings=None, gamma_warm=None, extra_contacts_fn=None):
     """One NSC (DVI) step with contacts: detect → lower → mixed VI solve.
 
     Equivalent of ``ChSystem::AdvanceDynamics`` with collision
     (ChSystem.cpp:1581).  Returns (new_state, contacts, StepInfo).
+
+    ``extra_contacts_fn(state) -> Contacts``: optional analytic contact
+    generator appended to the detected set (e.g. sprocket-tooth pin
+    engagement, vehicle.track_shoes.sprocket_gear_contacts).  NOTE: its
+    capacity adds to ``coll.max_contacts`` in the cone row count, so the
+    caller's solver settings see the combined buffer.
     """
     from chrono_tpu.physics.system import (
         SolverSettings, step_euler_implicit_linearized,
@@ -476,6 +489,9 @@ def nsc_step(model, coll: CollisionModel, state: BodyState, t, h,
     if settings is None:
         settings = SolverSettings(solver="apgd", stab_factor=0.2)
     contacts = detect_contacts(coll, state)
+    if extra_contacts_fn is not None:
+        contacts = concat_contacts(contacts, extra_contacts_fn(state))
+    n_c = contacts.gap.shape[0]          # detected + analytic capacity
     rows = contact_rows(contacts, state, h, settings.stab_factor,
                         settings.max_recovery_speed)
     n_rolling = 0
@@ -484,10 +500,10 @@ def nsc_step(model, coll: CollisionModel, state: BodyState, t, h,
         # triples (reference: ChContactNSCrolling.h:26)
         from chrono_tpu.physics.constraints import concat_rows
         rows = concat_rows([rows, rolling_rows(contacts, state)])
-        n_rolling = coll.max_contacts
+        n_rolling = n_c
     new_state, info = step_euler_implicit_linearized(
         model, state, t, h, settings,
-        extra_rows=rows, n_contacts=coll.max_contacts,
+        extra_rows=rows, n_contacts=n_c,
         contact_mu=contacts.mu, gamma_warm=gamma_warm,
         n_rolling=n_rolling, mu_roll=coll.mu_roll, mu_spin=coll.mu_spin,
     )

@@ -166,3 +166,189 @@ def ground_shape(body_id: int, half=(50.0, 50.0, 0.5), z_top: float = 0.0,
         verts=jnp.zeros((1, V, 3)),
         mu=jnp.asarray([mu], jnp.float32),
     )
+
+
+class SprocketGear(NamedTuple):
+    """Tooth-profile engagement parameters (pin-in-pocket model).
+
+    The reference resolves 2-D contact between the sprocket gear profile
+    and the shoe pin circles in the sprocket plane
+    (/root/reference/src/chrono_vehicle/tracked_vehicle/sprocket/
+    ChSprocketSinglePin.cpp GetCollision — arcs + flank lines per tooth).
+    TPU-shaped equivalent: each tooth SEAT is a concave circular pocket of
+    radius ``rho`` centered on the pitch circle ``R_seat``; the pin
+    (radius ``r_pin``) contacts the pocket wall when its in-plane distance
+    from the nearest seat center exceeds ``rho − r_pin``.  One closed-form
+    branch-free contact per pin covers both flanks and the root, and the
+    pocket wall is what transmits torque — no rim friction needed.
+    """
+
+    sprocket: int        # body id
+    shoes: tuple         # shoe body ids (loop order)
+    n_teeth: int
+    R_seat: float        # seat-center (pitch) radius
+    rho: float           # pocket radius
+    r_pin: float
+    phase: float = 0.0   # tooth angular offset at q_sprocket = identity
+
+
+def make_sprocket_gear(track: SegmentedTrack, state0,
+                       r_pin: float = None,
+                       clearance: float = 1.5) -> SprocketGear:
+    """Gear parameters consistent with the track pitch.
+
+    The PIN of link i is the chord midpoint between consecutive shoe
+    centers — the actual articulation point of the pin joint
+    (add_segmented_track places joints there).  On the wrap, midpoints
+    subtend exactly the shoe-center arc spacing θ = pitch/rp at radius
+    rp·cos(θ/2), so seats spaced θ on that circle match ALL wrapped pins
+    simultaneously; the tooth count is round(2π/θ) (build the scene with
+    2π/θ integer — e.g. pick the wheel span — or the residual pitch
+    mismatch accumulates around the wrap and the pockets fight each
+    other, exactly as a mispitched chain jams a real sprocket).  Tooth
+    phase is measured from the t = 0 configuration so the wrapped pins
+    start seated."""
+    pitch = track.pitch
+    rp = track.wheel_r + track.shoe_half[2] + 2e-3  # matches _oval's path
+    theta = pitch / rp                              # pin spacing on the wrap
+    n_teeth = max(4, int(round(2.0 * np.pi / theta)))
+    R_seat = rp * np.cos(0.5 * theta)
+    if r_pin is None:
+        r_pin = 0.35 * track.shoe_half[2]
+    rho = (1.0 + clearance) * r_pin
+
+    # phase from the wrapped pin (midpoint) closest to the pitch circle at
+    # t = 0 (sprocket starts at identity rotation)
+    import numpy as _np
+    x = _np.asarray(state0.x)
+    c = x[track.sprocket]
+    per = 2.0 * np.pi / n_teeth
+    best, phase = 1e30, 0.0
+    ns = len(track.shoes)
+    for i, s in enumerate(track.shoes):
+        pin = 0.5 * (x[s] + x[track.shoes[(i + 1) % ns]])
+        d = pin - c
+        r = float(_np.hypot(d[0], d[2]))
+        if abs(r - R_seat) < best:
+            best = abs(r - R_seat)
+            phase = float(_np.arctan2(-d[2], d[0]))
+    return SprocketGear(sprocket=track.sprocket, shoes=tuple(track.shoes),
+                        n_teeth=n_teeth, R_seat=R_seat, rho=rho,
+                        r_pin=r_pin, phase=phase % per)
+
+
+def matched_track_span(wheel_r: float, shoe_h: float, n_shoes: int,
+                       n_teeth: int, clearance: float = 2e-3) -> float:
+    """Wheel center distance d such that the track pitch divides the wrap
+    circle into exactly ``n_teeth`` — the chain/sprocket pitch-matching a
+    track designer does (cf. the reference's sprocket JSON whose tooth
+    count is chosen against the shoe pitch).  pitch = L/n_shoes,
+    θ = pitch/rp, want n_teeth·θ = 2π  →  L = n_shoes·2π·rp/n_teeth."""
+    rp = wheel_r + 0.5 * shoe_h + clearance
+    L = n_shoes * 2.0 * np.pi * rp / n_teeth
+    return (L - 2.0 * np.pi * rp) / 2.0
+
+
+def sprocket_gear_contacts(gear: SprocketGear, state, mu: float = 0.2):
+    """Analytic Contacts buffer (capacity = n_shoes) for the pin-in-pocket
+    tooth engagement — pass as ``extra_contacts_fn`` to
+    collision.pipeline.nsc_step.
+
+    All in the sprocket's x–z plane (track axis y): pin world position
+    (the chord midpoint between consecutive shoe centers — the
+    articulation point) folds into the tooth period around the CURRENT
+    sprocket angle, the nearest seat center is reconstructed in world
+    coordinates, and the contact normal is the in-plane pocket-wall
+    normal (seat → pin, flipped to the A→B convention of the pipeline).
+    The contact row is written against shoe i (the pin's leading shoe);
+    the pin joint transmits the reaction to its neighbor."""
+    from chrono_tpu.core import quaternion as Q
+    from chrono_tpu.collision.pipeline import Contacts
+
+    shoes = jnp.asarray(gear.shoes, jnp.int32)
+    nxt = jnp.asarray(tuple(gear.shoes[1:]) + (gear.shoes[0],), jnp.int32)
+    sp = gear.sprocket
+    pins = 0.5 * (state.x[shoes] + state.x[nxt])
+    c = state.x[sp]
+    qs = state.q[sp]
+    # sprocket angle about its y axis: angle of the body x-axis in the
+    # world x–z plane
+    ex = Q.qrotate(qs, jnp.asarray([1.0, 0.0, 0.0]))
+    th_s = jnp.arctan2(-ex[2], ex[0])    # rotation about +y
+    d = pins - c[None]
+    phi = jnp.arctan2(-d[:, 2], d[:, 0])             # pin angle about +y
+    per = 2.0 * np.pi / gear.n_teeth
+    # nearest seat index around the current sprocket rotation (seats are
+    # body-fixed at angles phase + k·per, carried to world by +th_s)
+    k = jnp.round((phi - th_s - gear.phase) / per)
+    th_k = th_s + gear.phase + k * per               # seat angle (world)
+    seat = c[None] + gear.R_seat * jnp.stack(
+        [jnp.cos(th_k), jnp.zeros_like(th_k), -jnp.sin(th_k)], axis=1)
+    e = pins - seat
+    e = e.at[:, 1].set(0.0)                          # in-plane
+    dist = jnp.sqrt(jnp.sum(e * e, axis=1) + 1e-12)
+    # a perfectly seated pin has e ≈ 0 → zero-length normal → a degenerate
+    # constraint row (NaN in the VI solve); fall back to the in-plane
+    # radial unit (always well-defined, and the row is inactive anyway)
+    r_c = jnp.sqrt(d[:, 0] ** 2 + d[:, 2] ** 2) + 1e-12
+    radial = jnp.stack([d[:, 0], jnp.zeros_like(r_c), d[:, 2]],
+                       axis=1) / r_c[:, None]
+    ehat = jnp.where((dist > 1e-4)[:, None], e / dist[:, None], radial)
+    gap = (gear.rho - gear.r_pin) - dist             # <0: pin on the wall
+    # engage only pins radially near the pitch circle (the wrap region) AND
+    # actually inside a pocket: at the wrap↔straight transitions the pin
+    # spacing deviates from the seat spacing, so a boundary pin can sit
+    # BETWEEN seats — that is tooth-tip riding, not pocket contact, and
+    # treating it as a deep pocket penetration fires a violent wrong-way
+    # impulse (measured).  Seated pins carry the drive.
+    r_pin_c = jnp.sqrt(d[:, 0] ** 2 + d[:, 2] ** 2)
+    near = jnp.abs(r_pin_c - gear.R_seat) < 2.0 * gear.rho
+    active = near & (gap < 0.0) & (gap > -0.7 * gear.rho)
+    n = len(gear.shoes)
+    return Contacts(
+        body_a=jnp.full((n,), sp, jnp.int32),
+        body_b=shoes,
+        point=pins,
+        normal=-ehat,                # gap rate = n·(v_pin − v_seat)
+        gap=jnp.where(active, gap, 1.0),
+        mu=jnp.full((n,), mu, jnp.float32),
+        r_eff=jnp.full((n,), gear.r_pin, jnp.float32),
+        active=active,
+        count=active.sum().astype(jnp.int32),
+    )
+
+
+def add_road_wheel_suspension(bld: SystemBuilder, chassis: int, c_rear,
+                              c_front, n_wheels: int, wheel_r: float,
+                              arm_len: float, k_torsion: float,
+                              c_torsion: float, wheel_mass: float = 3.0,
+                              arm_mass: float = 1.0, preload: float = 0.0):
+    """Torsion-arm road-wheel stations between the idler and sprocket.
+
+    The reference's ChTranslationalDamperSuspension /
+    ChRotationalDamperSuspension templates (tracked_vehicle/suspension/):
+    a trailing arm pinned to the chassis with a rotational spring-damper
+    (RSDA), carrying a road wheel on a revolute.  Returns (arm ids,
+    wheel ids)."""
+    c_rear = np.asarray(c_rear, float)
+    c_front = np.asarray(c_front, float)
+    arms, wheels = [], []
+    for i in range(n_wheels):
+        f = (i + 1) / (n_wheels + 1)
+        pivot = c_rear + f * (c_front - c_rear)
+        hub = pivot + np.array([-0.6 * arm_len, 0.0, -0.8 * arm_len])
+        arm = bld.add_body(mass=arm_mass,
+                           inertia=(arm_mass * arm_len ** 2 / 3,) * 3,
+                           pos=tuple(0.5 * (pivot + hub)))
+        wheel = bld.add_body(mass=wheel_mass,
+                             inertia=(0.4 * wheel_mass * wheel_r ** 2,) * 3,
+                             pos=tuple(hub))
+        bld.add_joint("revolute", chassis, arm, world_pos=tuple(pivot),
+                      world_axis=(0, 1, 0))
+        bld.add_joint("revolute", arm, wheel, world_pos=tuple(hub),
+                      world_axis=(0, 1, 0))
+        bld.add_rsda(chassis, arm, world_axis=(0, 1, 0), k=k_torsion,
+                     c=c_torsion, rest_angle=preload)
+        arms.append(arm)
+        wheels.append(wheel)
+    return arms, wheels

@@ -150,3 +150,126 @@ class TestSegmentedTrack:
         # track circulates: shoes acquired tangential speed
         v_sh = np.asarray(state.v)[track.shoes]
         assert np.abs(v_sh).max() > 0.2
+
+
+class TestSprocketGear:
+    """Tooth-profile engagement (pin-in-pocket, ChSprocketSinglePin role):
+    the pocket wall transmits torque, so the track follows the sprocket
+    with <2% speed slip even where rim friction alone loses grip.
+
+    Rig notes (empirically derived):
+    - the chassis rides a prismatic x-rail (the drive reaction otherwise
+      wheelies the free chassis and the sprocket's world rate is not the
+      motor rate — the motor is chassis-relative);
+    - the span is pitch-matched (matched_track_span) so the seat lattice
+      matches ALL wrapped pins — a mispitched chain jams the pockets;
+    - circulation is measured by loop-tangent projection (transverse
+      polygon-action vibration inflates a |v| metric by >15%);
+    - slip is measured against the MEASURED sprocket rate (the motor row
+      itself is ~1.5% soft under APGD at these iteration counts) and with
+      stab_factor 0.05 (the Baumgarte penetration-recovery bias otherwise
+      adds a steady tangential drift on the loaded pocket walls)."""
+
+    def _build(self, omega, mu_rim):
+        import numpy as np
+        from chrono_tpu.physics import SystemBuilder, SolverSettings
+        from chrono_tpu.collision import (
+            GridSpec, SphereShapes, CollisionModel, nsc_step)
+        from chrono_tpu.vehicle.track_shoes import (
+            add_segmented_track, track_collision_shapes, ground_shape,
+            make_sprocket_gear, sprocket_gear_contacts, matched_track_span)
+
+        wheel_r, shoe_h, shoe_w = 0.2, 0.05, 0.2
+        n_shoes, n_teeth = 24, 16
+        d = matched_track_span(wheel_r, shoe_h, n_shoes, n_teeth)
+        rp = wheel_r + 0.5 * shoe_h + 2e-3
+        zc = rp + 0.5 * shoe_h
+        c_rear, c_front = (0.0, 0.0, zc), (d, 0.0, zc)
+
+        bld = SystemBuilder()
+        bld.set_gravity((0, 0, -9.81))
+        g = bld.add_ground()
+        chassis = bld.add_body(mass=20.0, inertia=(2.0, 4.0, 5.0),
+                               pos=(d / 2, 0.0, zc))
+        bld.add_joint("prismatic", g, chassis, world_pos=(d / 2, 0.0, zc),
+                      world_axis=(1, 0, 0))
+        track = add_segmented_track(bld, chassis, c_rear, c_front, wheel_r,
+                                    n_shoes=n_shoes, shoe_h=shoe_h,
+                                    shoe_w=shoe_w, shoe_mass=0.5)
+        bld.add_motor_rotation_speed(chassis, track.sprocket,
+                                     world_pos=c_front, world_axis=(0, 1, 0),
+                                     profile=omega, add_joint=False)
+        model, state = bld.finalize()
+        gear = make_sprocket_gear(track, state)
+
+        convex = track_collision_shapes(track, mu_rim=mu_rim,
+                                        extra=ground_shape(g))
+        spheres = SphereShapes(body=jnp.zeros((0,), jnp.int32),
+                               offset=jnp.zeros((0, 3)),
+                               radius=jnp.zeros((0,)), mu=jnp.zeros((0,)))
+        coll = CollisionModel(
+            spheres=spheres, boxes=None, convex=convex,
+            grid=GridSpec(origin=(-5, -5, -2), cell_size=1.0,
+                          dims=(12, 12, 4)),
+            max_per_cell=8, max_contacts=96)
+        settings = SolverSettings(solver="apgd", max_iter=300,
+                                  stab_factor=0.05, max_recovery_speed=0.5)
+
+        def xcf(st):
+            return sprocket_gear_contacts(gear, st)
+
+        return model, coll, state, chassis, track, gear, settings, \
+            nsc_step, xcf
+
+    def _run(self, omega, mu_rim, use_gear, seconds=1.0):
+        import numpy as np
+        (model, coll, state, chassis, track, gear, settings, nsc_step,
+         xcf) = self._build(omega, mu_rim)
+        h = 1e-3
+        n = 100
+
+        @jax.jit
+        def advance(st, t0):
+            def body(carry, k):
+                st, t = carry
+                st, _, _ = nsc_step(
+                    model, coll, st, t, h, settings,
+                    extra_contacts_fn=xcf if use_gear else None)
+                return (st, t + h), None
+            (st, t), _ = jax.lax.scan(body, (st, t0), jnp.arange(n))
+            return st, t
+
+        t = jnp.asarray(0.0)
+        circs, omegas = [], []
+        for k in range(int(seconds / (n * h))):
+            state, t = advance(state, t)
+            x = np.asarray(state.x)
+            v_rel = np.asarray(state.v)[track.shoes] \
+                - np.asarray(state.v)[chassis]
+            # loop-tangent projection (transverse vibration-free)
+            sx = x[track.shoes]
+            tan = np.roll(sx, -1, axis=0) - np.roll(sx, 1, axis=0)
+            tan /= np.linalg.norm(tan, axis=1, keepdims=True) + 1e-12
+            circs.append(abs(np.mean(np.einsum("ij,ij->i", v_rel, tan))))
+            omegas.append(abs(np.asarray(state.w)[track.sprocket, 1]))
+        assert np.isfinite(np.asarray(state.x)).all()
+        # steady values: mean over the last half of the run
+        half = len(circs) // 2
+        circ = float(np.mean(circs[half:]))
+        omega_act = float(np.mean(omegas[half:]))
+        return circ, omega_act, gear
+
+    def test_gear_engagement_no_slip_at_high_speed(self):
+        """At a slick rim (mu 0.1) and 2x the friction-test speed, the
+        geared track circulates at the sprocket pitch speed (<2% mean
+        slip vs the measured sprocket rate); friction alone slips >10%."""
+        omega = 6.0                              # 2x the friction test's 3.0
+        circ_g, om_g, gear = self._run(omega, mu_rim=0.1, use_gear=True)
+        v_pitch = om_g * gear.R_seat
+        slip_g = abs(circ_g - v_pitch) / v_pitch
+        assert slip_g < 0.02, (circ_g, v_pitch, slip_g)
+
+        circ_f, om_f, _ = self._run(omega, mu_rim=0.1, use_gear=False)
+        v_pitch = om_f * gear.R_seat
+        slip_f = abs(circ_f - v_pitch) / v_pitch
+        assert slip_f > 0.1, (circ_f, v_pitch, slip_f)
