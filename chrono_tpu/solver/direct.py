@@ -80,12 +80,25 @@ def solve_dense_schur(
     v_free: Array,
     w_free: Array,
     reg: float = 1e-9,
+    reg_fallback: float = 3e-6,
 ) -> Array:
     """Solve ``N γ = -(D u_free - b)`` exactly (equality constraints only).
 
     Inactive rows are masked out of D, and the Tikhonov term keeps N invertible
     for redundant constraint sets (the reference relies on direct-solver pivoting;
     regularization is the batched-friendly equivalent).
+
+    Regularization is two-tier: the primary ``reg`` (1e-9) preserves the
+    fp32 golden-trajectory fidelity of well-posed systems, but sits below
+    fp32 eps — closed kinematic loops of PARALLEL revolutes (leaf-spring
+    shackles, planar 4-bars) make N exactly rank-deficient and the
+    equilibrated Cholesky then hits rounding-negative pivots -> NaN
+    (observed).  When the primary solve comes back non-finite, a traced
+    ``lax.cond`` re-solves with ``reg_fallback`` (3e-6, safely above eps);
+    the compensated iterative refinement keeps the bias small, and the
+    redundant multiplier directions it damps lie in null(D^T) — they do not
+    affect body motion.  (A flat 3e-6 everywhere was measured to break 3 of
+    the 14 golden joint cases; the two-tier scheme keeps both worlds.)
     """
     n_bodies = props.inv_mass.shape[0]
     D = desc.dense_D(rows, n_bodies)  # (m, 6N)
@@ -95,35 +108,48 @@ def solve_dense_schur(
     ).reshape(n_bodies * 6)
     # N = D M^-1 D^T  — MXU matmuls
     DM = D * minv[None, :]
-    N = DM @ D.T
+    N0 = DM @ D.T
     m = rows.m
-    scale = jnp.maximum(jnp.trace(N) / jnp.maximum(m, 1), 1.0)
-    N = N + (reg * scale) * jnp.eye(m, dtype=N.dtype)
+    scale = jnp.maximum(jnp.trace(N0) / jnp.maximum(m, 1), 1.0)
     r = compensated_schur_rhs(rows, v_free, w_free)
-    # inactive rows: force gamma=0 via identity rows
-    N = jnp.where(rows.active[:, None] & rows.active[None, :], N,
-                  jnp.eye(m, dtype=N.dtype))
     r = jnp.where(rows.active, r, 0.0)
-    # Jacobi equilibration: joint rows mix translational (|J|~1, 1/m) and
-    # rotational (|J|~arm, 1/I) scales — raw cond(N) reaches 1e5+ on the
-    # golden pendula, which at fp32 puts eps·cond noise straight into γ/h
-    # reactions.  Symmetric scaling drops cond to the scaled matrix's.
-    s = 1.0 / jnp.sqrt(jnp.maximum(jnp.diagonal(N), 1e-30))
-    Ns = N * s[:, None] * s[None, :]
-    cho = jsl.cho_factor(Ns, lower=True)
-    gamma = s * jsl.cho_solve(cho, -(s * r))
-    # two steps of iterative refinement with a COMPENSATED residual
-    # (a plain fp32 N@γ+r has the same eps·‖N‖·‖γ‖ rounding as the error
-    # being corrected — the residual must be error-free to gain digits)
-    for _ in range(2):
-        terms = []
-        errs = []
-        for k in range(m):
-            p, e = _two_prod(N[:, k], gamma[k])
-            terms.append(p)
-            errs.append(e)
-        terms.append(r)
-        ssum, c = _comp_sum(terms)
-        resid = ssum + (c + sum(errs))
-        gamma = gamma - s * jsl.cho_solve(cho, s * resid)
-    return gamma
+
+    def solve_at(reg_v):
+        N = N0 + (reg_v * scale) * jnp.eye(m, dtype=N0.dtype)
+        # inactive rows: force gamma=0 via identity rows
+        N = jnp.where(rows.active[:, None] & rows.active[None, :], N,
+                      jnp.eye(m, dtype=N.dtype))
+        # Jacobi equilibration: joint rows mix translational (|J|~1, 1/m)
+        # and rotational (|J|~arm, 1/I) scales — raw cond(N) reaches 1e5+ on
+        # the golden pendula, which at fp32 puts eps·cond noise straight
+        # into γ/h reactions.  Symmetric scaling drops cond to the scaled
+        # matrix's.
+        s = 1.0 / jnp.sqrt(jnp.maximum(jnp.diagonal(N), 1e-30))
+        Ns = N * s[:, None] * s[None, :]
+        cho = jsl.cho_factor(Ns, lower=True)
+        gamma = s * jsl.cho_solve(cho, -(s * r))
+        # two steps of iterative refinement with a COMPENSATED residual
+        # (a plain fp32 N@γ+r has the same eps·‖N‖·‖γ‖ rounding as the
+        # error being corrected — the residual must be error-free to gain
+        # digits)
+        for _ in range(2):
+            terms = []
+            errs = []
+            for k in range(m):
+                p, e = _two_prod(N[:, k], gamma[k])
+                terms.append(p)
+                errs.append(e)
+            terms.append(r)
+            ssum, c = _comp_sum(terms)
+            resid = ssum + (c + sum(errs))
+            gamma = gamma - s * jsl.cho_solve(cho, s * resid)
+        return gamma
+
+    import jax
+    gamma = solve_at(jnp.asarray(reg, N0.dtype))
+    bad = ~jnp.isfinite(gamma).all()
+    return jax.lax.cond(
+        bad,
+        lambda _: solve_at(jnp.asarray(reg_fallback, N0.dtype)),
+        lambda g: g,
+        gamma)
