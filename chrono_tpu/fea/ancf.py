@@ -466,6 +466,114 @@ def build_ancf_element(family: str, e0, dims, rho, D, Dv=None,
     )
 
 
+def build_ancf_shell_layered(family: str, e0, dims, layers,
+                             alpha=0.0) -> ANCFElement:
+    """Layered ANCF shell element (the reference's AddLayer stack,
+    ChElementShellANCF_3443.cpp:900 layer precompute / ChANCFTire layered
+    sections).
+
+    ``dims`` = (lenX, lenY, total_thickness); ``layers`` is a list of
+    (thickness, rho, D) with D the full 6x6 per-layer stiffness already
+    rotated by the ply angle (:func:`shell_material_D` with ``theta``).
+    Layer k occupies its physical sub-interval of the thickness, stacked
+    bottom (zeta=-1) to top (zeta=+1); GQ runs per layer with its own D
+    and density, so the element carries a per-point stiffness ``Dm``
+    of shape (NIP, 6, 6)."""
+    nsf, sfun, sdfun, NP, NT, kind = FAMILIES[family]
+    assert kind == "shell", "layered build is for shell families"
+    e0 = np.asarray(e0, np.float64)
+    assert e0.shape == (nsf, 3)
+    lx, ly, lz = (float(d) for d in dims)
+    t_total = float(sum(t for t, _, _ in layers))
+    assert abs(t_total - lz) < 1e-12 * max(1.0, lz), \
+        "layer thicknesses must sum to the element thickness"
+    if sdfun is None:
+        sdfun = functools.partial(_numdiff_sd, sfun)
+
+    xs, wxs = np.polynomial.legendre.leggauss(NP)
+    ts, wts = np.polynomial.legendre.leggauss(NT)
+
+    # zeta sub-interval bounds per layer (bottom to top)
+    cum = np.concatenate([[0.0], np.cumsum([t for t, _, _ in layers])])
+    za = -1.0 + 2.0 * cum[:-1] / t_total
+    zb = -1.0 + 2.0 * cum[1:] / t_total
+
+    SD, kgq, F0, E0, Dms = [], [], [], [], []
+
+    def add_point(xi, eta, zeta, w, D):
+        Sd = sdfun(xi, eta, zeta, lx, ly, lz)
+        J0 = e0.T @ Sd
+        Sd_adj = Sd @ np.linalg.inv(J0)
+        F = e0.T @ Sd_adj
+        Egl = 0.5 * (F.T @ F - np.eye(3))
+        SD.append(Sd_adj)
+        kgq.append(np.linalg.det(J0) * w)
+        F0.append(F)
+        E0.append(np.array([Egl[0, 0], Egl[1, 1], Egl[2, 2],
+                            2 * Egl[1, 2], 2 * Egl[0, 2], 2 * Egl[0, 1]]))
+        Dms.append(np.asarray(D, np.float64))
+
+    for (thick, rho_l, D), a, b in zip(layers, za, zb):
+        half = 0.5 * (b - a)
+        for ix in range(NP):
+            for ie in range(NP):
+                for iz in range(NT):
+                    add_point(xs[ix], xs[ie], a + half * (ts[iz] + 1.0),
+                              wxs[ix] * wxs[ie] * wts[iz] * half, D)
+    n_ip = len(kgq)
+
+    # mass / gravity: per-layer density over the same sub-intervals
+    n1, n2 = 7, 4
+    xm, wxm = np.polynomial.legendre.leggauss(n1)
+    tm, wtm = np.polynomial.legendre.leggauss(n2)
+    M = np.zeros((nsf, nsf))
+    gvec = np.zeros((nsf,))
+    m_elem = 0.0
+    for (thick, rho_l, D), a, b in zip(layers, za, zb):
+        half = 0.5 * (b - a)
+        for i in range(n1):
+            for j in range(n1):
+                for k in range(n2):
+                    xi, eta = xm[i], xm[j]
+                    zeta = a + half * (tm[k] + 1.0)
+                    wq = wxm[i] * wxm[j] * wtm[k] * half
+                    S = np.real(sfun(xi, eta, zeta, lx, ly, lz))
+                    Sd = sdfun(xi, eta, zeta, lx, ly, lz)
+                    detJ = np.linalg.det(e0.T @ Sd)
+                    w = rho_l * detJ * wq
+                    M += w * np.outer(S, S)
+                    gvec += w * S
+                    m_elem += w
+    mlump = np.diag(M) * (m_elem / np.trace(M))
+
+    f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
+    return ANCFElement(
+        SD=f32(np.stack(SD)), kgq=f32(np.asarray(kgq)),
+        F0=f32(np.stack(F0)), E0=f32(np.stack(E0)),
+        D0=f32(np.zeros((6,))), Dv=f32(np.zeros((3, 3))),
+        Dm=f32(np.stack(Dms)), mass=f32(M), mlump=f32(mlump),
+        gvec=f32(gvec), e0=f32(e0),
+        n_ip_d0=n_ip, sri=False, alpha=jnp.asarray(alpha, jnp.float32),
+    )
+
+
+def build_ancf_mesh_layered(family: str, coords0, conn, dims_list,
+                            layers_list, alpha=0.0, fixed=None) -> ANCFMesh:
+    """Layered-shell mesh over a shared coordinate cloud; ``dims_list`` and
+    ``layers_list`` give per-element dims/layer stacks (all elements must
+    share the same layer COUNT so the stacked pytree has uniform NIP)."""
+    coords0 = np.asarray(coords0, np.float64)
+    conn = np.asarray(conn, np.int32)
+    els = [build_ancf_shell_layered(family, coords0[c], d, lay, alpha)
+           for c, d, lay in zip(conn, dims_list, layers_list)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *els)
+    stacked = stacked.replace(n_ip_d0=els[0].n_ip_d0, sri=False)
+    if fixed is None:
+        fixed = np.zeros((coords0.shape[0],), bool)
+    return ANCFMesh(conn=jnp.asarray(conn), els=stacked,
+                    fixed=jnp.asarray(fixed))
+
+
 # --------------------------------------------------------------------------
 # runtime (jittable)
 # --------------------------------------------------------------------------
@@ -496,6 +604,8 @@ def _weighted_stress(el: ANCFElement, eps: Array, eps_dot=None) -> Array:
     (shells/hexa): full 6×6 Dm at every point."""
     total = eps if eps_dot is None else eps + el.alpha * eps_dot
     if not el.sri:
+        if el.Dm.ndim == 3:          # layered shell: per-GQ-point stiffness
+            return jnp.einsum("iab,ib->ia", el.Dm, total) * el.kgq[:, None]
         return jnp.einsum("ab,ib->ia", el.Dm, total) * el.kgq[:, None]
     n0 = el.n_ip_d0
     sig0 = total[:n0] * el.D0[None, :]
