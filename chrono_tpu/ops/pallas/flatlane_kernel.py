@@ -147,7 +147,15 @@ def _make_flat_kernel(F_in, n_out, n_acc, C, NL, SZ, Bxy, WB,
             tok = sweep(0, 0, True, jnp.zeros((), jnp.float32))
             for off, sh in shifts:
                 tok = sweep(off, sh, False, tok)
-            react[0, 0, 0, 0] += jnp.where(jnp.isfinite(tok), 0.0, tok)
+            # Token sink: consume the final sweep's token so the chain ends
+            # with an ordered side effect.  Must be a VECTOR-shaped store —
+            # Mosaic rejects scalar stores to VMEM ("Cannot store scalars to
+            # VMEM"), which crashed the r3 bench when this sink moved inside
+            # @pl.when (was: react[0, 0, 0, 0] += ...).  The broadcast adds
+            # exactly +0.0 to one (C, NL) plane.
+            react[0, 0] += jnp.full((C, NL),
+                                    jnp.where(jnp.isfinite(tok), 0.0, tok),
+                                    jnp.float32)
 
         # the rolling window and the ping-pong combine run for EVERY block
         # (active or not) so the reaction state stays consistent across
