@@ -79,6 +79,11 @@ class RosBridge:
                 return
             with self._lock:
                 clients = list(self._clients)
+            # prune receive buffers of dropped clients (long-running bridges
+            # with client churn would otherwise accumulate them forever)
+            live = set(clients)
+            for dead in [c for c in bufs if c not in live]:
+                bufs.pop(dead, None)
             for c in clients:
                 try:
                     data = c.recv(65536)
@@ -117,7 +122,11 @@ class RosBridge:
             try:
                 c.sendall(line)
             except (BlockingIOError, InterruptedError):
-                pass               # slow client: best-effort drop
+                # sendall on a non-blocking socket may have completed a
+                # PARTIAL write before raising; a truncated JSON line would
+                # permanently corrupt this client's newline framing. Drop
+                # the slow client (consistent with best-effort QoS).
+                self._drop(c)
             except OSError:
                 self._drop(c)
 

@@ -136,7 +136,11 @@ class ANCFTireSpec(NamedTuple):
 def load_ancf_tire_spec(src) -> ANCFTireSpec:
     """Parse the reference's ANCFTire JSON deck (a dict or a file path),
     e.g. /root/reference/data/vehicle/hmmwv/tire/HMMWV_ANCF4Tire.json."""
-    d = src if isinstance(src, dict) else _json.load(open(src))
+    if isinstance(src, dict):
+        d = src
+    else:
+        with open(src) as f:
+            d = _json.load(f)
     mats = tuple(
         (float(m["Density"]),
          np.asarray(m["E"], float),
@@ -244,11 +248,19 @@ def build_ancf_tire(spec: ANCFTireSpec, div_circumference=24,
             pos = c + np.array([r * cphi, yprf[j], r * sphi])
             tprf = np.array([cphi * xp[j], yp[j], sphi * xp[j]])
             tprf /= np.linalg.norm(tprf)
-            nrm = np.cross(circ, tprf)
+            # outward node normal, matching the reference's orientation
+            # (ChANCFTire.cpp:127 Vcross(tan_prf, nrm)) so zeta=-1..+1 runs
+            # inner->outer and asymmetric layer stacks land on the correct
+            # face (tread rubber outside, belt order preserved).  To keep the
+            # element triad right-handed (positive Jacobian) with an outward
+            # normal, element x runs along MINUS the circumferential
+            # direction — exactly the reference's connectivity, where
+            # node0=(i+1,j) and node1=(i,j) (ChANCFTire.cpp:141-155).
+            nrm = np.cross(tprf, circ)
             nrm /= np.linalg.norm(nrm)
             k = 4 * (i * (nw + 1) + j)
             coords0[k] = pos
-            coords0[k + 1] = circ
+            coords0[k + 1] = -circ
             coords0[k + 2] = tprf
             coords0[k + 3] = nrm
 
@@ -268,10 +280,11 @@ def build_ancf_tire(spec: ANCFTireSpec, div_circumference=24,
         i1 = (i + 1) % nc
         for j in range(nw):
             s = sec_of_j[j]
-            nA = i * (nw + 1) + j
-            nB = i1 * (nw + 1) + j
-            nC = i1 * (nw + 1) + j + 1
-            nD = i * (nw + 1) + j + 1
+            # element x = A->B = -circumferential (see node-gradient comment)
+            nA = i1 * (nw + 1) + j
+            nB = i * (nw + 1) + j
+            nC = i * (nw + 1) + j + 1
+            nD = i1 * (nw + 1) + j + 1
             rows = []
             for nid in (nA, nB, nC, nD):
                 rows += [4 * nid, 4 * nid + 1, 4 * nid + 2, 4 * nid + 3]
