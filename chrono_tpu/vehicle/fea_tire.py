@@ -33,7 +33,8 @@ import jax
 import jax.numpy as jnp
 
 from chrono_tpu.fea.beam import BeamBuilder, BeamMesh
-from chrono_tpu.fea.contact import NodeCloudContact, node_cloud_forces
+from chrono_tpu.fea.contact import (NodeCloudContact, node_cloud_forces,
+                                    face_contact_forces, grid_surface_faces)
 
 
 class RingTire(NamedTuple):
@@ -367,9 +368,17 @@ def clamp_rim(tire: ANCFTire, coords, rim_center, rim_quat=None):
     return coords.at[rows].set(world.reshape(-1, 3))
 
 
+def tire_surface_faces(tire: ANCFTire):
+    """(F, 3) triangle skin over the tire's node grid (node-id space), for
+    face contact (ChContactSurfaceMesh role — the reference builds the same
+    skin via ChContactSurfaceMesh::AddFacesFromBoundary)."""
+    nc, nwp = tire.grid
+    return grid_surface_faces(nc, nwp - 1, wrap_i=True)
+
+
 def make_ancf_tire_step(tire: ANCFTire, h, pressure=None, contact=None,
                         gravity=None, relax=0.0, min_mass_frac=1e-3,
-                        structural_damping=False):
+                        structural_damping=False, face_contact=None):
     """Jittable explicit step over (coords, vel) with the HRZ-lumped mass.
     ``relax`` adds mass-proportional damping (dynamic relaxation for
     statics).  ``min_mass_frac`` floors each coordinate row's lumped mass
@@ -381,11 +390,17 @@ def make_ancf_tire_step(tire: ANCFTire, h, pressure=None, contact=None,
     stiffness-proportional, so its explicit stability bound scales with
     1/omega_max^2 (vs 1/omega_max for the elastic term) — keep it off for
     dynamic-relaxation statics, on (with a tiny h) for transients.
+    ``face_contact``: optional (cfg, faces) pair — ground contact through
+    the triangle skin (ChContactSurfaceMesh role; cfg.kn/gn per-area) in
+    place of / in addition to the node-cloud ``contact``.
     Returns step(coords, vel) -> (coords, vel)."""
     p = tire.spec.pressure if pressure is None else float(pressure)
     floor = min_mass_frac * float(jnp.mean(tire.mlump))
     minv = 1.0 / jnp.maximum(tire.mlump, floor)
     free = (~tire.fixed)[:, None]
+    if face_contact is not None:
+        fc_cfg, fc_faces = face_contact
+        fc_faces = jnp.asarray(fc_faces, jnp.int32)
 
     def step(coords, vel):
         f = jnp.zeros_like(coords)
@@ -402,6 +417,11 @@ def make_ancf_tire_step(tire: ANCFTire, h, pressure=None, contact=None,
             pvel = vel[tire.pos_rows]
             fc = node_cloud_forces(contact, pos, pvel)
             f = f.at[tire.pos_rows].add(fc) * free
+        if face_contact is not None:
+            pos = coords[tire.pos_rows]
+            pvel = vel[tire.pos_rows]
+            ff = face_contact_forces(fc_cfg, fc_faces, pos, pvel)
+            f = f.at[tire.pos_rows].add(ff) * free
         a = f * minv[:, None]
         vel2 = (vel + h * a) * (1.0 - relax) * free
         return coords + h * vel2, vel2
@@ -414,3 +434,12 @@ def tire_contact_force(tire: ANCFTire, contact, coords, vel) -> jnp.ndarray:
     pos = coords[tire.pos_rows]
     pvel = vel[tire.pos_rows]
     return jnp.sum(node_cloud_forces(contact, pos, pvel), axis=0)
+
+
+def tire_face_contact_force(tire: ANCFTire, cfg, faces, coords,
+                            vel) -> jnp.ndarray:
+    """Total ground reaction (3,) through the face surface."""
+    pos = coords[tire.pos_rows]
+    pvel = vel[tire.pos_rows]
+    return jnp.sum(face_contact_forces(cfg, jnp.asarray(faces, jnp.int32),
+                                       pos, pvel), axis=0)
