@@ -51,15 +51,28 @@ def tmeasy_for_load(wheel_radius, width, fz0, stiff=1.0, damp=1.0):
 
 # family → deck (public specifications; masses in kg, lengths in m)
 DECKS = {
-    # John Deere Gator-class electric utility vehicle
-    # (src/chrono_models/vehicle/gator)
+    # John Deere Gator-class electric utility vehicle — every field derived
+    # from the reference's own JSON deck (cross-checked field-by-field by
+    # tests/test_gator_deck.py against /root/reference/data/vehicle/gator/
+    # json/Gator_*.json):
+    #   mass/inertia/cg: Gator_Chassis.json (800 kg, [107.7,350.8,457.7],
+    #     COM z 0.359); wheelbase: 2·0.97 axle offset (Gator_Vehicle.json);
+    #   track: mean of front 2·0.56 (SingleWishbone spindle COM) and rear
+    #     2·0.62 (RigidSuspensionRear);
+    #   wheel: Wheel.json 11 kg + TMeasyTireFront.json 9.3 kg; radius
+    #     0.28575, width 0.254; spin inertia 0.42 + 0.416;
+    #   k/c: 300000, 20000 shock (SingleWishboneFront) x motion ratio^2
+    #     ((0.39-0.06)/(0.56-0.06))^2 = 0.436 -> wheel rate;
+    #   engine: EngineSimple 200 Nm, 14 kW (peak-power speed 70 rad/s),
+    #     360 rad/s max; single forward gear 0.07 with conical 1.0 ->
+    #     one 14.286:1 reduction; brake: BrakeShafts.json 800 Nm.
     "gator": dict(
-        mass=780.0, inertia=(250.0, 520.0, 580.0), wheelbase=1.97,
-        track=1.42, cg_height=0.5, wheel_mass=12.0, wheel_radius=0.28,
-        wheel_width=0.22, wheel_inertia=0.5,
-        k=30000.0, c=2800.0, engine=(32.0, 450.0, 600.0),
-        gears=[9.5, 4.8], shifts=[6.0], final=3.5, driven="RWD",
-        steer=0.55, brake=600.0,
+        mass=800.0, inertia=(107.7, 350.8, 457.7), wheelbase=1.94,
+        track=1.18, cg_height=0.359, wheel_mass=20.3, wheel_radius=0.28575,
+        wheel_width=0.254, wheel_inertia=0.836,
+        k=130700.0, c=8712.0, engine=(200.0, 70.0, 360.0, 0.1),
+        gears=[14.286], shifts=[], final=1.0, driven="RWD",
+        steer=0.44, brake=800.0,
     ),
     # FED-Alpha demonstrator (src/chrono_models/vehicle/feda)
     "feda": dict(

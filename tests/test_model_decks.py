@@ -13,7 +13,9 @@ from tests.test_models_vehicles import _check_family
 
 # 3 s full-throttle speed windows per family (heavier → slower)
 SPEED = {
-    "gator": (4.0, 30.0),
+    # Gator: 14 kW engine + 0.6-mu turf tires (reference JSON values) —
+    # a ~25 mph utility vehicle, not a car
+    "gator": (2.0, 12.0),
     "feda": (4.0, 30.0),
     "uaz": (5.0, 35.0),
     "jeep": (5.0, 38.0),
