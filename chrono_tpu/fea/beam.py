@@ -38,6 +38,8 @@ class BeamProps:
     rhoA: Array    # mass / length
     damping: Array
     R0: Array      # (E, 3, 3) reference element frame (x along the axis)
+    GAy: Array = None   # shear rigidity κ·G·A (set → Timoshenko elements)
+    GAz: Array = None
 
 
 @pytree_dataclass
@@ -111,10 +113,67 @@ def element_energy(q_elem, q0_elem, L, EA, GJ, EIy, EIz, R0):
     return U_ax + U_to + U_by + U_bz
 
 
+def element_energy_timoshenko(q_elem, q0_elem, L, EA, GJ, EIy, EIz, R0,
+                              GAy, GAz):
+    """Shear-flexible (Timoshenko) corotational element energy.
+
+    Counterpart of the reference's tapered-Timoshenko family
+    (/root/reference/src/chrono/fea/ChElementBeamTaperedTimoshenko.h) at
+    uniform section: same corotated-frame kinematics as
+    :func:`element_energy`, but with linear rotation interpolation and the
+    transverse SHEAR strain kept:
+      κ = (θ2 − θ1)/L           (constant curvature)
+      γ = −(θ1 + θ2)/2          (one-point reduced integration — the
+                                 classic shear-locking cure: the chord
+                                 frame zeroes end deflections, so dw/dx
+                                 integrates to 0 and γ_mid = −θ̄)
+    Energy/plane = ½·EI·L·κ² + ½·GA_s·L·γ², GA_s = shear area × G
+    (pass kappa·G·A — the shear correction factor lives in GA_s like the
+    reference's Ks_y/Ks_z section parameters)."""
+    p1, th1 = q_elem[0, 0:3], q_elem[0, 3:6]
+    p2, th2 = q_elem[1, 0:3], q_elem[1, 3:6]
+    Rn1 = _rotvec_to_matrix(th1) @ R0
+    Rn2 = _rotvec_to_matrix(th2) @ R0
+
+    d = p2 - p1
+    ln = jnp.sqrt(jnp.sum(d * d) + 1e-24)
+    ex = d / ln
+    ey_m = 0.5 * (Rn1[:, 1] + Rn2[:, 1])
+    ez = jnp.cross(ex, ey_m)
+    ez = ez / jnp.sqrt(jnp.sum(ez * ez) + 1e-24)
+    ey = jnp.cross(ez, ex)
+    Rc = jnp.stack([ex, ey, ez], axis=1)
+
+    A1 = Rc.T @ Rn1
+    A2 = Rc.T @ Rn2
+    th_l1 = 0.5 * jnp.array([A1[2, 1] - A1[1, 2], A1[0, 2] - A1[2, 0],
+                             A1[1, 0] - A1[0, 1]])
+    th_l2 = 0.5 * jnp.array([A2[2, 1] - A2[1, 2], A2[0, 2] - A2[2, 0],
+                             A2[1, 0] - A2[0, 1]])
+
+    u = ln - L
+    phi = th_l2[0] - th_l1[0]
+    U_ax = 0.5 * EA / L * u * u
+    U_to = 0.5 * GJ / L * phi * phi
+
+    def plane(EI, GAs, t1, t2, sgn):
+        # sgn: rotation about +y bends in −z, about +z bends in +y
+        kap = (t2 - t1) / L
+        gam = sgn * 0.5 * (t1 + t2)
+        return 0.5 * EI * L * kap * kap + 0.5 * GAs * L * gam * gam
+
+    U_y = plane(EIy, GAz, th_l1[1], th_l2[1], -1.0)
+    U_z = plane(EIz, GAy, th_l1[2], th_l2[2], +1.0)
+    return U_ax + U_to + U_y + U_z
+
+
 def total_energy(mesh: BeamMesh, q: Array) -> Array:
     qe = q[mesh.elems]
     q0e = mesh.q0[mesh.elems]
     p = mesh.props
+    if getattr(p, "GAy", None) is not None:
+        return jnp.sum(jax.vmap(element_energy_timoshenko)(
+            qe, q0e, p.L, p.EA, p.GJ, p.EIy, p.EIz, p.R0, p.GAy, p.GAz))
     return jnp.sum(jax.vmap(element_energy)(
         qe, q0e, p.L, p.EA, p.GJ, p.EIy, p.EIz, p.R0))
 
@@ -156,18 +215,26 @@ class BeamBuilder:
         self.dtype = dtype
         self.nodes = []     # (pos, fixed)
         self.elems = []
-        self.props = []     # (EA, GJ, EIy, EIz, rhoA, damping)
+        self.props = []     # (EA, GJ, EIy, EIz, rhoA, damping, GAy, GAz)
+        self._shear = False
 
     def add_node(self, pos, fixed=False) -> int:
         self.nodes.append((np.asarray(pos, float), bool(fixed)))
         return len(self.nodes) - 1
 
-    def add_element(self, n0, n1, EA, GJ, EIy, EIz, rhoA, damping=0.01):
+    def add_element(self, n0, n1, EA, GJ, EIy, EIz, rhoA, damping=0.01,
+                    GAy=None, GAz=None):
         self.elems.append((n0, n1))
-        self.props.append((EA, GJ, EIy, EIz, rhoA, damping))
+        self.props.append((EA, GJ, EIy, EIz, rhoA, damping,
+                           0.0 if GAy is None else GAy,
+                           0.0 if GAz is None else GAz))
+        self._shear = self._shear or GAy is not None
 
     def add_straight_beam(self, p0, p1, n_elems, EA, GJ, EIy, EIz, rhoA,
-                          damping=0.01, fix_start=False):
+                          damping=0.01, fix_start=False, GAy=None, GAz=None):
+        """``GAy/GAz`` (shear rigidities κGA): set → the run is meshed with
+        shear-flexible Timoshenko elements (ChElementBeamTaperedTimoshenko
+        role) instead of Euler–Bernoulli."""
         p0 = np.asarray(p0, float)
         p1 = np.asarray(p1, float)
         ids = []
@@ -176,7 +243,7 @@ class BeamBuilder:
                                      fixed=(fix_start and k == 0)))
         for k in range(n_elems):
             self.add_element(ids[k], ids[k + 1], EA, GJ, EIy, EIz, rhoA,
-                             damping)
+                             damping, GAy=GAy, GAz=GAz)
         return ids
 
     def finalize(self):
@@ -202,7 +269,9 @@ class BeamBuilder:
             L=jnp.asarray(L, dt), EA=jnp.asarray(pr[:, 0], dt),
             GJ=jnp.asarray(pr[:, 1], dt), EIy=jnp.asarray(pr[:, 2], dt),
             EIz=jnp.asarray(pr[:, 3], dt), rhoA=jnp.asarray(pr[:, 4], dt),
-            damping=jnp.asarray(pr[:, 5], dt), R0=jnp.asarray(R0, dt))
+            damping=jnp.asarray(pr[:, 5], dt), R0=jnp.asarray(R0, dt),
+            GAy=jnp.asarray(pr[:, 6], dt) if self._shear else None,
+            GAz=jnp.asarray(pr[:, 7], dt) if self._shear else None)
         mesh = BeamMesh(elems=jnp.asarray(elems), props=props,
                         fixed=jnp.asarray([f for _, f in self.nodes]),
                         q0=jnp.asarray(q, dt))

@@ -27,8 +27,13 @@ from chrono_tpu.fea.cable import CableMesh
 def _mesh_ops(mesh):
     """Dispatch element kernels by mesh type (cable / shell / solid share
     the (Nn, 6) node layout, so the whole Newton/HHT machinery is generic)."""
-    from chrono_tpu.fea import beam, cable, shell, solid, tetra
+    from chrono_tpu.fea import (beam, bst, cable, iga, reissner, shell,
+                                solid, tetra)
 
+    if isinstance(mesh, reissner.ReissnerMesh):
+        return reissner.internal_forces, reissner.mass_matrix
+    if isinstance(mesh, bst.BSTMesh):
+        return bst.internal_forces, bst.mass_matrix
     if isinstance(mesh, shell.ShellMesh):
         return shell.internal_forces, shell.mass_matrix
     if isinstance(mesh, solid.SolidMesh):
@@ -37,6 +42,8 @@ def _mesh_ops(mesh):
         return tetra.internal_forces, tetra.mass_matrix
     if isinstance(mesh, beam.BeamMesh):
         return beam.internal_forces, beam.mass_matrix
+    if isinstance(mesh, iga.IGABeamMesh):
+        return iga.internal_forces, iga.mass_matrix
     return cable.internal_forces, cable.mass_matrix
 
 
@@ -57,10 +64,11 @@ class FEAStepOut(NamedTuple):
 
 
 def _fixed_dof_mask(mesh, n_nodes: int) -> Array:
-    from chrono_tpu.fea import solid, tetra
+    from chrono_tpu.fea import bst, solid, tetra
 
-    m = jnp.repeat(mesh.fixed, 6)
-    if isinstance(mesh, (solid.SolidMesh, tetra.TetraMesh)):
+    fx = mesh.fixed
+    m = fx.reshape(-1) if fx.ndim == 2 else jnp.repeat(fx, 6)
+    if isinstance(mesh, (solid.SolidMesh, tetra.TetraMesh, bst.BSTMesh)):
         # solid nodes carry translations only: directors are inert DOFs and
         # must be masked (their energy gradient is identically zero)
         m = m.reshape(n_nodes, 6).at[:, 3:6].set(True).reshape(-1)
@@ -78,7 +86,10 @@ def _masked_solve(J, r, free):
 
 def make_force_fn(mesh: CableMesh, n_nodes: int):
     """Returns f(q_flat, qd_flat) = internal + Rayleigh damping forces."""
-    beta_k = jnp.mean(mesh.props.damping)
+    if hasattr(mesh, "props"):
+        beta_k = jnp.mean(mesh.props.damping)
+    else:                       # BST / IGA meshes carry damping directly
+        beta_k = jnp.mean(mesh.damping)
 
     def f_int(q_flat):
         return internal_forces(mesh, q_flat.reshape(n_nodes, 6)).reshape(-1)

@@ -127,3 +127,36 @@ def test_cantilever_first_eigenfrequency_dynamic():
     assert len(crossings) >= 3, "tip never oscillated"
     period = 2.0 * np.mean(np.diff(crossings)) * h
     np.testing.assert_allclose(period, T1, rtol=0.08)
+
+
+def test_timoshenko_shear_deflection():
+    """Shear-flexible cantilever: w = PL^3/3EI + PL/(kGA) — for a SHORT
+    deep beam the shear term is a large fraction of the total, which the
+    Euler-Bernoulli element cannot produce (ChElementBeamTaperedTimoshenko
+    role, /root/reference/src/chrono/fea/ChElementBeamTaperedTimoshenko.h)."""
+    L, P = 0.2, 0.8                     # L/W = 10: shear term ~3% of total
+    kappa = 5.0 / 6.0
+    GA = kappa * G_ * A
+    b = BeamBuilder()
+    ids = b.add_straight_beam((0, 0, 0), (L, 0, 0), 10,
+                              EA=E_ * A, GJ=G_ * J, EIy=E_ * I, EIz=E_ * I,
+                              rhoA=RHO * A, fix_start=True, GAy=GA, GAz=GA)
+    mesh, q = b.finalize()
+    f = jnp.zeros_like(q).at[ids[-1], 2].set(P)
+    q_eq = static_solve(mesh, q, f, n_load_steps=2, newton_iters=25,
+                        tol=1e-6)
+    w_tip = float(q_eq[ids[-1], 2] - q[ids[-1], 2])
+    w_bend = P * L**3 / (3 * E_ * I)
+    w_shear = P * L / GA
+    np.testing.assert_allclose(w_tip, w_bend + w_shear, rtol=2e-2)
+    # and the Euler-Bernoulli element misses the shear part
+    b2 = BeamBuilder()
+    ids2 = b2.add_straight_beam((0, 0, 0), (L, 0, 0), 10,
+                                EA=E_ * A, GJ=G_ * J, EIy=E_ * I,
+                                EIz=E_ * I, rhoA=RHO * A, fix_start=True)
+    mesh2, q2 = b2.finalize()
+    q2_eq = static_solve(mesh2, q2, f, n_load_steps=2, newton_iters=25,
+                         tol=1e-6)
+    w2 = float(q2_eq[ids2[-1], 2] - q2[ids2[-1], 2])
+    np.testing.assert_allclose(w2, w_bend, rtol=2e-2)
+    assert w_tip > w2 + 0.5 * w_shear
