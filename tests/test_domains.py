@@ -358,3 +358,105 @@ class TestShardedFlatPallas:
             return a[np.lexsort((a[:, 2], a[:, 1], a[:, 0]))]
 
         np.testing.assert_allclose(canon(got), canon(ref), atol=5e-4)
+
+
+class TestShardedCRM:
+    """Sharded CRM granular terrain (parallel.crm_shard) vs the
+    single-device flat-lane CRM engine — the capstone scale-out path
+    (BASELINE config #5 'single multi-chip TPU program')."""
+
+    def _scene(self):
+        from chrono_tpu.collision.cell_list import GridSpec
+        from chrono_tpu.fsi.sph.state import SPHParams, FLUID, BOUNDARY
+        from chrono_tpu.fsi.sph.crm import CRMParams, CRMState
+        from chrono_tpu.utils.samplers import grid_sample_box
+
+        d0 = 0.05
+        params = SPHParams(
+            d0=jnp.asarray(d0), h=jnp.asarray(1.2 * d0),
+            rho0=jnp.asarray(1700.0), mu=jnp.asarray(0.0),
+            c_s=jnp.asarray(20.0), gravity=jnp.asarray([0.0, 0.0, -9.81]),
+            dt=jnp.asarray(5e-5), max_neighbors=48, max_per_cell=32,
+            rebuild_every=2, integrator="symplectic")
+        crm = CRMParams(youngs=jnp.asarray(1.3e6),
+                        poisson=jnp.asarray(0.3),
+                        friction_angle=jnp.asarray(0.6),
+                        cohesion=jnp.asarray(0.0))
+        cell = 2.4 * d0
+        nx, ny, nz = 8, 5, 4
+        origin = (0.0, 0.0, -4 * d0)
+        grid = GridSpec(origin=origin, cell_size=cell, dims=(nx, ny, nz))
+        Lx = nx * cell
+        bed = grid_sample_box((0.08, 0.08, 0.5 * d0),
+                              (Lx - 0.08, ny * cell - 0.2, 0.2), d0,
+                              jitter=0.01, seed=3)
+        floor = grid_sample_box((0.02, 0.02, -3 * d0),
+                                (Lx - 0.02, ny * cell - 0.14, -d0), d0)
+        pos = np.concatenate([bed, floor])
+        kind = np.concatenate([np.full(len(bed), FLUID),
+                               np.full(len(floor), BOUNDARY)])
+        n = len(pos)
+        st = CRMState(
+            pos=jnp.asarray(pos, jnp.float32),
+            vel=jnp.zeros((n, 3), jnp.float32),
+            rho=jnp.full((n,), 1700.0, jnp.float32),
+            kind=jnp.asarray(kind, jnp.int32),
+            body_id=jnp.zeros((n,), jnp.int32),
+            bce_local=jnp.zeros((n, 3), jnp.float32),
+            tau_d=jnp.zeros((n, 3), jnp.float32),
+            tau_o=jnp.zeros((n, 3), jnp.float32),
+            nbr=None, time=jnp.asarray(0.0))
+        return params, crm, grid, st, len(bed)
+
+    def test_sharded_crm_parity_with_single_device(self):
+        from chrono_tpu.fsi.sph.crm_pencil import make_crm_pencil_engine
+        from chrono_tpu.fsi.sph.crm_pencil import pencils_to_crm_state
+        from chrono_tpu.parallel.crm_shard import (
+            make_sharded_crm_advance, crm_slab_extra)
+
+        params, crm, grid, st, n_bed = self._scene()
+        D = 4
+        n_substeps, n_cycles = 2, 3
+        cap = 32
+
+        # single-device flat-lane engine, re-binned per cycle (the same
+        # schedule the sharded path runs)
+        eng = make_crm_pencil_engine(params, crm, grid, capacity=cap,
+                                     Bxy=2, interpret=True, layout="flat")
+        ref = st
+        for _ in range(n_cycles):
+            feat, _x, perm, ov = eng["bin"](ref)
+            assert int(ov) == 0
+            for _ in range(n_substeps):
+                feat = eng["substep"](feat)
+            ref = pencils_to_crm_state(feat, perm, ref)
+        ref_pos = np.asarray(ref.pos)
+
+        # sharded over 4 slabs
+        cell = float(grid.cell_size)
+        nxl = grid.dims[0] // D
+        spec = SlabSpec(x0=grid.origin[0], width=nxl * cell, n_slabs=D,
+                        capacity=256, halo_capacity=128,
+                        migrate_capacity=32, cutoff=cell)
+        sp = distribute(spec, np.asarray(st.pos), np.zeros_like(st.pos))
+        # redistribute the extra columns with the same slab assignment
+        extra_all = np.asarray(crm_slab_extra(st))
+        slab = np.clip(((np.asarray(st.pos)[:, 0] - spec.x0)
+                        / spec.width).astype(int), 0, D - 1)
+        extra = np.zeros((D, spec.capacity, 8), np.float32)
+        for d in range(D):
+            idx = np.where(slab == d)[0]
+            extra[d, :len(idx)] = extra_all[idx]
+        adv = make_sharded_crm_advance(spec, make_mesh(D), params, crm,
+                                       grid, n_substeps, capacity=cap,
+                                       Bxy=2, interpret=True)
+        p, v, x2, m, ov = adv(sp.pos, sp.vel, jnp.asarray(extra),
+                              sp.valid, n_cycles)
+        assert int(ov) == 0
+        got = np.asarray(p)[np.asarray(m)]
+        assert got.shape[0] == st.pos.shape[0]
+
+        def canon(a):
+            return a[np.lexsort((a[:, 2], a[:, 1], a[:, 0]))]
+
+        np.testing.assert_allclose(canon(got), canon(ref_pos), atol=5e-4)
