@@ -87,7 +87,10 @@ def _make_kernel(C, NZ, Bxy, ny, radius, kn, gn, kt, gt, mu, dt, friction,
                 nbr_dma((k + 1) % 2, k + 1).start()
             nbr_dma(k % 2, k).wait()
             slab = nbuf[k % 2]                      # (Bxy, F, C, NZ)
-            ok_xy = edge_ref[:, k][:, None, None, None]  # (Bxy, 1, 1, 1)
+            # edge_ref carries the FULL (nxy_pad, 9) mask (a (Bxy, 9)
+            # block violates Mosaic's (8, 128)-divisibility when Bxy < 8
+            # — caught by the on-hardware compile gate); slice our rows
+            ok_xy = edge_ref[pl.ds(b * Bxy, Bxy), k][:, None, None, None]
 
             for dz in (-1, 0, 1):
                 if dz == 0:
@@ -273,7 +276,7 @@ def dem_pencil_forces_pallas(feat, edge_ok, *, radius, kn, gn, kt=0.0,
         out_shape=jax.ShapeDtypeStruct((nxy_pad, 6, C, NZp), jnp.float32),
         grid=(nxy_pad // Bxy,),
         in_specs=[
-            pl.BlockSpec((Bxy, 9), lambda b: (b, 0),
+            pl.BlockSpec((nxy_pad, 9), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -338,7 +341,7 @@ def dem_pencil_substep_pallas(feat, edge_ok, *, radius, kn, gn, kt=0.0,
                                        jnp.float32),
         grid=(nxy_pad // Bxy,),
         in_specs=[
-            pl.BlockSpec((Bxy, 9), lambda b: (b, 0),
+            pl.BlockSpec((nxy_pad, 9), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],

@@ -159,6 +159,32 @@ def _gap_perpendicular(x_a, q_a, x_b, q_b, p):
     return jnp.stack([za @ zb])
 
 
+def _gap_align(x_a, q_a, x_b, q_b, p):
+    # orientation-only weld: rotations locked, translation free
+    # (ChLinkLockAlign, /root/reference/src/chrono/physics/ChLinkLock.h)
+    pa, xa, ya, za = _joint_world(x_a, q_a, p["fa_pos"], p["fa_rot"])
+    pb, xb, yb, zb = _joint_world(x_b, q_b, p["fb_pos"], p["fb_rot"])
+    return _rotlock3(xa, ya, za, xb, yb, zb)
+
+
+def _gap_rev_prismatic(x_a, q_a, x_b, q_b, p):
+    # free translation along x of frame a AND free rotation about z
+    # (ChLinkLockRevolutePrismatic): 2 translation + 2 rotation rows
+    pa, xa, ya, za = _joint_world(x_a, q_a, p["fa_pos"], p["fa_rot"])
+    pb, xb, yb, zb = _joint_world(x_b, q_b, p["fb_pos"], p["fb_rot"])
+    dp = pb - pa
+    return jnp.stack([ya @ dp, za @ dp, za @ xb, za @ yb])
+
+
+def _gap_mate_xdistance(x_a, q_a, x_b, q_b, p):
+    # point of b held at signed distance aux along frame a's z axis
+    # (ChLinkMateXdistance role, /root/reference/src/chrono/physics/
+    # ChLinkMate.h — a 1-row offset mate)
+    pa, xa, ya, za = _joint_world(x_a, q_a, p["fa_pos"], p["fa_rot"])
+    pb = x_b + Q.qrotate(q_b, p["fb_pos"])
+    return jnp.stack([za @ (pb - pa) - p["aux"]])
+
+
 #: joint type registry: name -> (gap_fn, n_rows)
 JOINT_TYPES = {
     "spherical": (_gap_spherical, 3),
@@ -175,6 +201,9 @@ JOINT_TYPES = {
     "oldham": (_gap_oldham, 4),
     "parallel": (_gap_parallel, 2),
     "perpendicular": (_gap_perpendicular, 1),
+    "align": (_gap_align, 3),
+    "rev_prismatic": (_gap_rev_prismatic, 4),
+    "mate_xdistance": (_gap_mate_xdistance, 1),
 }
 
 _LOWERERS = {

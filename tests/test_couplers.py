@@ -156,3 +156,63 @@ def test_screw_advance_per_revolution():
     turns = 4.0 * n * h / (2 * np.pi)
     np.testing.assert_allclose(float(state.x[nut, 2]), pitch * turns,
                                rtol=2e-3, atol=1e-5)
+
+
+def test_align_locks_rotation_frees_translation():
+    """ChLinkLockAlign role: orientation welded, translation free-falls."""
+    bld = SystemBuilder()
+    g = bld.add_ground()
+    b = bld.add_body(mass=1.0, inertia=(0.1, 0.1, 0.1), pos=(0.2, 0, 0))
+    bld.add_joint("align", g, b, world_pos=(0.2, 0, 0), world_axis=(0, 0, 1))
+    bld.set_gravity((0.0, 0.0, -9.81))
+    model, state = bld.finalize()
+    state, _ = simulate(model, state, 1e-3, 300, SET)
+    q = np.asarray(state.q[b])
+    np.testing.assert_allclose(q, [1, 0, 0, 0], atol=2e-3)
+    # fell freely: z ~ -g t^2 / 2
+    z = float(state.x[b, 2])
+    np.testing.assert_allclose(z, -0.5 * 9.81 * 0.3**2, rtol=0.05)
+
+
+def test_rev_prismatic_frees_x_translation_and_z_rotation():
+    """ChLinkLockRevolutePrismatic role: slide along x + spin about z only."""
+    bld = SystemBuilder()
+    g = bld.add_ground()
+    b = bld.add_body(mass=1.0, inertia=(0.1, 0.1, 0.1), pos=(0, 0, 0),
+                     vel=(0.3, 0, 0), omega_local=(0, 0, 2.0))
+    bld.add_joint("rev_prismatic", g, b, world_pos=(0, 0, 0),
+                  world_axis=(0, 0, 1))
+    bld.set_gravity((0.0, 0.2, -9.81))
+    model, state = bld.finalize()
+    state, _ = simulate(model, state, 1e-3, 300, SET)
+    p = np.asarray(state.x[b])
+    # x slid; y and z locked despite gravity components
+    assert p[0] > 0.05
+    assert abs(p[1]) < 2e-3 and abs(p[2]) < 2e-3
+    # still spinning about z; z axis stayed aligned
+    w = np.asarray(state.w[b])
+    assert w[2] > 1.0
+    from chrono_tpu.core import quaternion as Q
+    import jax.numpy as jnp
+    ez = np.asarray(Q.qrotate(jnp.asarray(state.q[b]),
+                              jnp.asarray([0.0, 0.0, 1.0])))
+    np.testing.assert_allclose(ez, [0, 0, 1], atol=2e-3)
+
+
+def test_mate_xdistance_holds_offset():
+    """ChLinkMateXdistance role: point held at distance d along the axis."""
+    d = 0.15
+    bld = SystemBuilder()
+    g = bld.add_ground()
+    b = bld.add_body(mass=1.0, pos=(0.0, 0.0, d))
+    # frame a at the ground origin, anchor = body-b CENTER (explicit
+    # per-frame placement; a single world_pos would anchor b at the
+    # ground origin instead)
+    bld.add_joint_frames("mate_xdistance", g, b, fa_pos=(0, 0, 0),
+                         fb_pos=(0, 0, 0), aux=d)
+    bld.set_gravity((0.3, 0.0, -9.81))
+    model, state = bld.finalize()
+    state, _ = simulate(model, state, 1e-3, 300, SET)
+    p = np.asarray(state.x[b])
+    np.testing.assert_allclose(p[2], d, atol=2e-3)   # offset held
+    assert p[0] > 0.01                               # free in-plane
