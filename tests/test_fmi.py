@@ -112,3 +112,69 @@ def test_fmu_inside_jitted_step(fmu_path):
     x = rk4_scan(jnp.asarray([1.0, 0.0], jnp.float32), 0.002, 1000)
     np.testing.assert_allclose(float(x[0]), _analytic(2.0), atol=1e-3)
     fmu.terminate()
+
+
+# ---------------------------------------------------------------------------
+# FMI 3.0 (fmi3 C API + Float64 schema — chrono_fmi/fmi3 role)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def fmu3_path(tmp_path_factory):
+    from chrono_tpu.io.fmi import export_fmu_lti3
+    p = tmp_path_factory.mktemp("fmu3") / "osc3.fmu"
+    # damped oscillator xdd = -k x - c xd with input force
+    k, c = 25.0, 0.4
+    A = [[0.0, 1.0], [-k, -c]]
+    B = [[0.0], [1.0]]
+    export_fmu_lti3(str(p), A, B, x0=[0.5, 0.0], model_name="osc3")
+    return str(p)
+
+
+def test_fmi3_layout_and_metadata(fmu3_path):
+    from chrono_tpu.io.fmi import Fmu
+    fmu = Fmu(fmu3_path, mode="model_exchange")
+    assert fmu.v3 and fmu.fmi_version.startswith("3")
+    assert fmu.states == ["x0", "x1"]
+    assert fmu.inputs == ["u0"]
+    fmu.terminate()
+
+
+def test_fmi3_model_exchange_matches_analytic(fmu3_path):
+    from chrono_tpu.io.fmi import Fmu
+    fmu = Fmu(fmu3_path, mode="model_exchange")
+    fmu.setup(t0=0.0)
+    k, c = 25.0, 0.4
+    h, T = 1e-3, 1.0
+    x = np.array([0.5, 0.0])
+    t = 0.0
+    for _ in range(int(T / h)):           # RK4 on the FMU derivative
+        k1 = fmu.derivative(t, x)
+        k2 = fmu.derivative(t + h / 2, x + h / 2 * k1)
+        k3 = fmu.derivative(t + h / 2, x + h / 2 * k2)
+        k4 = fmu.derivative(t + h, x + h * k3)
+        x = x + h / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+        t += h
+    wn = np.sqrt(k)
+    zeta = c / (2 * wn)
+    wd = wn * np.sqrt(1 - zeta**2)
+    x_ref = 0.5 * np.exp(-zeta * wn * T) * (
+        np.cos(wd * T) + zeta * wn / wd * np.sin(wd * T))
+    np.testing.assert_allclose(x[0], x_ref, rtol=1e-3)
+    fmu.terminate()
+
+
+def test_fmi3_cosimulation_dostep(fmu3_path):
+    from chrono_tpu.io.fmi import Fmu
+    fmu = Fmu(fmu3_path, mode="co_simulation")
+    fmu.setup(t0=0.0)
+    t, h = 0.0, 0.01
+    for _ in range(100):
+        fmu.do_step(t, h)
+        t += h
+    x = fmu.get_real(["x0", "x1"])
+    k, c = 25.0, 0.4
+    wn = np.sqrt(k); zeta = c / (2 * wn); wd = wn * np.sqrt(1 - zeta**2)
+    x_ref = 0.5 * np.exp(-zeta * wn * 1.0) * (
+        np.cos(wd * 1.0) + zeta * wn / wd * np.sin(wd * 1.0))
+    np.testing.assert_allclose(x[0], x_ref, rtol=5e-3)
+    fmu.terminate()
