@@ -752,3 +752,76 @@ def add_hendrickson_primaxx(bld: SystemBuilder, chassis: int, origin,
     _axle_springs(bld, P, chassis, axle, hp)
     _axle_wheels(bld, P, axle, wl, wr, hp)
     return AxleBodies(axle=axle, wheel_l=wl, wheel_r=wr)
+
+
+def add_generic_corner(bld: SystemBuilder, chassis: int, origin, spec,
+                       side: int = +1, steered_rack_body: int = None):
+    """Data-driven suspension corner of arbitrary topology
+    (ChGenericWheeledSuspension role, /root/reference/src/chrono_vehicle/
+    wheeled_vehicle/suspension/ChGenericWheeledSuspension.h — everything
+    except the spindle body + its revolute is specified as data).
+
+    ``spec`` (a dict, e.g. parsed from JSON):
+      bodies: {name: {mass, inertia (3,), pos (3,)}}
+      joints: [{kind, body1, body2, pos (3,), axis (3,)}]        (optional)
+      distances: [{body1, body2, point1 (3,), point2 (3,)}]      (optional)
+      tsdas: [{body1, body2, point1, point2, k, c, free_length}] (optional)
+      rsdas: [{body1, body2, axis, k, c}]                        (optional)
+      spindle: {attachment: <body name>, pos (3,), mass, inertia,
+                axis (3,), steered: bool, tierod: {arm (3,), rack (3,)}}
+    Body names "chassis" and "rack" refer to the passed-in bodies.
+    Hardpoints are authored for the LEFT side (+y outboard) and mirrored
+    by ``side``.  Returns (name → body id dict incl. "wheel")."""
+    o = np.asarray(origin, float)
+
+    def P(p):
+        p = np.asarray(p, float)
+        return o + np.array([p[0], side * p[1], p[2]])
+
+    def A(a):
+        a = np.asarray(a, float)
+        a = np.array([a[0], side * a[1], a[2]])
+        return a / np.linalg.norm(a)
+
+    rack = chassis if steered_rack_body is None else steered_rack_body
+    ids = {"chassis": chassis, "rack": rack}
+    for name, b in spec["bodies"].items():
+        ids[name] = bld.add_body(mass=b["mass"],
+                                 inertia=tuple(b["inertia"]),
+                                 pos=tuple(P(b["pos"])))
+    for j in spec.get("joints", ()):
+        bld.add_joint(j["kind"], ids[j["body1"]], ids[j["body2"]],
+                      world_pos=tuple(P(j["pos"])),
+                      world_axis=tuple(A(j.get("axis", (0, 0, 1)))))
+    for d in spec.get("distances", ()):
+        bld.add_distance(ids[d["body1"]], ids[d["body2"]],
+                         tuple(P(d["point1"])), tuple(P(d["point2"])))
+    for t in spec.get("tsdas", ()):
+        bld.add_tsda(ids[t["body1"]], ids[t["body2"]],
+                     tuple(P(t["point1"])), tuple(P(t["point2"])),
+                     k=t.get("k", 0.0), c=t.get("c", 0.0),
+                     rest_length=t.get("free_length"))
+    for r in spec.get("rsdas", ()):
+        bld.add_rsda(ids[r["body1"]], ids[r["body2"]],
+                     world_axis=tuple(A(r.get("axis", (0, 1, 0)))),
+                     k=r.get("k", 0.0), c=r.get("c", 0.0))
+
+    sp = spec["spindle"]
+    wheel = bld.add_body(mass=sp["mass"], inertia=tuple(sp["inertia"]),
+                         pos=tuple(P(sp["pos"])))
+    bld.add_joint("revolute", wheel, ids[sp["attachment"]],
+                  world_pos=tuple(P(sp["pos"])),
+                  world_axis=tuple(A(sp.get("axis", (0, 1, 0)))))
+    if sp.get("steered") and "tierod" in sp:
+        bld.add_distance(ids[sp["attachment"]], rack,
+                         tuple(P(sp["tierod"]["arm"])),
+                         tuple(P(sp["tierod"]["rack"])))
+    ids["wheel"] = wheel
+    return ids
+
+
+def load_generic_suspension_json(path):
+    """Parse a generic-suspension spec file (JSON) for add_generic_corner."""
+    import json
+    with open(path) as f:
+        return json.load(f)
