@@ -144,6 +144,13 @@ class CollisionModel:
     # Non-zero → 3 extra rolling rows per contact in the DVI solve.
     mu_roll: float = static_field(default=0.0)
     mu_spin: float = static_field(default=0.0)
+    # mesh narrowphase candidate pruning: 0 = dense S×T / K×T pair
+    # lattices (fine for a handful of triangles); >0 = per sphere/convex,
+    # exact-test only the mesh_candidates nearest triangles by
+    # bounding-sphere score (top_k) — the quadratic pack of (S, T)
+    # 11-float rows is what hurts on real mesh obstacles, the role the
+    # reference fills with Bullet's trimesh BVH
+    mesh_candidates: int = static_field(default=0)
 
     @property
     def use_rolling(self) -> bool:
@@ -307,7 +314,30 @@ def detect_contacts(coll: CollisionModel, state: BodyState) -> Contacts:
         w0 = state.x[mb] + Q.qrotate(state.q[mb], ms.v0)   # (T,3) world
         w1 = state.x[mb] + Q.qrotate(state.q[mb], ms.v1)
         w2 = state.x[mb] + Q.qrotate(state.q[mb], ms.v2)
-        if S > 0:
+        cen_t = (w0 + w1 + w2) / 3.0
+        rad_t = jnp.sqrt(jnp.maximum(jnp.maximum(
+            jnp.sum((w0 - cen_t) ** 2, axis=1),
+            jnp.sum((w1 - cen_t) ** 2, axis=1)),
+            jnp.sum((w2 - cen_t) ** 2, axis=1)))
+        Kc = coll.mesh_candidates
+        if S > 0 and Kc and Kc < T:
+            # bounding-sphere scored candidates: exact narrowphase only on
+            # the Kc nearest triangles per sphere
+            d2 = jnp.sum((centers[:, None, :] - cen_t[None]) ** 2, axis=2)
+            score = d2 - (rad_t[None] + sp.radius[:, None]
+                          + coll.envelope) ** 2
+            _, tidx = jax.lax.top_k(-score, Kc)            # (S, Kc)
+            gap_t, n_t, p_t = nphase.sphere_triangle(
+                centers[:, None, :], sp.radius[:, None],
+                w0[tidx], w1[tidx], w2[tidx])              # (S, Kc)
+            st_ok = (gap_t < coll.envelope) & (
+                sp.body[:, None] != mb[tidx])
+            pack(st_ok,
+                 jnp.broadcast_to(sp.body[:, None], (S, Kc)),
+                 mb[tidx], gap_t, n_t, p_t,
+                 jnp.minimum(sp.mu[:, None], ms.mu[tidx]),
+                 jnp.broadcast_to(sp.radius[:, None], (S, Kc)))
+        elif S > 0:
             gap_t, n_t, p_t = nphase.sphere_triangle(
                 centers[:, None, :], sp.radius[:, None],
                 w0[None], w1[None], w2[None])              # (S, T)
@@ -331,8 +361,23 @@ def detect_contacts(coll: CollisionModel, state: BodyState) -> Contacts:
             crot = Q.qmul(state.q[cv.body], cv.rot)
             world = ConvexShape(kind=cv.kind, pos=cpos, rot=crot,
                                 data=cv.data, verts=cv.verts)
-            ii = jnp.repeat(jnp.arange(K), T)
-            jj = jnp.tile(jnp.arange(T), K)
+            if Kc and Kc < T:
+                # same candidate pruning for convex-vs-triangle: shape
+                # bounding radius from its data/verts (coarse upper bound)
+                r_cv = jnp.maximum(
+                    jnp.sqrt(jnp.sum(cv.data ** 2, axis=1)),
+                    jnp.sqrt(jnp.max(jnp.sum(cv.verts ** 2, axis=2),
+                                     axis=1)))
+                d2c = jnp.sum((cpos[:, None, :] - cen_t[None]) ** 2,
+                              axis=2)
+                scc = d2c - (rad_t[None] + r_cv[:, None]
+                             + coll.envelope) ** 2
+                _, tjj = jax.lax.top_k(-scc, Kc)           # (K, Kc)
+                ii = jnp.repeat(jnp.arange(K), Kc)
+                jj = tjj.reshape(-1)
+            else:
+                ii = jnp.repeat(jnp.arange(K), T)
+                jj = jnp.tile(jnp.arange(T), K)
             cvx = jax.tree_util.tree_map(lambda x: x[ii], world)
             # (K·T, 5) manifold points per pair (perturbed-support face
             # manifold + edge fallback)

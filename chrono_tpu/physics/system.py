@@ -11,6 +11,7 @@ detection, VI solve, state integration — is ONE jitted function suitable for
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
@@ -424,7 +425,16 @@ def simulate(model: Model, state: BodyState, h: float, n_steps: int,
 
     The whole trajectory loop compiles to one XLA program (the TPU-native
     replacement for the reference's per-step ``DoStepDynamics`` driver loop).
+
+    ``save_every=0`` skips trajectory stacking entirely (returns
+    ``(state, None)``) through a jitted, carry-donating path — the
+    latency configuration for small-MBS runs where only the final state
+    matters (per-step HBM trajectory writes and the post-hoc slice cost
+    more than the physics on a 10-body scene).
     """
+    if save_every == 0:
+        return _simulate_nosave(model, state, h, n_steps, settings,
+                                jnp.asarray(t0, state.x.dtype)), None
 
     def body(carry, k):
         state, t = carry
@@ -435,3 +445,17 @@ def simulate(model: Model, state: BodyState, h: float, n_steps: int,
     (final_state, tf), (xs, qs) = jax.lax.scan(
         body, (state, jnp.asarray(t0, state.x.dtype)), jnp.arange(n_steps))
     return final_state, (xs[::save_every], qs[::save_every])
+
+
+@partial(jax.jit, static_argnums=(2, 3), donate_argnums=(1,))
+def _simulate_nosave(model: Model, state: BodyState, h: float,
+                     n_steps: int, settings: SolverSettings, t0):
+    def body(carry, _):
+        state, t = carry
+        state, _info = step_euler_implicit_linearized(
+            model, state, t, h, settings)
+        return (state, t + h), None
+
+    (final_state, _), _ = jax.lax.scan(body, (state, t0), None,
+                                       length=n_steps)
+    return final_state
