@@ -394,6 +394,16 @@ def detect_contacts(coll: CollisionModel, state: BodyState) -> Contacts:
                      gap_ct.shape),
                  jnp.full_like(gap_ct, DEFAULT_EFF_RADIUS))
 
+    if not segs_ok:
+        # geometry-free scene (contacts supplied entirely through
+        # extra_contacts_fn, e.g. 2-D profile or gear engagement rows).
+        # The dummy row needs a UNIT normal — a zero normal NaNs the
+        # tangent-basis construction even on inactive rows.
+        dummy = jnp.zeros((1, 11), state.x.dtype)
+        dummy = dummy.at[0, 0].set(1.0)        # gap = +1 (separated)
+        dummy = dummy.at[0, 3].set(1.0)        # normal = +z
+        segs_ok = [jnp.zeros((1,), bool)]
+        segs_pack = [dummy]
     all_ok = jnp.concatenate(segs_ok)
     all_rows = jnp.concatenate(segs_pack, axis=0)          # (n_tot, 11)
     sel, active, count = topk_select(all_ok, coll.max_contacts)
