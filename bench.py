@@ -120,7 +120,7 @@ def main():
         # 1.75 measured best on v5e at N=1M: 46.8M psteps/s vs 38.6M at 1.6
         # (worst-case crystal-pack occupancy sqrt(2)*1.75^3 = 7.6 < C=8)
         cell = float(os.environ.get("BENCH_CELL_MULT", 1.75)) * 2.0 * radius
-        capacity = 8
+        capacity = int(os.environ.get("BENCH_CAPACITY", 8))
     elif engine in ("pencil", "sym"):
         # lean grid for the dense-pencil kernel: cell = 1.45 diameters keeps
         # the worst-case slot occupancy under C = 8 (one sublane tile) even at

@@ -585,7 +585,8 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
     fns = {"mbs": bench_mbs, "mixer": bench_mixer, "sph": bench_sph,
-           "mixer_pencil": bench_mixer_pencil, "crm": bench_crm}
+           "mixer_pencil": bench_mixer_pencil,
+           "mixer_blade": bench_mixer_blade, "crm": bench_crm}
     names = list(fns) if which == "all" else [which]
     for name in names:
         out = fns[name]()

@@ -45,7 +45,7 @@ def make_crm_terrain_state(params: SPHParams, crm: CRMParams,
                            rigid_pts=None, rigid_body_ids=None,
                            rigid_local=None, carve_fn=None,
                            surface_fn=None, air: float = 30.0,
-                           dtype=jnp.float32):
+                           margin: float = 6.0, dtype=jnp.float32):
     """Box terrain patch: granular bed (lithostatic pre-stress) + wall BCE
     floor/side layers + optional rigid-body BCE markers (wheels).
 
@@ -95,7 +95,10 @@ def make_crm_terrain_state(params: SPHParams, crm: CRMParams,
 
     support = KERNELS[params.kernel][2]
     cell = support * float(params.h)
-    margin = 6 * d0
+    # grid margin beyond the bed box, in d0 units: must cover the 3 wall
+    # BCE layers (3·d0) plus binning skin; every extra cell costs lanes
+    # (and, for the flat2 layout, rows) linearly
+    margin = float(margin) * d0
     zmax = H + float(air) * d0
     dims = (int(np.ceil((Lx + 2 * margin) / cell)),
             int(np.ceil((Ly + 2 * margin) / cell)),
@@ -251,7 +254,7 @@ def make_crm_fsi_advance_persistent(
         mbs_settings: SolverSettings = SolverSettings(solver="direct"),
         f_ext_fn=None, pencil_capacity: int = 32, pencil_Bxy: int = 4,
         rebuild_outer: int = 5, interpret: bool = False,
-        layout: str = "auto", dv_mode: str = "fresh"):
+        layout: str = "auto", dv_mode: str = "fresh", dual_CA=None):
     """Vehicle-on-CRM advance with PERSISTENT pencil binning.
 
     The per-outer pipeline of :func:`make_crm_fsi_advance_fn` (engine
@@ -283,12 +286,25 @@ def make_crm_fsi_advance_persistent(
     IS the working set); use the per-outer driver for activity compaction.
     """
     from chrono_tpu.fsi.sph.crm_pencil import (
-        make_crm_pencil_engine, pencils_to_crm_state,
+        make_crm_pencil_engine, make_crm_dual_engine, pencils_to_crm_state,
+        pencils_to_crm_state_dual,
     )
     from chrono_tpu.fsi.sph.state import RIGID_BCE
 
-    eng = make_crm_pencil_engine(params, crm, grid, pencil_capacity,
-                                 pencil_Bxy, interpret, layout)
+    if layout == "flat2":
+        # two-tier flat-lane engine: rows = vertical axis (air rows
+        # skipped), field A = the typical cell, field B = the spill.
+        # CA defaults to 3/4 of capacity: the floor rows (wall BCE layers +
+        # bed bottom, ~17-20 markers/cell) must fit field A or every floor
+        # row block pays the full cross-sweep lattice
+        CA = int(dual_CA) if dual_CA else (pencil_capacity * 3) // 4
+        eng = make_crm_dual_engine(params, crm, grid, CA=CA,
+                                   CB=pencil_capacity - CA,
+                                   Bxy=pencil_Bxy, interpret=interpret)
+    else:
+        eng = make_crm_pencil_engine(params, crm, grid, pencil_capacity,
+                                     pencil_Bxy, interpret, layout)
+    dual = bool(eng.get("dual"))
     wheel_list = [int(w) for w in np.asarray(wheel_bodies).reshape(-1)]
     m_marker = float(params.rho0) * float(params.d0) ** 3
     h_outer = params.dt * n_substeps
@@ -348,9 +364,22 @@ def make_crm_fsi_advance_persistent(
     if dv_mode not in ("fresh", "last"):
         raise ValueError(f"unknown dv_mode {dv_mode!r}")
 
+    def update_bce_all(feat, aux, bodies):
+        if dual:
+            return tuple(update_bce_planes(f, a, bodies)
+                         for f, a in zip(feat, aux))
+        return update_bce_planes(feat, aux, bodies)
+
+    def body_forces_all(feat, aux, acc, bodies):
+        if dual:
+            fA, tA = body_forces_planes(feat[0], aux[0], acc[0], bodies)
+            fB, tB = body_forces_planes(feat[1], aux[1], acc[1], bodies)
+            return fA + fB, tA + tB
+        return body_forces_planes(feat, aux, acc, bodies)
+
     def outer_body(carry, _, aux):
         feat, bodies, t = carry
-        feat = update_bce_planes(feat, aux, bodies)
+        feat = update_bce_all(feat, aux, bodies)
 
         def inner(f, _):
             return eng["substep"](f), None
@@ -361,7 +390,7 @@ def make_crm_fsi_advance_persistent(
         else:
             feat, _ = lax.scan(inner, feat, None, length=n_substeps)
             acc = eng["forces"](feat)
-        f_b, tau_b = body_forces_planes(feat, aux, acc, bodies)
+        f_b, tau_b = body_forces_all(feat, aux, acc, bodies)
         tau_local = Q.qrotate_inv(bodies.q, tau_b)
         f_drv = tau_drv = None
         if f_ext_fn is not None:
@@ -382,7 +411,11 @@ def make_crm_fsi_advance_persistent(
         (feat, bodies, t), _ = lax.scan(
             functools.partial(outer_body, aux=aux), (feat, bodies, t),
             None, length=chunk_len)
-        return bodies, pencils_to_crm_state(feat, perm, terrain), t, ov
+        if dual:
+            st2 = pencils_to_crm_state_dual(feat[0], feat[1], perm, terrain)
+        else:
+            st2 = pencils_to_crm_state(feat, perm, terrain)
+        return bodies, st2, t, ov
 
     @functools.partial(jax.jit, static_argnums=1)
     def advance(state: CRMFSIState, n_outer: int):

@@ -61,6 +61,96 @@ def pencils_to_crm_state(feat, perm, st: CRMState) -> CRMState:
                       tau_o=tau_o)
 
 
+def pencils_to_crm_state_dual(featA, featB, perm, st: CRMState) -> CRMState:
+    """Dual-field unbinner: perm indexes the virtual [A | B] plane concat
+    (see pencil.bin_to_flat_dual)."""
+    def grab(f):
+        return jnp.concatenate(
+            [featA[:, f].reshape(-1), featB[:, f].reshape(-1)])[perm]
+
+    pos = jnp.stack([grab(0), grab(1), grab(2)], axis=1)
+    vel = jnp.stack([grab(3), grab(4), grab(5)], axis=1)
+    tau_d = jnp.stack([grab(7), grab(8), grab(9)], axis=1)
+    tau_o = jnp.stack([grab(10), grab(11), grab(12)], axis=1)
+    return st.replace(pos=pos, vel=vel, rho=grab(6), tau_d=tau_d,
+                      tau_o=tau_o)
+
+
+def make_crm_dual_engine(params, crm: CRMParams, grid: GridSpec,
+                         CA: int = 16, CB: int = 16, Bxy: int = 1,
+                         interpret: bool = False):
+    """Two-tier flat-lane CRM engine (ops.pallas.flatlane_dual_kernel).
+
+    Rows = the SHORTEST grid axis (for a terrain bed: the vertical — most
+    of its rows are air above the bed, skipped by the per-row activity
+    masks), lanes = the other two packed.  Field A carries the first CA
+    markers of each cell (the typical bed cell), field B the spill (wheel
+    contact, wall-layer stacks) — so spill-free row blocks pay only the
+    dense CA x CA lattice.  Reference role: SetActiveDomain + the sorted
+    per-cell marker layout of the reference FSI data manager
+    (/root/reference/src/chrono_fsi/sph/ChFsiProblemSPH.h active domains).
+
+    Same engine-dict contract as make_crm_pencil_engine, with
+    dual=True: feats are (featA, featB) tuples.
+    """
+    from chrono_tpu.fsi.sph.pencil import bin_to_flat_dual
+
+    support = KERNELS[params.kernel][2]
+    if float(grid.cell_size) < support * float(params.h) - 1e-9:
+        raise ValueError("cell below kernel support")
+    if any(grid.periodic):
+        raise ValueError("dual CRM supports non-periodic boxes")
+    order = int(np.argmin(grid.dims))
+    rest = sorted([a for a in range(3) if a != order],
+                  key=lambda a: grid.dims[a])
+    aperm = (order, rest[0], rest[1])
+    pdims = tuple(grid.dims[a] for a in aperm)
+    pgrid = GridSpec(origin=tuple(grid.origin[a] for a in aperm),
+                     cell_size=grid.cell_size, dims=pdims)
+    from chrono_tpu.fsi.sph.pencil import flat_lane_geometry
+    SZ, NL = flat_lane_geometry(pgrid)
+    cp = crm_static_params(params, crm)
+
+    def bin_all(st, extra_feats=()):
+        pA, pB, perm, ovf = bin_to_flat_dual(
+            pgrid, CA, CB, SZ, NL, st.pos[:, list(aperm)],
+            _crm_feats(st) + list(extra_feats))
+        nE = len(extra_feats)
+        if nE:
+            fA = jnp.concatenate([pA[:, :15], pA[:, -1:]], axis=1)
+            fB = jnp.concatenate([pB[:, :15], pB[:, -1:]], axis=1)
+            return ((fA, fB), (pA[:, 15:15 + nE], pB[:, 15:15 + nE]),
+                    perm, ovf)
+        return (pA, pB), ((pA[:, :0]), (pB[:, :0])), perm, ovf
+
+    def rows_of(feat):
+        fA, fB = feat
+        return (jnp.max(fA[:, -1], axis=(1, 2)) > 0).astype(jnp.int32), \
+            (jnp.max(fB[:, -1], axis=(1, 2)) > 0).astype(jnp.int32)
+
+    from chrono_tpu.ops.pallas.crm_sym_kernel import crm_substep_sym_dual
+
+    kw = dict(cp=cp, grid_dims=pdims, SZ=SZ, CA=CA, CB=CB, Bxy=Bxy,
+              interpret=interpret)
+
+    def substep(feat):
+        rowA, rowB = rows_of(feat)
+        return crm_substep_sym_dual(feat[0], feat[1], rowA, rowB, **kw)
+
+    def substep_acc(feat):
+        rowA, rowB = rows_of(feat)
+        return crm_substep_sym_dual(feat[0], feat[1], rowA, rowB,
+                                    with_acc=True, **kw)
+
+    def forces(feat):
+        rowA, rowB = rows_of(feat)
+        return crm_substep_sym_dual(feat[0], feat[1], rowA, rowB,
+                                    forces_only=True, **kw)
+
+    return dict(bin=bin_all, substep=substep, substep_acc=substep_acc,
+                forces=forces, layout="flat2", aperm=aperm, dual=True)
+
+
 def make_crm_pencil_engine(params, crm: CRMParams, grid: GridSpec,
                            capacity: int = 16, Bxy: int = 4,
                            interpret: bool = False, layout: str = "auto"):
@@ -179,6 +269,32 @@ def make_crm_substeps_pencil(params, crm: CRMParams, grid: GridSpec,
         st2 = pencils_to_crm_state(feat, perm, st)
         dv = jnp.stack([acc[:, k].reshape(-1)[perm] for k in range(3)],
                        axis=1)
+        return st2, dv, ovf
+
+    return substeps
+
+
+def make_crm_substeps_dual(params, crm: CRMParams, grid: GridSpec,
+                           CA: int = 16, CB: int = 16, Bxy: int = 1,
+                           interpret: bool = False):
+    """substeps(st, n) -> (st2, dv, overflow) on the two-tier engine —
+    same contract as make_crm_substeps_pencil (used for parity tests and
+    the per-outer driver)."""
+    eng = make_crm_dual_engine(params, crm, grid, CA, CB, Bxy, interpret)
+
+    def substeps(st: CRMState, n_substeps: int):
+        feat, _, perm, ovf = eng["bin"](st)
+
+        def inner(f, _):
+            return eng["substep"](f), None
+
+        feat, _ = lax.scan(inner, feat, None, length=n_substeps)
+        accA, accB = eng["forces"](feat)
+        st2 = pencils_to_crm_state_dual(feat[0], feat[1], perm, st)
+        dv = jnp.stack(
+            [jnp.concatenate([accA[:, k].reshape(-1),
+                              accB[:, k].reshape(-1)])[perm]
+             for k in range(3)], axis=1)
         return st2, dv, ovf
 
     return substeps

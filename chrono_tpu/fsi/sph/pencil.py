@@ -166,6 +166,69 @@ def bin_to_flat(grid, capacity: int, SZ: int, NL: int, pos, feats,
     return jnp.stack(planes + [valid], axis=1), perm, overflow
 
 
+def bin_to_flat_dual(grid, CA: int, CB: int, SZ: int, NL: int, pos, feats,
+                     n_dz: int = 1, keep=None):
+    """Two-tier flat-lane binning (ops.pallas.flatlane_dual_kernel): the
+    first ``CA`` markers of every cell land in field A, the next ``CB`` in
+    the spill field B; overflow counts past CA+CB.  Returns (planesA
+    (nx, F+1, CA, NL), planesB (nx, F+1, CB, NL), perm, overflow) — perm
+    indexes a virtual [A planes | B planes] concatenation per feature."""
+    n = pos.shape[0]
+    nx, ny, nz = grid.dims
+    n_cells = nx * ny * nz
+    if isinstance(grid, PencilGrid):
+        ix, iy, iz = _pencil_ijk(grid, pos)
+    else:
+        ijk = cell_ijk(grid, pos)
+        ix, iy, iz = ijk[..., 0], ijk[..., 1], ijk[..., 2]
+    ids = (ix * ny + iy) * nz + iz
+    if keep is not None:
+        ids = jnp.where(keep, ids, n_cells)
+    order = jnp.argsort(ids)
+    ids_sorted = ids[order]
+    first = jnp.searchsorted(ids_sorted, ids_sorted)
+    rank = jnp.arange(n) - first
+    real = ids_sorted < n_cells
+    overflow = (jnp.maximum(
+        jnp.max(jnp.where(real, rank, 0)) + 1 - (CA + CB), 0)
+        .astype(jnp.int32))
+    ix_s = jnp.minimum(ids_sorted, n_cells - 1) // (ny * nz)
+    rem = jnp.minimum(ids_sorted, n_cells - 1) - ix_s * (ny * nz)
+    iy_s = rem // nz
+    iz_s = rem - iy_s * nz
+    lane = iy_s * SZ + iz_s
+    sizeA = nx * CA * NL
+    sizeB = nx * CB * NL
+    in_a = rank < CA
+    slot_a = jnp.minimum(rank, CA - 1)
+    slot_b = jnp.minimum(rank - CA, CB - 1)
+    flat = jnp.where(
+        real,
+        jnp.where(in_a,
+                  (ix_s * CA + slot_a) * NL + lane,
+                  sizeA + (ix_s * CB + slot_b) * NL + lane),
+        sizeA + sizeB)                                  # discard bucket
+    perm = jnp.zeros((n,), flat.dtype).at[order].set(flat)
+
+    def scatter(x):
+        out = jnp.zeros((sizeA + sizeB + 1,), x.dtype).at[flat].set(x[order])
+        return (out[:sizeA].reshape(nx, CA, NL),
+                out[sizeA:sizeA + sizeB].reshape(nx, CB, NL))
+
+    pairs = [scatter(f) for f in feats]
+    # validity is computed in sorted order — scatter it directly (the
+    # feature scatters reorder via x[order])
+    v_sorted = jnp.where(real & (rank < CA + CB), 1.0, 0.0).astype(
+        jnp.float32)
+    v_out = jnp.zeros((sizeA + sizeB + 1,), jnp.float32).at[flat].set(
+        v_sorted)
+    va = v_out[:sizeA].reshape(nx, CA, NL)
+    vb = v_out[sizeA:sizeA + sizeB].reshape(nx, CB, NL)
+    planesA = jnp.stack([a for a, _ in pairs] + [va], axis=1)
+    planesB = jnp.stack([b for _, b in pairs] + [vb], axis=1)
+    return planesA, planesB, perm, overflow
+
+
 def _sph_feats(state: SPHState):
     return [state.pos[:, 0], state.pos[:, 1], state.pos[:, 2],
             state.vel[:, 0], state.vel[:, 1], state.vel[:, 2],

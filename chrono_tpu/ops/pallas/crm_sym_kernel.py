@@ -32,6 +32,20 @@ from chrono_tpu.ops.pallas.sph_sym_kernel import _sym_sweep
 (_PX, _PY, _PZ, _VX, _VY, _VZ, _RHO, _SXX, _SYY, _SZZ, _SXY, _SXZ, _SYZ,
  _GRN, _INT, _VAL) = range(16)
 F_CRM = 16
+# derived per-marker plane appended by the substep drivers: 1/rho^2 for the
+# M sweep, 1/rho for the G sweep (computed once per marker, not per pair)
+_IR2 = 16
+
+
+def _with_ir2(feat):
+    rho = feat[:, _RHO:_RHO + 1]
+    return jnp.concatenate(
+        [feat, 1.0 / jnp.maximum(rho * rho, 1e-9)], axis=1)
+
+
+def _with_irho(feat):
+    rho = feat[:, _RHO:_RHO + 1]
+    return jnp.concatenate([feat, 1.0 / jnp.maximum(rho, 1e-9)], axis=1)
 
 
 def _pair_geom(s, n):
@@ -43,51 +57,14 @@ def _pair_geom(s, n):
     return dx, dy, dz, r2, r
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "cp", "grid_dims", "C", "Bxy", "interpret", "n_dz", "forces_only",
-    "layout", "SZ", "with_acc"))
-def crm_substep_sym(feat, edge_fwd, *, cp, grid_dims, C, Bxy=4,
-                    interpret=False, n_dz=1, forces_only=False,
-                    layout="pencil", SZ=0, with_acc=False):
-    """One CRM substep on pencil planes (or, with ``forces_only``, just the
-    granular-reaction acceleration planes for the BCE force reduction).
-
-    ``cp``: hashable tuple of static python floats: h (kernel), m, d0, c_s,
-    alpha_visc, dt, gx, gy, gz, shear_G, bulk_K, friction_angle, cohesion,
-    rho0.  Returns updated (NXY, 16, C, NZp) planes, or (NXY, 3, C, NZp)
-    acceleration planes when ``forces_only``; ``with_acc`` returns
-    (planes, acc) with the M-sweep granular acceleration (evaluated at the
-    pre-substep state) as a free by-product — callers coupling explicitly
-    every few substeps can use it for the BCE reduction instead of paying
-    a separate ``forces_only`` sweep.
-
-    ``layout``: "pencil" (rows = xy columns, lanes = z) or "flat" (rows = x,
-    lanes = y·SZ + z — the small-grid engine, ops.pallas.flatlane_kernel;
-    ``edge_fwd`` is unused there and may be None)."""
+def _crm_phys(cp, with_acc=False):
+    """Physics closures shared by the single- and dual-field drivers:
+    (pairM, postM, pairG, postG, postF).  All are field-layout-blind."""
     p = dict(cp)
     h = p["h"]; m = p["m"]; dt = p["dt"]; d0 = p["d0"]; c_s = p["c_s"]
     g = (p["gx"], p["gy"], p["gz"])
     k_bc = c_s * c_s / d0
     c_bc = 3.0 * (k_bc / d0) ** 0.5
-
-    if layout == "flat":
-        from chrono_tpu.ops.pallas.flatlane_kernel import sym_sweep_flat
-
-        def SWEEP(ft, *, n_out, n_acc, pair2_fn, post_fn, flops_per_pair):
-            return sym_sweep_flat(
-                ft, grid_dims=grid_dims, SZ=SZ, C=C, Bxy=Bxy, n_out=n_out,
-                n_acc=n_acc, pair2_fn=pair2_fn, post_fn=post_fn,
-                interpret=interpret, flops_per_pair=flops_per_pair,
-                n_dz=n_dz, val_idx=_VAL)
-    elif layout == "pencil":
-        def SWEEP(ft, *, n_out, n_acc, pair2_fn, post_fn, flops_per_pair):
-            return _sym_sweep(
-                ft, edge_fwd, grid_dims=grid_dims, C=C, Bxy=Bxy,
-                n_out=n_out, n_acc=n_acc, pair2_fn=pair2_fn,
-                post_fn=post_fn, interpret=interpret,
-                flops_per_pair=flops_per_pair, n_dz=n_dz, val_idx=_VAL)
-    else:
-        raise ValueError(f"unknown layout {layout!r}")
 
     SIG = (_SXX, _SYY, _SZZ, _SXY, _SXZ, _SYZ)
 
@@ -101,16 +78,19 @@ def crm_substep_sym(feat, edge_fwd, *, cp, grid_dims, C, Bxy=4,
                 T[4] * gx_ + T[5] * gy_ + T[2] * gz_)
 
     # ---- sweep M: momentum (stress divergence + viscosity + penalty) ----
+    # per-marker 1/rho^2 rides as a derived plane (index _IR2, appended by
+    # the substep drivers) — evaluated once per marker instead of per
+    # pair-slot; the two viscosity denominators fold into ONE reciprocal
     def pairM(s, n, ok):
         dx, dy, dz, r2, r = _pair_geom(s, n)
         dwdr = _cubic_dwdr(r, h)
-        inv_r = 1.0 / jnp.maximum(r, 1e-12)
+        inv_r = jax.lax.rsqrt(r2 + 1e-12)
         gwx = dwdr * inv_r * dx
         gwy = dwdr * inv_r * dy
         gwz = dwdr * inv_r * dz
         gi, gj = s[_GRN], n[_GRN]
-        inv_ri2 = 1.0 / jnp.maximum(s[_RHO] * s[_RHO], 1e-9)
-        inv_rj2 = 1.0 / jnp.maximum(n[_RHO] * n[_RHO], 1e-9)
+        inv_ri2 = s[_IR2]
+        inv_rj2 = n[_IR2]
         si = stress_of(s)
         sj = stress_of(n)
         # wall markers carry no evolved stress: mirror the granular side's
@@ -128,9 +108,9 @@ def crm_substep_sym(feat, edge_fwd, *, cp, grid_dims, C, Bxy=4,
         vz = s[_VZ] - n[_VZ]
         v_dot_r = vx * dx + vy * dy + vz * dz
         rho_avg = 0.5 * (s[_RHO] + n[_RHO])
+        invq = 1.0 / ((r2 + 0.01 * h * h) * jnp.maximum(rho_avg, 1e-9))
         Pi = jnp.where(v_dot_r < 0,
-                       -p["alpha_visc"] * c_s * h * v_dot_r
-                       / (r2 + 0.01 * h * h) / jnp.maximum(rho_avg, 1e-9),
+                       -p["alpha_visc"] * c_s * h * v_dot_r * invq,
                        0.0)
         cP = cm * Pi
         ax, ay, az = ax - cP * gwx, ay - cP * gwy, az - cP * gwz
@@ -148,12 +128,8 @@ def crm_substep_sym(feat, edge_fwd, *, cp, grid_dims, C, Bxy=4,
         bx, by, bz = bx - pen * nhx, by - pen * nhy, bz - pen * nhz
         return (ax, ay, az), (bx, by, bz)
 
-    if forces_only:
-        def postF(pls, acc):
-            return acc
-
-        return SWEEP(feat, n_out=3, n_acc=3, pair2_fn=pairM, post_fn=postF,
-                     flops_per_pair=90)
+    def postF(pls, acc):
+        return acc
 
     def postM(pls, acc):
         it = pls[_INT]
@@ -164,25 +140,19 @@ def crm_substep_sym(feat, edge_fwd, *, cp, grid_dims, C, Bxy=4,
             return (vx, vy, vz, acc[0], acc[1], acc[2])
         return (vx, vy, vz)
 
-    outM = SWEEP(feat, n_out=6 if with_acc else 3, n_acc=3,
-                 pair2_fn=pairM, post_fn=postM, flops_per_pair=90)
-    velM, accM = outM[:, 0:3], outM[:, 3:6]
-
-    featG = jnp.concatenate([feat[:, 0:3], velM, feat[:, 6:]], axis=1)
-
     # ---- sweep G: velocity gradient + continuity at kicked velocities ----
     def pairG(s, n, ok):
         dx, dy, dz, r2, r = _pair_geom(s, n)
         dwdr = _cubic_dwdr(r, h)
-        inv_r = 1.0 / jnp.maximum(r, 1e-12)
+        inv_r = jax.lax.rsqrt(r2 + 1e-12)
         gwx = dwdr * inv_r * dx
         gwy = dwdr * inv_r * dy
         gwz = dwdr * inv_r * dz
         ux = n[_VX] - s[_VX]          # v_j − v_i
         uy = n[_VY] - s[_VY]
         uz = n[_VZ] - s[_VZ]
-        wj = ok * m / jnp.maximum(n[_RHO], 1e-9)
-        wi = ok * m / jnp.maximum(s[_RHO], 1e-9)
+        wj = ok * m * n[_IR2]         # derived plane: 1/rho (G-sweep slot)
+        wi = ok * m * s[_IR2]
         drho = -ok * m * (ux * gwx + uy * gwy + uz * gwz)
         ts = (wj * ux * gwx, wj * ux * gwy, wj * ux * gwz,
               wj * uy * gwx, wj * uy * gwy, wj * uy * gwz,
@@ -258,6 +228,61 @@ def crm_substep_sym(feat, edge_fwd, *, cp, grid_dims, C, Bxy=4,
         pz = pls[_PZ] + it * dt * pls[_VZ]
         return (px, py, pz, rho) + out_sig
 
+    return pairM, postM, pairG, postG, postF
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cp", "grid_dims", "C", "Bxy", "interpret", "n_dz", "forces_only",
+    "layout", "SZ", "with_acc"))
+def crm_substep_sym(feat, edge_fwd, *, cp, grid_dims, C, Bxy=4,
+                    interpret=False, n_dz=1, forces_only=False,
+                    layout="pencil", SZ=0, with_acc=False):
+    """One CRM substep on pencil planes (or, with ``forces_only``, just the
+    granular-reaction acceleration planes for the BCE force reduction).
+
+    ``cp``: hashable tuple of static python floats: h (kernel), m, d0, c_s,
+    alpha_visc, dt, gx, gy, gz, shear_G, bulk_K, friction_angle, cohesion,
+    rho0.  Returns updated (NXY, 16, C, NZp) planes, or (NXY, 3, C, NZp)
+    acceleration planes when ``forces_only``; ``with_acc`` returns
+    (planes, acc) with the M-sweep granular acceleration (evaluated at the
+    pre-substep state) as a free by-product — callers coupling explicitly
+    every few substeps can use it for the BCE reduction instead of paying
+    a separate ``forces_only`` sweep.
+
+    ``layout``: "pencil" (rows = xy columns, lanes = z) or "flat" (rows = x,
+    lanes = y·SZ + z — the small-grid engine, ops.pallas.flatlane_kernel;
+    ``edge_fwd`` is unused there and may be None)."""
+    pairM, postM, pairG, postG, postF = _crm_phys(cp, with_acc)
+
+    if layout == "flat":
+        from chrono_tpu.ops.pallas.flatlane_kernel import sym_sweep_flat
+
+        def SWEEP(ft, *, n_out, n_acc, pair2_fn, post_fn, flops_per_pair):
+            return sym_sweep_flat(
+                ft, grid_dims=grid_dims, SZ=SZ, C=C, Bxy=Bxy, n_out=n_out,
+                n_acc=n_acc, pair2_fn=pair2_fn, post_fn=post_fn,
+                interpret=interpret, flops_per_pair=flops_per_pair,
+                n_dz=n_dz, val_idx=_VAL)
+    elif layout == "pencil":
+        def SWEEP(ft, *, n_out, n_acc, pair2_fn, post_fn, flops_per_pair):
+            return _sym_sweep(
+                ft, edge_fwd, grid_dims=grid_dims, C=C, Bxy=Bxy,
+                n_out=n_out, n_acc=n_acc, pair2_fn=pair2_fn,
+                post_fn=post_fn, interpret=interpret,
+                flops_per_pair=flops_per_pair, n_dz=n_dz, val_idx=_VAL)
+    else:
+        raise ValueError(f"unknown layout {layout!r}")
+
+    if forces_only:
+        return SWEEP(_with_ir2(feat), n_out=3, n_acc=3, pair2_fn=pairM,
+                     post_fn=postF, flops_per_pair=90)
+
+    outM = SWEEP(_with_ir2(feat), n_out=6 if with_acc else 3, n_acc=3,
+                 pair2_fn=pairM, post_fn=postM, flops_per_pair=90)
+    velM, accM = outM[:, 0:3], outM[:, 3:6]
+
+    featG = _with_irho(
+        jnp.concatenate([feat[:, 0:3], velM, feat[:, 6:]], axis=1))
     outG = SWEEP(featG, n_out=10, n_acc=10, pair2_fn=pairG, post_fn=postG,
                  flops_per_pair=60)
 
@@ -267,6 +292,63 @@ def crm_substep_sym(feat, edge_fwd, *, cp, grid_dims, C, Bxy=4,
     if with_acc:
         return out, accM
     return out
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cp", "grid_dims", "CA", "CB", "Bxy", "interpret", "n_dz",
+    "forces_only", "SZ", "with_acc"))
+def crm_substep_sym_dual(featA, featB, rowA, rowB, *, cp, grid_dims, SZ,
+                         CA, CB, Bxy=1, interpret=False, n_dz=1,
+                         forces_only=False, with_acc=False):
+    """Two-tier CRM substep on flat-lane planes (ops.pallas.
+    flatlane_dual_kernel): field A holds the first CA markers of every
+    cell, field B the spill — so the dense pair lattice is sized for the
+    TYPICAL cell while spike cells (wheel contact, wall stacks) pay the
+    cross sweeps only in their own row blocks.
+
+    Physics identical to :func:`crm_substep_sym` (same closures); returns
+    (outA, outB) with the same plane contracts per field.  ``rowA``/
+    ``rowB``: (nx,) row occupancy masks (any valid marker)."""
+    from chrono_tpu.ops.pallas.flatlane_dual_kernel import (
+        sym_sweep_flat_dual,
+    )
+
+    pairM, postM, pairG, postG, postF = _crm_phys(cp, with_acc)
+
+    def SWEEP(fA, fB, *, n_out, n_acc, pair2_fn, post_fn, flops_per_pair):
+        return sym_sweep_flat_dual(
+            fA, fB, grid_dims=grid_dims, SZ=SZ, CA=CA, CB=CB, Bxy=Bxy,
+            n_out=n_out, n_acc=n_acc, pair2_fn=pair2_fn, post_fn=post_fn,
+            interpret=interpret, flops_per_pair=flops_per_pair,
+            n_dz=n_dz, val_idx=_VAL, rowA=rowA, rowB=rowB)
+
+    if forces_only:
+        return SWEEP(_with_ir2(featA), _with_ir2(featB), n_out=3, n_acc=3,
+                     pair2_fn=pairM, post_fn=postF, flops_per_pair=90)
+
+    outMA, outMB = SWEEP(_with_ir2(featA), _with_ir2(featB),
+                         n_out=6 if with_acc else 3,
+                         n_acc=3, pair2_fn=pairM, post_fn=postM,
+                         flops_per_pair=90)
+    velMA, accMA = outMA[:, 0:3], outMA[:, 3:6]
+    velMB, accMB = outMB[:, 0:3], outMB[:, 3:6]
+
+    featGA = _with_irho(
+        jnp.concatenate([featA[:, 0:3], velMA, featA[:, 6:]], axis=1))
+    featGB = _with_irho(
+        jnp.concatenate([featB[:, 0:3], velMB, featB[:, 6:]], axis=1))
+    outGA, outGB = SWEEP(featGA, featGB, n_out=10, n_acc=10,
+                         pair2_fn=pairG, post_fn=postG, flops_per_pair=60)
+
+    outA = jnp.concatenate(
+        [outGA[:, 0:3], velMA, outGA[:, 3:4], outGA[:, 4:10],
+         featA[:, 13:]], axis=1)
+    outB = jnp.concatenate(
+        [outGB[:, 0:3], velMB, outGB[:, 3:4], outGB[:, 4:10],
+         featB[:, 13:]], axis=1)
+    if with_acc:
+        return (outA, outB), (accMA, accMB)
+    return outA, outB
 
 
 def crm_static_params(params, crm) -> tuple:

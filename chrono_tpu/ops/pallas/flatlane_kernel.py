@@ -38,10 +38,17 @@ parity-tested against each other.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# experiment knobs (read once at import): number of interleaved sweep
+# serialization chains, and the spillable-vreg budget of the Bxy clamp
+N_TOKENS = max(1, int(os.environ.get("CHRONO_FLAT_TOKENS", "1")))
+_VREG_BUDGET = int(os.environ.get("CHRONO_FLAT_VREGS", "3000"))
 
 
 def _make_flat_kernel(F_in, n_out, n_acc, C, NL, SZ, Bxy, WB,
@@ -144,15 +151,22 @@ def _make_flat_kernel(F_in, n_out, n_acc, C, NL, SZ, Bxy, WB,
                 react[off:off + Bxy] += stk
                 return jnp.sum(stk[:, 0, 0])
 
-            tok = sweep(0, 0, True, jnp.zeros((), jnp.float32))
-            for off, sh in shifts:
-                tok = sweep(off, sh, False, tok)
-            # Token sink: consume the final sweep's token so the chain ends
-            # with an ordered side effect.  Must be a VECTOR-shaped store —
-            # Mosaic rejects scalar stores to VMEM ("Cannot store scalars to
-            # VMEM"), which crashed the r3 bench when this sink moved inside
-            # @pl.when (was: react[0, 0, 0, 0] += ...).  The broadcast adds
-            # exactly +0.0 to one (C, NL) plane.
+            # N_TOKENS independent serialization chains, interleaved: with
+            # one token every sweep waits for the previous sweep's full
+            # chain to drain; two chains let the scheduler overlap a pair
+            # of sweeps (2x the register footprint — keep small)
+            toks = [jnp.zeros((), jnp.float32) for _ in range(N_TOKENS)]
+            toks[0] = sweep(0, 0, True, toks[0])
+            for i, (off, sh) in enumerate(shifts):
+                k = (i + 1) % N_TOKENS
+                toks[k] = sweep(off, sh, False, toks[k])
+            # Token sink: consume each chain's token so it ends with an
+            # ordered side effect.  Must be a VECTOR-shaped store — Mosaic
+            # rejects scalar stores to VMEM ("Cannot store scalars to
+            # VMEM"), which crashed the r3 bench when this sink moved
+            # inside @pl.when (was: react[0, 0, 0, 0] += ...).  The
+            # broadcast adds exactly +0.0 to one (C, NL) plane.
+            tok = sum(toks)
             react[0, 0] += jnp.full((C, NL),
                                     jnp.where(jnp.isfinite(tok), 0.0, tok),
                                     jnp.float32)
@@ -208,11 +222,13 @@ def _make_flat_kernel(F_in, n_out, n_acc, C, NL, SZ, Bxy, WB,
     return kernel
 
 
-def flat_auto_bxy(C, NL, budget_vregs=3000, chain_temps=40):
+def flat_auto_bxy(C, NL, budget_vregs=None, chain_temps=40):
     """Largest Bxy whose one-sweep register chain plausibly fits: each
     pair-lattice temporary is Bxy·CS·C·NL/(8·128) vregs; measured on v5e,
     ~40 live temporaries per sweep chain and ~3000 spillable vregs stay
     within the 128 MB scoped-VMEM budget with margin."""
+    if budget_vregs is None:
+        budget_vregs = _VREG_BUDGET
     CS = min(8, C)
     per_temp = max(1, (CS * C * NL) // (8 * 128))
     b = budget_vregs // (chain_temps * per_temp)

@@ -301,18 +301,28 @@ def sph_substep_sym(feat, edge_fwd, *, sp, grid_dims, C, Bxy=4,
                 post_fn=post_fn, interpret=interpret,
                 flops_per_pair=flops_per_pair, n_dz=n_dz, active=active)
 
+    # Derived per-MARKER planes are computed ONCE per sweep as elementwise
+    # plane passes and appended to the features, instead of per pair-slot
+    # inside the sweep: the Tait pressure/density (x^7 and x^(1/7) — a
+    # transcendental pow on TPU) and the 1/rho family cost more than the
+    # rest of the pair arithmetic combined when evaluated C x C times per
+    # cell.  Parity with the gather backend is unchanged (same values, one
+    # evaluation site).
+
     # ---- sweep A: Adami BC (solid pressure + ghost velocity) ----
+    _PWN = 9
+    p_own_pl = _tait_p(feat[:, _RHO:_RHO + 1], rho0, c_s, gamma)
+    featA = jnp.concatenate([feat, p_own_pl], axis=1)
+
     def pairA(s, n, ok):
         dx, dy, dz, r2, r = _pair_geom(s, n, h)
         Wij = _cubic_w(r, h)
         Wf = ok * n[_FLU] * Wij          # fluid neighbors of self
         Wr = ok * s[_FLU] * Wij          # fluid self seen by the neighbor
-        p_j = _tait_p(n[_RHO], rho0, c_s, gamma)
-        p_i = _tait_p(s[_RHO], rho0, c_s, gamma)
         gd = g[0] * dx + g[1] * dy + g[2] * dz
-        ts = (Wf * (p_j + gd * n[_RHO]),
+        ts = (Wf * (n[_PWN] + gd * n[_RHO]),
               Wf * n[_VX], Wf * n[_VY], Wf * n[_VZ], Wf)
-        tr = (Wr * (p_i - gd * s[_RHO]),
+        tr = (Wr * (s[_PWN] - gd * s[_RHO]),
               Wr * s[_VX], Wr * s[_VY], Wr * s[_VZ], Wr)
         return ts, tr
 
@@ -322,8 +332,7 @@ def sph_substep_sym(feat, edge_fwd, *, sp, grid_dims, C, Bxy=4,
         den = jnp.maximum(sw, 1e-12)
         p_solid = has * swp / den
         flu = pls[_FLU]
-        p_own = _tait_p(pls[_RHO], rho0, c_s, gamma)
-        p_all = flu * p_own + (1.0 - flu) * p_solid
+        p_all = flu * pls[_PWN] + (1.0 - flu) * p_solid
         vbx = 2.0 * pls[_VX] - swx / den
         vby = 2.0 * pls[_VY] - swy / den
         vbz = 2.0 * pls[_VZ] - swz / den
@@ -335,26 +344,29 @@ def sph_substep_sym(feat, edge_fwd, *, sp, grid_dims, C, Bxy=4,
                 flu * pls[_VY] + (1.0 - flu) * vby,
                 flu * pls[_VZ] + (1.0 - flu) * vbz)
 
-    outA = _SW(feat, n_out=4, n_acc=5, pair2_fn=pairA, post_fn=postA,
+    outA = _SW(featA, n_out=4, n_acc=5, pair2_fn=pairA, post_fn=postA,
                flops_per_pair=50)
 
     # ---- sweep B: momentum + kick ----
-    _P, _VBX, _VBY, _VBZ = 9, 10, 11, 12
-    featB = jnp.concatenate([feat, outA], axis=1)
-
-    def rho_all_of(pn):
-        return pn[_FLU] * pn[_RHO] + (1.0 - pn[_FLU]) * _tait_rho(
-            pn[_P], rho0, c_s, gamma)
+    _P, _VBX, _VBY, _VBZ, _RAL, _PR2 = 9, 10, 11, 12, 13, 14
+    p_all_pl = outA[:, 0:1]
+    flu_pl = feat[:, _FLU:_FLU + 1]
+    rho_all_pl = flu_pl * feat[:, _RHO:_RHO + 1] + (1.0 - flu_pl) \
+        * _tait_rho(p_all_pl, rho0, c_s, gamma)
+    pr2_pl = p_all_pl / (rho_all_pl * rho_all_pl)
+    featB = jnp.concatenate([feat, outA, rho_all_pl, pr2_pl], axis=1)
+    if p["viscosity"] == "laminar":
+        inv_rho_pl = 1.0 / rho_all_pl
+        featB = jnp.concatenate([featB, inv_rho_pl], axis=1)
+    _IRH = 15
 
     def pairB(s, n, ok):
         dx, dy, dz, r2, r = _pair_geom(s, n, h)
         dwdr = _cubic_dwdr(r, h)
-        inv_r = 1.0 / jnp.maximum(r, 1e-12)
+        inv_r = jax.lax.rsqrt(r2 + 1e-12)
         gwx = dwdr * inv_r * dx
         gwy = dwdr * inv_r * dy
         gwz = dwdr * inv_r * dz
-        rho_i = rho_all_of(s)
-        rho_j = rho_all_of(n)
         # ghost-aware velocities of both sides
         vix = s[_FLU] * s[_VX] + (1.0 - s[_FLU]) * s[_VBX]
         viy = s[_FLU] * s[_VY] + (1.0 - s[_FLU]) * s[_VBY]
@@ -365,26 +377,28 @@ def sph_substep_sym(feat, edge_fwd, *, sp, grid_dims, C, Bxy=4,
         # action relative velocity (self raw − neighbor ghost) and reaction
         vx, vy, vz = s[_VX] - vjx, s[_VY] - vjy, s[_VZ] - vjz
         ux, uy, uz = n[_VX] - vix, n[_VY] - viy, n[_VZ] - viz
-        pterm = s[_P] / (rho_i * rho_i) + n[_P] / (rho_j * rho_j)
+        pterm = s[_PR2] + n[_PR2]
         coef_p = ok * m * pterm
         ax, ay, az = -coef_p * gwx, -coef_p * gwy, -coef_p * gwz
         bx, by, bz = coef_p * gwx, coef_p * gwy, coef_p * gwz
         if p["viscosity"] == "laminar":
-            cl = ok * m * 2.0 * p["mu"] / (rho_i * rho_j) \
+            cl = ok * m * 2.0 * p["mu"] * (s[_IRH] * n[_IRH]) \
                 * (dx * gwx + dy * gwy + dz * gwz) / (r2 + 0.01 * h * h)
             ax, ay, az = ax + cl * vx, ay + cl * vy, az + cl * vz
             bx, by, bz = bx + cl * ux, by + cl * uy, bz + cl * uz
         else:
-            rho_avg = 0.5 * (rho_i + rho_j)
+            rho_avg = 0.5 * (s[_RAL] + n[_RAL])
+            # ONE reciprocal serves both viscosity directions
+            invq = 1.0 / ((r2 + 0.01 * h * h) * rho_avg)
             vr = vx * dx + vy * dy + vz * dz
-            Pi = jnp.where(vr < 0, -p["alpha_visc"] * c_s * h * vr
-                           / (r2 + 0.01 * h * h) / rho_avg, 0.0)
+            Pi = jnp.where(vr < 0,
+                           -p["alpha_visc"] * c_s * h * vr * invq, 0.0)
             cP = ok * m * Pi
             ax, ay, az = ax - cP * gwx, ay - cP * gwy, az - cP * gwz
             # swapped roles: v' = u, d' = −d → v'·d' = −u·d, ∇W' = −∇W
             ur = -(ux * dx + uy * dy + uz * dz)
-            Pi2 = jnp.where(ur < 0, -p["alpha_visc"] * c_s * h * ur
-                            / (r2 + 0.01 * h * h) / rho_avg, 0.0)
+            Pi2 = jnp.where(ur < 0,
+                            -p["alpha_visc"] * c_s * h * ur * invq, 0.0)
             cP2 = ok * m * Pi2
             bx, by, bz = bx + cP2 * gwx, by + cP2 * gwy, bz + cP2 * gwz
         return (ax, ay, az), (bx, by, bz)
@@ -399,7 +413,10 @@ def sph_substep_sym(feat, edge_fwd, *, sp, grid_dims, C, Bxy=4,
     velB = _SW(featB, n_out=3, n_acc=3, pair2_fn=pairB, post_fn=postB,
                flops_per_pair=80)
 
-    featC = jnp.concatenate([feat[:, 0:3], velB, feat[:, 6:9]], axis=1)
+    _IRN = 9
+    inv_rho_n_pl = 1.0 / jnp.maximum(feat[:, _RHO:_RHO + 1], 1e-9)
+    featC = jnp.concatenate([feat[:, 0:3], velB, feat[:, 6:9],
+                             inv_rho_n_pl], axis=1)
 
     # ---- fused sweep CD: continuity at kicked velocities + XSPH drift ----
     # One pass instead of two: both sweeps share the pair geometry (r, the
@@ -411,7 +428,7 @@ def sph_substep_sym(feat, edge_fwd, *, sp, grid_dims, C, Bxy=4,
     def pairCD(s, n, ok):
         dx, dy, dz, r2, r = _pair_geom(s, n, h)
         dwdr = _cubic_dwdr(r, h)
-        inv_r = 1.0 / jnp.maximum(r, 1e-12)
+        inv_r = jax.lax.rsqrt(r2 + 1e-12)
         gwx = dwdr * inv_r * dx
         gwy = dwdr * inv_r * dy
         gwz = dwdr * inv_r * dz
@@ -419,19 +436,21 @@ def sph_substep_sym(feat, edge_fwd, *, sp, grid_dims, C, Bxy=4,
                  + (s[_VZ] - n[_VZ]) * gwz)
         drho = ok * m * vdotg                       # symmetric
         ddgw = -(dx * gwx + dy * gwy + dz * gwz)
-        psi = 2.0 * (n[_RHO] - s[_RHO]) * ddgw / (r2 + 1e-12)
         okff = ok * s[_FLU] * n[_FLU]
         dh = p["delta_sph"] * h * c_s
-        # XSPH transport correction (shares the pair geometry)
+        # XSPH transport correction (shares the pair geometry); the
+        # (r2+eps) and rho_avg denominators are folded into ONE reciprocal
         Wij = _cubic_w(r, h)
         rho_avg = jnp.maximum(0.5 * (s[_RHO] + n[_RHO]), 1e-9)
-        cx = okff * m / rho_avg * Wij
+        invq = 1.0 / ((r2 + 1e-12) * rho_avg)
+        psi = 2.0 * (n[_RHO] - s[_RHO]) * ddgw * invq * rho_avg
+        cx = okff * m * Wij * invq * (r2 + 1e-12)
         tx = cx * (n[_VX] - s[_VX])
         ty = cx * (n[_VY] - s[_VY])
         tz = cx * (n[_VZ] - s[_VZ])
-        ts = (drho + dh * okff * m / jnp.maximum(n[_RHO], 1e-9) * psi,
+        ts = (drho + dh * okff * m * n[_IRN] * psi,
               tx, ty, tz)
-        tr = (drho - dh * okff * m / jnp.maximum(s[_RHO], 1e-9) * psi,
+        tr = (drho - dh * okff * m * s[_IRN] * psi,
               -tx, -ty, -tz)
         return ts, tr
 

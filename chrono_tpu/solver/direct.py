@@ -46,6 +46,29 @@ def _comp_sum(terms):
     return s, c
 
 
+def _comp_sum_axis(P, axis=-1):
+    """Compensated reduction along ``axis``: pairwise tree of two_sums with
+    the rounding errors accumulated separately.  Equivalent accuracy class
+    to the sequential Neumaier sum, but log2(n) VECTOR ops instead of n —
+    the sequential version dominated the small-MBS step latency on TPU
+    (hundreds of O(30)-element serial HLOs per step)."""
+    P = jnp.moveaxis(P, axis, -1)
+    c = jnp.zeros(P.shape[:-1], P.dtype)
+    while P.shape[-1] > 1:
+        n = P.shape[-1]
+        if n % 2:
+            P = jnp.concatenate(
+                [P, jnp.zeros(P.shape[:-1] + (1,), P.dtype)], axis=-1)
+        a = P[..., 0::2]
+        b = P[..., 1::2]
+        s = a + b
+        bv = s - a
+        err = (a - (s - bv)) + (b - bv)       # Neumaier branchless two_sum
+        c = c + jnp.sum(err, axis=-1)
+        P = s
+    return P[..., 0], c
+
+
 def compensated_schur_rhs(rows: ConstraintRows, v_free, w_free) -> Array:
     """``r = D u_free − b`` with error-free products + compensated summation.
 
@@ -61,16 +84,16 @@ def compensated_schur_rhs(rows: ConstraintRows, v_free, w_free) -> Array:
     vb = v_free[rows.body_b]
     wb = w_free[rows.body_b]
     wc = w_free[rows.body_c]
-    prods, errs = [], []
-    for J, u in ((rows.Ja_v, va), (rows.Ja_w, wa), (rows.Jb_v, vb),
-                 (rows.Jb_w, wb), (rows.Jc_w, wc)):
-        for k in range(3):
-            p, e = _two_prod(J[:, k], u[:, k])
-            prods.append(p)
-            errs.append(e)
-    prods.append(-rows.rhs)
-    s, c = _comp_sum(prods)
-    r = s + (c + sum(errs))
+    # one (m, 16) error-free product + a log-depth compensated reduction
+    # (NOT a python loop of per-column products: ~170 serial small HLOs
+    # per step was the dominant small-MBS latency on TPU)
+    J = jnp.concatenate([rows.Ja_v, rows.Ja_w, rows.Jb_v, rows.Jb_w,
+                         rows.Jc_w, -rows.rhs[:, None]], axis=1)
+    u = jnp.concatenate([va, wa, vb, wb, wc,
+                         jnp.ones_like(rows.rhs)[:, None]], axis=1)
+    p, e = _two_prod(J, u)
+    s, c = _comp_sum_axis(p, axis=1)
+    r = s + (c + jnp.sum(e, axis=1))
     return jnp.where(rows.active, r, 0.0)
 
 
@@ -127,22 +150,22 @@ def solve_dense_schur(
         s = 1.0 / jnp.sqrt(jnp.maximum(jnp.diagonal(N), 1e-30))
         Ns = N * s[:, None] * s[None, :]
         cho = jsl.cho_factor(Ns, lower=True)
-        gamma = s * jsl.cho_solve(cho, -(s * r))
+        # ONE batched triangular solve for the scaled inverse: the
+        # refinement corrections then become matmuls instead of two more
+        # sequential cho_solves (each a 2·m-step serial loop — measured as
+        # small-MBS step latency, not FLOPs)
+        inv_s = jsl.cho_solve(cho, jnp.eye(m, dtype=Ns.dtype))
+        gamma = s * (inv_s @ (-(s * r)))
         # two steps of iterative refinement with a COMPENSATED residual
         # (a plain fp32 N@γ+r has the same eps·‖N‖·‖γ‖ rounding as the
         # error being corrected — the residual must be error-free to gain
-        # digits)
+        # digits); the error-free products and the compensated row sums are
+        # fully vectorized (log-depth tree, see _comp_sum_axis)
         for _ in range(2):
-            terms = []
-            errs = []
-            for k in range(m):
-                p, e = _two_prod(N[:, k], gamma[k])
-                terms.append(p)
-                errs.append(e)
-            terms.append(r)
-            ssum, c = _comp_sum(terms)
-            resid = ssum + (c + sum(errs))
-            gamma = gamma - s * jsl.cho_solve(cho, s * resid)
+            p, e = _two_prod(N, gamma[None, :])
+            ssum, c = _comp_sum_axis(p, axis=1)
+            resid = (ssum + r) + (c + jnp.sum(e, axis=1))
+            gamma = gamma - s * (inv_s @ (s * resid))
         return gamma
 
     import jax

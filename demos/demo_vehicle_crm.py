@@ -112,11 +112,15 @@ def main(n_intervals=25, outer_per_interval=40, engine=None):
         return keep
 
     # air=12·d0 headroom: wheel ruts splash millimetres, and empty z-cells
-    # cost lanes linearly in the flat-lane engine
+    # cost lanes linearly in the flat-lane engine (and only skipped rows in
+    # the flat2 engine); margin=3.5·d0 covers the 3 wall BCE layers + skin
+    import os as _os
+    layout = _os.environ.get("CRM_LAYOUT", "flat2")
     terrain, grid = make_crm_terrain_state(
         params, crm, bed, depth,
         rigid_pts=np.concatenate(rigid_pts), rigid_body_ids=rigid_ids,
-        rigid_local=np.concatenate(rigid_loc), carve_fn=carve, air=12.0)
+        rigid_local=np.concatenate(rigid_loc), carve_fn=carve, air=12.0,
+        margin=(3.5 if layout == "flat2" else 6.0))
     n_markers = terrain.pos.shape[0]
 
     def drive(t, b):
@@ -150,7 +154,7 @@ def main(n_intervals=25, outer_per_interval=40, engine=None):
         adv = make_crm_fsi_advance_persistent(
             model, params, crm, grid, n_substeps=params.rebuild_every,
             wheel_bodies=wheels, f_ext_fn=drive, pencil_capacity=cap,
-            rebuild_outer=rebuild_outer,
+            rebuild_outer=rebuild_outer, layout=layout,
             dv_mode=os.environ.get("CRM_DV_MODE", "last"))
     else:
         adv = make_crm_fsi_advance_fn(model, params, crm, grid,

@@ -118,16 +118,19 @@ class TestColumn:
 # ---------------- symmetric pencil CRM engine ----------------
 
 
-@pytest.mark.parametrize("layout", ["pencil", "flat"])
+@pytest.mark.parametrize("layout", ["pencil", "flat", "dual"])
 def test_crm_pencil_substep_parity(layout):
     """One elastoplastic substep on the pencil engine (two symmetric
     Pallas sweeps, interpret mode) == the gather crm_step, including the
     stress update, plastic return and the mixed-pair boundary penalty —
-    on BOTH lane layouts (pencil and flat, ops.pallas.flatlane_kernel)."""
+    on ALL lane layouts (pencil, flat, and the two-tier dual-field flat
+    engine, ops.pallas.flatlane_dual_kernel)."""
     from chrono_tpu.dem.neighbors import build_neighbor_list
     from chrono_tpu.fsi.sph.crm import crm_step, crm_forces
     from chrono_tpu.fsi.sph.system import KERNELS
-    from chrono_tpu.fsi.sph.crm_pencil import make_crm_substeps_pencil
+    from chrono_tpu.fsi.sph.crm_pencil import (
+        make_crm_substeps_pencil, make_crm_substeps_dual,
+    )
 
     d0 = 0.01
     width, H = 0.08, 0.08
@@ -162,8 +165,16 @@ def test_crm_pencil_substep_parity(layout):
     ref = crm_step(params, crm, grid, st.replace(nbr=nbr))
     dv_ref = crm_forces(params, crm, grid, ref.replace(nbr=nbr))
 
-    subs = make_crm_substeps_pencil(params, crm, grid, capacity=32, Bxy=2,
-                                    interpret=True, layout=layout)
+    if layout == "dual":
+        # CA = 8 forces real spill: the settled column cells hold ~15
+        # markers, so field B is genuinely populated and every cross-sweep
+        # family (A-B self cell, A-B forward, B-A forward, B-B) is hit
+        subs = make_crm_substeps_dual(params, crm, grid, CA=8, CB=24,
+                                      Bxy=2, interpret=True)
+    else:
+        subs = make_crm_substeps_pencil(params, crm, grid, capacity=32,
+                                        Bxy=2, interpret=True,
+                                        layout=layout)
     got, dv, ovf = subs(st, 1)
     assert int(ovf) == 0
     np.testing.assert_allclose(np.asarray(got.pos), np.asarray(ref.pos),

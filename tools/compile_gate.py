@@ -26,6 +26,7 @@ Covered kernels (ops/pallas/):
     sph_sym_kernel (flat + pencil lane) -> sph-sym-flat [fast], sph-sym-pencil
     sph_pencil_kernel                   -> sph-pencil
     crm_sym_kernel (flat + pencil lane) -> crm-flat [fast], crm-pencil
+    flatlane_dual_kernel (two-tier)     -> crm-dual        [fast]
     nsc_pencil_kernel                   -> nsc-pallas
     nsc_half_kernel                     -> nsc-half        [fast]
     nsc_partner_kernel                  -> nsc-partner
@@ -164,8 +165,14 @@ def _crm_case(layout):
     grid = GridSpec(origin=(0.0, -0.02, -5 * d0), cell_size=cs,
                     dims=(int(np.ceil(0.24 / cs)), int(np.ceil(0.17 / cs)),
                           int(np.ceil((1.5 * H + 8 * d0) / cs))))
-    subs = make_crm_substeps_pencil(params, crm, grid, capacity=32, Bxy=2,
-                                    interpret=False, layout=layout)
+    if layout == "dual":
+        from chrono_tpu.fsi.sph.crm_pencil import make_crm_substeps_dual
+        subs = make_crm_substeps_dual(params, crm, grid, CA=8, CB=24,
+                                      Bxy=2, interpret=False)
+    else:
+        subs = make_crm_substeps_pencil(params, crm, grid, capacity=32,
+                                        Bxy=2, interpret=False,
+                                        layout=layout)
     got, dv, ovf = subs(st, 1)
     assert int(ovf) == 0
     assert np.isfinite(np.asarray(got.pos)).all()
@@ -202,6 +209,7 @@ CASES = {
     "sph-pencil": (lambda: _sph_case("pencil", None), False),
     "crm-flat": (lambda: _crm_case("flat"), True),
     "crm-pencil": (lambda: _crm_case("pencil"), False),
+    "crm-dual": (lambda: _crm_case("dual"), True),
     "nsc-pallas": (lambda: _nsc_case("pallas"), False),
     "nsc-half": (lambda: _nsc_case("half"), True),
     "nsc-partner": (lambda: _nsc_case("partner"), False),
