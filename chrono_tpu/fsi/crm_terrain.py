@@ -364,6 +364,11 @@ def make_crm_fsi_advance_persistent(
     if dv_mode not in ("fresh", "last"):
         raise ValueError(f"unknown dv_mode {dv_mode!r}")
 
+    # diagnostic-only: CRM_DEBUG_SKIP=bce,forces,mbs disables pieces of the
+    # outer step to locate fixed per-outer cost on hardware (NOT physics)
+    import os as _os
+    _skip = set((_os.environ.get("CRM_DEBUG_SKIP") or "").split(","))
+
     def update_bce_all(feat, aux, bodies):
         if dual:
             return tuple(update_bce_planes(f, a, bodies)
@@ -379,7 +384,8 @@ def make_crm_fsi_advance_persistent(
 
     def outer_body(carry, _, aux):
         feat, bodies, t = carry
-        feat = update_bce_all(feat, aux, bodies)
+        if "bce" not in _skip:
+            feat = update_bce_all(feat, aux, bodies)
 
         def inner(f, _):
             return eng["substep"](f), None
@@ -390,16 +396,23 @@ def make_crm_fsi_advance_persistent(
         else:
             feat, _ = lax.scan(inner, feat, None, length=n_substeps)
             acc = eng["forces"](feat)
-        f_b, tau_b = body_forces_all(feat, aux, acc, bodies)
+        if "forces" in _skip:
+            f_b = jnp.zeros((model.n_bodies, 3))
+            tau_b = jnp.zeros((model.n_bodies, 3))
+        else:
+            f_b, tau_b = body_forces_all(feat, aux, acc, bodies)
         tau_local = Q.qrotate_inv(bodies.q, tau_b)
         f_drv = tau_drv = None
         if f_ext_fn is not None:
             f_drv, tau_drv = f_ext_fn(t, bodies)
         f_tot = f_b if f_drv is None else f_b + f_drv
         tau_tot = tau_local if tau_drv is None else tau_local + tau_drv
-        bodies2, _ = step_euler_implicit_linearized(
-            model, bodies, t, h_outer, mbs_settings,
-            f_ext=f_tot, tau_ext=tau_tot)
+        if "mbs" in _skip:
+            bodies2 = bodies
+        else:
+            bodies2, _ = step_euler_implicit_linearized(
+                model, bodies, t, h_outer, mbs_settings,
+                f_ext=f_tot, tau_ext=tau_tot)
         return (feat, bodies2, t + h_outer), None
 
     def run_chunk(bodies, terrain, t, chunk_len):

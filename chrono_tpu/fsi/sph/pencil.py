@@ -210,22 +210,16 @@ def bin_to_flat_dual(grid, CA: int, CB: int, SZ: int, NL: int, pos, feats,
         sizeA + sizeB)                                  # discard bucket
     perm = jnp.zeros((n,), flat.dtype).at[order].set(flat)
 
-    def scatter(x):
-        out = jnp.zeros((sizeA + sizeB + 1,), x.dtype).at[flat].set(x[order])
-        return (out[:sizeA].reshape(nx, CA, NL),
-                out[sizeA:sizeA + sizeB].reshape(nx, CB, NL))
-
-    pairs = [scatter(f) for f in feats]
-    # validity is computed in sorted order — scatter it directly (the
-    # feature scatters reorder via x[order])
+    # ONE batched scatter for all channels (F separate scatters serialize
+    # badly); validity is computed in sorted order so it skips the reorder
     v_sorted = jnp.where(real & (rank < CA + CB), 1.0, 0.0).astype(
         jnp.float32)
-    v_out = jnp.zeros((sizeA + sizeB + 1,), jnp.float32).at[flat].set(
-        v_sorted)
-    va = v_out[:sizeA].reshape(nx, CA, NL)
-    vb = v_out[sizeA:sizeA + sizeB].reshape(nx, CB, NL)
-    planesA = jnp.stack([a for a, _ in pairs] + [va], axis=1)
-    planesB = jnp.stack([b for _, b in pairs] + [vb], axis=1)
+    vals = jnp.stack([f[order] for f in feats] + [v_sorted], axis=1)
+    F1 = vals.shape[1]
+    out = jnp.zeros((sizeA + sizeB + 1, F1), vals.dtype).at[flat].set(vals)
+    planesA = out[:sizeA].reshape(nx, CA, NL, F1).transpose(0, 3, 1, 2)
+    planesB = out[sizeA:sizeA + sizeB].reshape(nx, CB, NL, F1) \
+        .transpose(0, 3, 1, 2)
     return planesA, planesB, perm, overflow
 
 

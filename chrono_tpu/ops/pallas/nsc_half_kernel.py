@@ -101,9 +101,12 @@ def detect_half(radius, envelope, grid, pos, mask, P):
     return codes, overflow
 
 
-def _make_half_kernel(C, NZ, Bxy, ny, G, P, WB, phys, walls, mode):
+def _make_half_kernel(C, NZ, Bxy, ny, G, P, WB, phys, walls, mode,
+                      n_cs=2):
     """mode='u': u = u_free + M⁻¹ Dᵀ y with reaction window → (Bxy,6,C,NZ).
-    mode='g': single-sided γ⁺ = Π(y − s(Du − b)) → (gout, wout)."""
+    mode='g': single-sided γ⁺ = Π(y − s(Du − b)) → (gout, wout).
+    ``n_cs``: traced scalars per rotbox wall (2 = pose only; 3 = pose +
+    angular velocity, the dynamic-blade mode)."""
     fwd_lin = [dx * ny + dy for (dx, dy) in _FWD_XY]
     radius = phys["radius"]
     inv_m = phys["inv_m"]
@@ -293,8 +296,10 @@ def _make_half_kernel(C, NZ, Bxy, ny, G, P, WB, phys, walls, mode):
         for w, wall in enumerate(walls):
             mu_w = wall[4] if wall[0] == "plane" else wall[5]
             if wall[0] == "rotbox":
-                # traced blade pose rides the SMEM scalar block after β
-                cs = (beta_ref[0, 1 + 2 * rb], beta_ref[0, 2 + 2 * rb])
+                # traced blade pose (+ angular velocity when n_cs=3) rides
+                # the SMEM scalar block after β
+                cs = tuple(beta_ref[0, 1 + n_cs * rb + j]
+                           for j in range(n_cs))
                 rb += 1
             else:
                 cs = None
@@ -321,7 +326,17 @@ def _make_half_kernel(C, NZ, Bxy, ny, G, P, WB, phys, walls, mode):
                     nhat, t1, t2, armw, v0, vsurf, w0,
                     (jnp.zeros_like(px),) * 3)
                 bn = contact_rhs(gap, stab_over_h, inv_h, max_recovery)
-                s = omega / (inv_m + armw * armw * inv_I)
+                denom = inv_m + armw * armw * inv_I
+                if wall[0] == "rotbox" and n_cs == 3:
+                    # dynamic blade: rotational compliance rho^2/I_b joins
+                    # the row diagonal (see solver.nsc_pencil dense_sweep_g)
+                    axis = wall[1]
+                    cx_, cy_, cz_ = wall[2]
+                    d3 = (px - cx_, py - cy_, pz - cz_)
+                    i1, i2 = [(1, 2), (2, 0), (0, 1)][axis]
+                    rho2 = d3[i1] * d3[i1] + d3[i2] * d3[i2]
+                    denom = denom + rho2 * phys["inv_Ib"]
+                s = omega / denom
                 pn, pu, pv = cone_project(
                     yn - s * (gn_v - bn), yu - s * gu_v, yv - s * gv_v, mu_w)
                 wout_ref[:, r0] = okw * pn
@@ -356,8 +371,10 @@ def _pad_feat(feat, G, nxy, nxy_pad):
 def _call_half(mode, feat, codes, gam, gprev, wgam, wgprev, beta, *,
                phys, walls, grid_dims, C, P, Bxy, interpret, cs=None):
     n_rb = sum(1 for w in walls if w[0] == "rotbox")
-    if n_rb and (cs is None or len(cs) != 2 * n_rb):
-        raise ValueError("rotbox walls need cs=(cosθ, sinθ, ...) scalars")
+    if n_rb and (cs is None or len(cs) % n_rb
+                 or len(cs) // n_rb not in (2, 3)):
+        raise ValueError("rotbox walls need cs=(cosθ, sinθ[, ω]) scalars")
+    n_cs = (len(cs) // n_rb) if n_rb else 2
     nx, ny, nz = grid_dims
     if ny < 2:
         raise ValueError("half kernel needs ny >= 2")
@@ -373,7 +390,7 @@ def _call_half(mode, feat, codes, gam, gprev, wgam, wgprev, beta, *,
     P3 = gam.shape[1]
 
     kern = _make_half_kernel(C, NZp, Bxy, ny, G, P, WB, dict(phys), walls,
-                             mode)
+                             mode, n_cs=n_cs)
     if mode == "u":
         out_shape = jax.ShapeDtypeStruct((nxy_pad, 6, C, NZp), jnp.float32)
         out_specs = pl.BlockSpec((Bxy, 6, C, NZp), lambda b: (b, 0, 0, 0),
@@ -408,7 +425,7 @@ def _call_half(mode, feat, codes, gam, gprev, wgam, wgprev, beta, *,
         out_shape=out_shape,
         grid=(nxy_pad // Bxy,),
         in_specs=[
-            pl.BlockSpec((1, 1 + 2 * n_rb), lambda b: (0, 0),
+            pl.BlockSpec((1, 1 + n_cs * n_rb), lambda b: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((Bxy, P, C, NZp), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -438,7 +455,7 @@ def _call_half(mode, feat, codes, gam, gprev, wgam, wgprev, beta, *,
     scal = [beta.astype(jnp.float32)]
     if n_rb:
         scal += [jnp.asarray(c, jnp.float32) for c in cs]
-    beta_s = jnp.stack(scal).reshape(1, 1 + 2 * n_rb)
+    beta_s = jnp.stack(scal).reshape(1, 1 + n_cs * n_rb)
     return fn(beta_s, codes, gam, gprev, wgam, wgprev, feat_p)
 
 

@@ -148,12 +148,19 @@ def wall_geometry(wall, px, py, pz, radius, cs=None):
         An ideal speed motor makes the blade motion exactly prescribed,
         so this kinematic treatment is exact for the particle dynamics;
         the motor torque is the contact-impulse sum (wall_reactions).
+        A 3-scalar ``cs = (cos θ, sin θ, ω)`` makes the angular VELOCITY
+        traced too — the dynamic-blade mode, where ω is a solver variable
+        (the revolute joint solved exactly in reduced coordinates, see
+        solver.nsc_pencil dynamic_walls).
     """
     kind = wall[0]
     if kind == "rotbox":
         axis, (cx, cy, cz), (ha, hb, hc), spin, _ = (
             wall[1], wall[2], wall[3], wall[4], wall[5])
-        cth, sth = cs
+        if cs is not None and len(cs) == 3:
+            cth, sth, spin = cs          # traced angular velocity
+        else:
+            cth, sth = cs
         dx = px - cx
         dy = py - cy
         dz = pz - cz

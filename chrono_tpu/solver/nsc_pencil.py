@@ -68,6 +68,17 @@ class NSCPencilParams:
     # must supply exactly the contact torque (plus the blade's constant-ω
     # inertial term, which is zero).
     track_wall_reactions: bool = static_field(default=False)
+    # DYNAMIC rotbox walls (bilateral fold): blade_inertia > 0 makes every
+    # rotbox wall's angular velocity a SOLVER VARIABLE — the revolute joint
+    # to ground is solved exactly in reduced coordinates (the fused
+    # side-solve of the descriptor's bilateral block,
+    # /root/reference/src/chrono/solver/ChSystemDescriptor.cpp:519-600),
+    # and the blade spin is updated from the contact impulses every APGD
+    # iteration: I ω_{k+1} = I ω_free + τ_axis(γ_k).  blade_torque is the
+    # constant drive torque about the rotation axis (the role of a torque
+    # motor; the prescribed-speed mode stays the default).
+    blade_inertia: float = static_field(default=0.0)
+    blade_torque: float = static_field(default=0.0)
 
     @property
     def inertia(self) -> float:
@@ -78,7 +89,9 @@ class NSCPencilParams:
                  inv_I=1.0 / self.inertia, envelope=self.envelope,
                  mu=self.mu, omega=self.omega,
                  stab_over_h=self.stab_factor / self.dt,
-                 inv_h=1.0 / self.dt, max_recovery=self.max_recovery)
+                 inv_h=1.0 / self.dt, max_recovery=self.max_recovery,
+                 inv_Ib=(1.0 / self.blade_inertia
+                         if self.blade_inertia > 0 else 0.0))
         return tuple(sorted(d.items()))
 
 
@@ -178,13 +191,19 @@ def _pair_block(p, grid, pos, maskf, nstack_extra=()):
     return nhat, gap, arm, t1, t2, ok, extras
 
 
-def wall_cs_list(walls, theta):
-    """Per-wall traced (cos θ, sin θ) for ``rotbox`` walls (None for static
-    kinds); ``theta``: (n_rotbox,) traced angles in wall order."""
+def wall_cs_list(walls, theta, wspin=None):
+    """Per-wall traced (cos θ, sin θ[, ω]) for ``rotbox`` walls (None for
+    static kinds); ``theta``: (n_rotbox,) traced angles in wall order.
+    ``wspin``: optional (n_rotbox,) traced angular velocities — appended as
+    a third scalar (the dynamic-blade mode, see wall_geometry)."""
     out, k = [], 0
     for wall in walls:
         if wall[0] == "rotbox":
-            out.append((jnp.cos(theta[k]), jnp.sin(theta[k])))
+            if wspin is None:
+                out.append((jnp.cos(theta[k]), jnp.sin(theta[k])))
+            else:
+                out.append((jnp.cos(theta[k]), jnp.sin(theta[k]),
+                            wspin[k]))
             k += 1
         else:
             out.append(None)
@@ -291,7 +310,17 @@ def dense_sweep_g(p: NSCPencilParams, grid: GridSpec, walls, pos, u_v, u_w,
             (jnp.zeros_like(px),) * 3)
         bn = contact_rhs(gap, p.stab_factor / p.dt, 1.0 / p.dt,
                          p.max_recovery)
-        s = p.omega / (1.0 / p.mass + armw * armw / p.inertia)
+        denom = 1.0 / p.mass + armw * armw / p.inertia
+        if wall[0] == "rotbox" and p.blade_inertia > 0:
+            # dynamic blade: its rotational compliance joins the row's
+            # diagonal (rho^2/I_b, rho = contact distance from the axis)
+            axis = wall[1]
+            cx, cy, cz = wall[2]
+            d3 = (px - cx, py - cy, pz - cz)
+            i1, i2 = [(1, 2), (2, 0), (0, 1)][axis]
+            rho2 = d3[i1] * d3[i1] + d3[i2] * d3[i2]
+            denom = denom + rho2 / p.blade_inertia
+        s = p.omega / denom
         pn, pu, pv = cone_project(
             yw_all[..., w, 0] - s * (gn_v - bn),
             yw_all[..., w, 1] - s * gu_v,
@@ -360,6 +389,39 @@ def _wall_reactions_dense(p, walls, pos, maskf, wgam, cs_list):
     return jnp.stack(out_f), jnp.stack(out_t)
 
 
+def _blade_torque_fns(p, walls, px, py, pz, maskf, cs_list):
+    """Per-rotbox-wall closures: angular impulse about the rotation axis
+    from the wall multipliers, with the contact geometry cached at the
+    step's pose (θ is fixed within a DVI step, so the geometry planes are
+    computed once and reused by every APGD iteration's blade-spin update).
+    Returns [(wall_index, tau_fn(yn, yu, yv) -> scalar impulse), ...]."""
+    fns = []
+    for w, wall in enumerate(walls):
+        if wall[0] != "rotbox":
+            continue
+        axis = wall[1]
+        cs = cs_list[w][:2] if cs_list is not None else None
+        nhat, gap, _ = wall_geometry(wall, px, py, pz, p.radius, cs)
+        okw = maskf * (gap < p.envelope).astype(px.dtype)
+        armw = p.radius + 0.5 * jnp.minimum(gap, 0.0)
+        t1, t2 = _wall_tangents(nhat)
+        cx, cy, cz = wall[2]
+        r = (px + armw * nhat[0] - cx,
+             py + armw * nhat[1] - cy,
+             pz + armw * nhat[2] - cz)
+        i1, i2 = [(1, 2), (2, 0), (0, 1)][axis]
+
+        def tau(yn, yu, yv, okw=okw, nhat=nhat, t1=t1, t2=t2, r=r,
+                i1=i1, i2=i2):
+            # reaction ON the blade = +(γ impulses) along the row directions
+            f = [okw * (yn * nhat[i] + yu * t1[i] + yv * t2[i])
+                 for i in range(3)]
+            return jnp.sum(r[i1] * f[i2] - r[i2] * f[i1])
+
+        fns.append((w, tau))
+    return fns
+
+
 # --------------------------------------------------------------------------
 # drivers
 # --------------------------------------------------------------------------
@@ -413,7 +475,7 @@ def make_nsc_pencil_advance(p: NSCPencilParams, grid: GridSpec, walls,
         if backend == "partner" and n_rotbox(walls):
             raise ValueError("rotbox walls: use the 'half' or 'xla' backend")
 
-        def solve(field, cs_list=None):
+        def solve(field, cs_list=None, theta=None, wspin_free=None):
             feat = field_to_pencils(field, nzp)
             codes_d, pover = detect_fn(
                 p.radius, p.envelope, grid, field.pos, field.mask, P)
@@ -425,20 +487,52 @@ def make_nsc_pencil_advance(p: NSCPencilParams, grid: GridSpec, walls,
 
             kw = dict(phys=pd, walls=walls, grid_dims=grid.dims,
                       C=capacity, P=P, Bxy=Bxy, interpret=interpret)
-            if backend == "half":
-                kw["cs"] = None if cs_list is None else tuple(
-                    c for pair in cs_list if pair is not None for c in pair)
+            dyn = wspin_free is not None
 
-            def one_iter(st: APGDState, k):
-                u = sweep_u(
-                    feat, codes, st.gam, st.gprev, st.wgam, st.wgprev,
-                    st.beta, **kw)
+            def flat_cs(csl):
+                return None if csl is None else tuple(
+                    c for pair in csl if pair is not None for c in pair)
+
+            if backend == "half" and not dyn:
+                kw["cs"] = flat_cs(cs_list)
+
+            def sweeps(st, ws, beta_pair):
+                kw2 = dict(kw)
+                if dyn:
+                    kw2["cs"] = flat_cs(wall_cs_list(walls, theta, ws))
+                gam, gprev, wgam, wgprev, beta = beta_pair
+                u = sweep_u(feat, codes, gam, gprev, wgam, wgprev, beta,
+                            **kw2)
+                return u, kw2
+
+            def one_iter(carry, k):
+                st, ws = carry
+                u, kw2 = sweeps(st, ws,
+                                (st.gam, st.gprev, st.wgam, st.wgprev,
+                                 st.beta))
                 featU = jnp.concatenate(
                     [feat[:, :3], u[:nxy], feat[:, 9:]], axis=1)
                 gnew, wnew = sweep_g(
                     featU, codes, st.gam, st.gprev, st.wgam, st.wgprev,
-                    st.beta, **kw)
-                return _momentum_update(st, gnew, wnew, p, k)
+                    st.beta, **kw2)
+                st2, dg = _momentum_update(st, gnew, wnew, p, k)
+                if dyn:
+                    # fused bilateral side-solve: blade spin from the fresh
+                    # wall impulses (reduced-coordinate revolute joint),
+                    # under-relaxed — the plain fixed-point update couples
+                    # every blade contact through one scalar and diverges
+                    # when many contacts load a light blade
+                    taus = jnp.stack([
+                        fn(wnew[:nxy, 3 * w], wnew[:nxy, 3 * w + 1],
+                           wnew[:nxy, 3 * w + 2]) for w, fn in tq_fns])
+                    ws = 0.5 * ws + 0.5 * (wspin_free
+                                           + taus / p.blade_inertia)
+                return (st2, ws), dg
+
+            if dyn:
+                tq_fns = _blade_torque_fns(
+                    p, walls, feat[:nxy, 0], feat[:nxy, 1], feat[:nxy, 2],
+                    feat[:nxy, 9], cs_list)
 
             st0 = APGDState(
                 gam=jnp.zeros((nxy_pad, 3 * P, capacity, nzp), jnp.float32),
@@ -449,10 +543,11 @@ def make_nsc_pencil_advance(p: NSCPencilParams, grid: GridSpec, walls,
                                  jnp.float32),
                 beta=jnp.zeros((), jnp.float32),
                 theta=jnp.ones((), jnp.float32))
-            st, dgam = lax.scan(one_iter, st0, jnp.arange(p.n_iter))
-            u = sweep_u(
-                feat, codes, st.gam, st.gam, st.wgam, st.wgam,
-                jnp.zeros((), jnp.float32), **kw)
+            ws0 = wspin_free if dyn else jnp.zeros((max(R, 1),), jnp.float32)
+            (st, ws), dgam = lax.scan(one_iter, (st0, ws0),
+                                      jnp.arange(p.n_iter))
+            u, _ = sweeps(st, ws, (st.gam, st.gam, st.wgam, st.wgam,
+                                   jnp.zeros((), jnp.float32)))
 
             def grab(a, f0):
                 return a[:nxy, f0:f0 + 3, :, :nz].transpose(
@@ -461,7 +556,7 @@ def make_nsc_pencil_advance(p: NSCPencilParams, grid: GridSpec, walls,
             reac = _wall_reactions_planes(p, walls, feat[:nxy],
                                           st.wgam[:nxy], cs_list) \
                 if p.track_wall_reactions else None
-            return grab(u, 0), grab(u, 3), dgam, reac
+            return grab(u, 0), grab(u, 3), dgam, reac, ws
 
     elif backend == "pallas":
         edge_table = edge_ok_xy(grid.dims)
@@ -504,22 +599,36 @@ def make_nsc_pencil_advance(p: NSCPencilParams, grid: GridSpec, walls,
                 return a[:, f0:f0 + 3, :, :nz].transpose(0, 3, 2, 1).reshape(
                     nx, ny, nz, capacity, 3)
 
-            return grab(u, 0), grab(u, 3), dgam, None
+            return grab(u, 0), grab(u, 3), dgam, None, None
 
     elif backend == "xla":
 
-        def solve(field, cs_list=None):
+        def solve(field, cs_list=None, theta=None, wspin_free=None):
             pos, ufv, ufw, mask = field.pos, field.vel, field.omega, \
                 field.mask
+            dyn = wspin_free is not None
+            if dyn:
+                tq_fns = _blade_torque_fns(
+                    p, walls, pos[..., 0], pos[..., 1], pos[..., 2],
+                    mask.astype(pos.dtype), cs_list)
 
-            def one_iter(st: APGDState, k):
+            def one_iter(carry, k):
+                st, ws = carry
+                csl = wall_cs_list(walls, theta, ws) if dyn else cs_list
                 uv, uw = dense_sweep_u(p, grid, walls, pos, ufv, ufw, mask,
                                        st.gam, st.gprev, st.wgam, st.wgprev,
-                                       st.beta, cs_list)
+                                       st.beta, csl)
                 gnew, wnew = dense_sweep_g(p, grid, walls, pos, uv, uw, mask,
                                            st.gam, st.gprev, st.wgam,
-                                           st.wgprev, st.beta, cs_list)
-                return _momentum_update(st, gnew, wnew, p, k)
+                                           st.wgprev, st.beta, csl)
+                st2, dg = _momentum_update(st, gnew, wnew, p, k)
+                if dyn:
+                    taus = jnp.stack([
+                        fn(wnew[..., w, 0], wnew[..., w, 1], wnew[..., w, 2])
+                        for w, fn in tq_fns])
+                    ws = 0.5 * ws + 0.5 * (wspin_free
+                                           + taus / p.blade_inertia)
+                return (st2, ws), dg
 
             C = capacity
             st0 = APGDState(
@@ -529,47 +638,66 @@ def make_nsc_pencil_advance(p: NSCPencilParams, grid: GridSpec, walls,
                 wgprev=jnp.zeros((nx, ny, nz, C, max(W, 1), 3), jnp.float32),
                 beta=jnp.zeros((), jnp.float32),
                 theta=jnp.ones((), jnp.float32))
-            st, dgam = lax.scan(one_iter, st0, jnp.arange(p.n_iter))
+            ws0 = wspin_free if dyn else jnp.zeros((max(R, 1),), jnp.float32)
+            (st, ws), dgam = lax.scan(one_iter, (st0, ws0),
+                                      jnp.arange(p.n_iter))
+            csl = wall_cs_list(walls, theta, ws) if dyn else cs_list
             uv, uw = dense_sweep_u(p, grid, walls, pos, ufv, ufw, mask,
                                    st.gam, st.gam, st.wgam, st.wgam,
-                                   jnp.zeros((), jnp.float32), cs_list)
+                                   jnp.zeros((), jnp.float32), csl)
             reac = _wall_reactions_dense(p, walls, pos, mask.astype(
                 pos.dtype), st.wgam, cs_list) \
                 if p.track_wall_reactions else None
-            return uv, uw, dgam, reac
+            return uv, uw, dgam, reac, ws
     else:
         raise ValueError(f"unknown backend {backend!r}")
 
     spins = jnp.asarray([w[4] for w in walls if w[0] == "rotbox"],
                         jnp.float32)
     R = n_rotbox(walls)
+    dyn_mode = p.blade_inertia > 0.0
+    if dyn_mode and not R:
+        raise ValueError("blade_inertia set but no rotbox walls")
+    if dyn_mode and backend not in ("half", "xla"):
+        raise ValueError("dynamic blades: use the 'half' or 'xla' backend")
 
-    def step(pos, vel, omega, theta):
+    def step(pos, vel, omega, theta, wspin):
         ufree = vel + p.dt * gvec
         cs_list = wall_cs_list(walls, theta) if R else None
         field = to_cells(grid, capacity, pos, ufree, omega)
-        uv_f, uw_f, dgam, reac = solve(field, cs_list)
+        if dyn_mode:
+            wspin_free = wspin + p.dt * p.blade_torque / p.blade_inertia
+            uv_f, uw_f, dgam, reac, ws = solve(field, cs_list, theta,
+                                               wspin_free)
+            theta2 = theta + p.dt * ws
+        else:
+            uv_f, uw_f, dgam, reac, _ = solve(field, cs_list)
+            ws = wspin
+            theta2 = theta + p.dt * spins
         vel2, om2 = from_cells(field, uv_f, uw_f)
         pos2 = pos + p.dt * vel2
-        theta2 = theta + p.dt * spins
-        return pos2, vel2, om2, theta2, field.overflow, dgam, reac
+        return pos2, vel2, om2, theta2, ws, field.overflow, dgam, reac
 
     step_jit = jax.jit(step)
 
-    def advance(pos, vel, omega, n_steps: int, theta0=None):
+    def advance(pos, vel, omega, n_steps: int, theta0=None, wspin0=None):
         ovf = jnp.zeros((), jnp.int32)
         dgam, reac = None, None
         theta = (jnp.zeros((R,), jnp.float32)
                  if theta0 is None else jnp.asarray(theta0, jnp.float32))
+        wspin = (spins if wspin0 is None
+                 else jnp.asarray(wspin0, jnp.float32))
         for _ in range(n_steps):
-            pos, vel, omega, theta, ov, dgam, reac = step_jit(
-                pos, vel, omega, theta)
+            pos, vel, omega, theta, wspin, ov, dgam, reac = step_jit(
+                pos, vel, omega, theta, wspin)
             ovf = jnp.maximum(ovf, ov)
         extras = ()
         if p.track_residual:
             extras += (dgam,)               # last step's ‖Δγ‖ series
         if p.track_wall_reactions:
             extras += (reac,)               # last step's (force, torque)
+        if dyn_mode:
+            extras += (wspin,)              # blade angular velocities
         return (pos, vel, omega, ovf) + extras
 
     return advance

@@ -149,10 +149,13 @@ def main(n_intervals=25, outer_per_interval=40, engine=None):
     # print guards any experiment with CRM_CAPACITY
     cap = int(os.environ.get("CRM_CAPACITY", "32"))
     if engine == "persistent":
-        # terrain stays binned across outer steps; bin/unbin amortized
+        # terrain stays binned across outer steps; bin/unbin amortized.
+        # CRM_SUBSTEPS overrides the substeps/outer (diagnostic: the RTF
+        # slope vs substeps separates sweep cost from per-outer fixed cost)
         rebuild_outer = int(os.environ.get("CRM_REBUILD_OUTER", "5"))
+        n_sub = int(os.environ.get("CRM_SUBSTEPS", params.rebuild_every))
         adv = make_crm_fsi_advance_persistent(
-            model, params, crm, grid, n_substeps=params.rebuild_every,
+            model, params, crm, grid, n_substeps=n_sub,
             wheel_bodies=wheels, f_ext_fn=drive, pencil_capacity=cap,
             rebuild_outer=rebuild_outer, layout=layout,
             dv_mode=os.environ.get("CRM_DV_MODE", "last"))

@@ -178,7 +178,7 @@ def _crm_case(layout):
     assert np.isfinite(np.asarray(got.pos)).all()
 
 
-def _nsc_case(backend):
+def _nsc_case(backend, dynamic=False):
     import jax.numpy as jnp
     from chrono_tpu.collision.cell_list import GridSpec
     from chrono_tpu.solver.nsc_pencil import (
@@ -187,14 +187,22 @@ def _nsc_case(backend):
     R = 0.05
     grid = GridSpec(origin=(0.0, 0.0, 0.0), cell_size=2.1 * R, dims=(4, 4, 4))
     walls = (("plane", (0.0, 0.0, 1.0), 0.0, (0.0, 0.0, 0.0), 0.4),)
+    kw = {}
+    if dynamic:
+        # dynamic rotbox blade: 3-scalar SMEM block (pose + traced spin)
+        # and the blade-compliance row diagonal — a distinct Mosaic config
+        walls = walls + (
+            ("rotbox", 2, (0.42, 0.42, R), (2.0 * R, 0.7 * R, R), 0.0, 0.3),)
+        kw = dict(blade_inertia=0.05, blade_torque=1.0)
     p = NSCPencilParams(radius=R, mass=0.5, mu=0.3, dt=1e-3, n_iter=20,
-                        envelope=0.002 * R)
+                        envelope=0.002 * R, **kw)
     adv = make_nsc_pencil_advance(p, grid, walls, backend=backend,
                                   interpret=False)
     pos = jnp.asarray([[0.2, 0.2, R], [0.2, 0.2, 3.0 * R],
                        [0.31, 0.2, R]])
     z = jnp.zeros((3, 3))
-    pos, vel, om, ovf = adv(pos, z, z, 5)
+    out = adv(pos, z, z, 5)
+    pos, vel, om, ovf = out[:4]
     assert int(ovf) == 0
     assert np.isfinite(np.asarray(pos)).all()
 
@@ -212,6 +220,7 @@ CASES = {
     "crm-dual": (lambda: _crm_case("dual"), True),
     "nsc-pallas": (lambda: _nsc_case("pallas"), False),
     "nsc-half": (lambda: _nsc_case("half"), True),
+    "nsc-half-dyn": (lambda: _nsc_case("half", dynamic=True), True),
     "nsc-partner": (lambda: _nsc_case("partner"), False),
 }
 
