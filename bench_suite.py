@@ -63,11 +63,14 @@ def bench_mbs():
     model, state = bld.finalize()
 
     h, n = 1e-3, 2000
-    # warm with the SAME static scan length (a different n recompiles)
-    st, _ = simulate(model, state, h, n, SolverSettings(solver="direct"))
+    # latency configuration: jitted carry-donating scan, no trajectory
+    # stacking (save_every=0) — the metric is ms/step of dynamics
+    st, _ = simulate(model, state, h, n, SolverSettings(solver="direct"),
+                     save_every=0)
     st.x.block_until_ready()
     t0 = time.perf_counter()
-    st, _ = simulate(model, state, h, n, SolverSettings(solver="direct"))
+    st, _ = simulate(model, state, h, n, SolverSettings(solver="direct"),
+                     save_every=0)
     st.x.block_until_ready()
     dt = time.perf_counter() - t0
     assert bool(jnp.isfinite(st.x).all())

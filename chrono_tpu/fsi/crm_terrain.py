@@ -254,7 +254,8 @@ def make_crm_fsi_advance_persistent(
         mbs_settings: SolverSettings = SolverSettings(solver="direct"),
         f_ext_fn=None, pencil_capacity: int = 32, pencil_Bxy: int = 4,
         rebuild_outer: int = 5, interpret: bool = False,
-        layout: str = "auto", dv_mode: str = "fresh", dual_CA=None):
+        layout: str = "auto", dv_mode: str = "fresh", dual_CA=None,
+        clip_z: float = None):
     """Vehicle-on-CRM advance with PERSISTENT pencil binning.
 
     The per-outer pipeline of :func:`make_crm_fsi_advance_fn` (engine
@@ -300,7 +301,8 @@ def make_crm_fsi_advance_persistent(
         CA = int(dual_CA) if dual_CA else (pencil_capacity * 3) // 4
         eng = make_crm_dual_engine(params, crm, grid, CA=CA,
                                    CB=pencil_capacity - CA,
-                                   Bxy=pencil_Bxy, interpret=interpret)
+                                   Bxy=pencil_Bxy, interpret=interpret,
+                                   clip_z=clip_z)
     else:
         eng = make_crm_pencil_engine(params, crm, grid, pencil_capacity,
                                      pencil_Bxy, interpret, layout)

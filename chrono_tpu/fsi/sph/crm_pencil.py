@@ -63,22 +63,33 @@ def pencils_to_crm_state(feat, perm, st: CRMState) -> CRMState:
 
 def pencils_to_crm_state_dual(featA, featB, perm, st: CRMState) -> CRMState:
     """Dual-field unbinner: perm indexes the virtual [A | B] plane concat
-    (see pencil.bin_to_flat_dual)."""
-    def grab(f):
-        return jnp.concatenate(
-            [featA[:, f].reshape(-1), featB[:, f].reshape(-1)])[perm]
+    (see pencil.bin_to_flat_dual).  Markers clipped out of the binning
+    (perm pointing at the discard bucket) keep their previous state — used
+    for wheel-rim BCE markers above the bed, whose kinematics are
+    recomputed from the body states at every rebuild anyway."""
+    size = featA.shape[0] * featA.shape[2] * featA.shape[3] \
+        + featB.shape[0] * featB.shape[2] * featB.shape[3]
+    binned = perm < size
 
-    pos = jnp.stack([grab(0), grab(1), grab(2)], axis=1)
-    vel = jnp.stack([grab(3), grab(4), grab(5)], axis=1)
-    tau_d = jnp.stack([grab(7), grab(8), grab(9)], axis=1)
-    tau_o = jnp.stack([grab(10), grab(11), grab(12)], axis=1)
-    return st.replace(pos=pos, vel=vel, rho=grab(6), tau_d=tau_d,
+    def grab(f, old):
+        got = jnp.concatenate(
+            [featA[:, f].reshape(-1), featB[:, f].reshape(-1)]
+        )[jnp.minimum(perm, size - 1)]
+        return jnp.where(binned, got, old)
+
+    pos = jnp.stack([grab(k, st.pos[:, k]) for k in range(3)], axis=1)
+    vel = jnp.stack([grab(3 + k, st.vel[:, k]) for k in range(3)], axis=1)
+    tau_d = jnp.stack([grab(7 + k, st.tau_d[:, k]) for k in range(3)],
+                      axis=1)
+    tau_o = jnp.stack([grab(10 + k, st.tau_o[:, k]) for k in range(3)],
+                      axis=1)
+    return st.replace(pos=pos, vel=vel, rho=grab(6, st.rho), tau_d=tau_d,
                       tau_o=tau_o)
 
 
 def make_crm_dual_engine(params, crm: CRMParams, grid: GridSpec,
                          CA: int = 16, CB: int = 16, Bxy: int = 1,
-                         interpret: bool = False):
+                         interpret: bool = False, clip_z: float = None):
     """Two-tier flat-lane CRM engine (ops.pallas.flatlane_dual_kernel).
 
     Rows = the SHORTEST grid axis (for a terrain bed: the vertical — most
@@ -111,10 +122,22 @@ def make_crm_dual_engine(params, crm: CRMParams, grid: GridSpec,
     SZ, NL = flat_lane_geometry(pgrid)
     cp = crm_static_params(params, crm)
 
+    from chrono_tpu.fsi.sph.state import RIGID_BCE
+
     def bin_all(st, extra_feats=()):
+        keep = None
+        if clip_z is not None:
+            # rigid-BCE markers above clip_z (wheel-rim top, beyond the bed
+            # surface + kernel support) cannot interact with soil within a
+            # rebuild chunk: drop them from the binning so their rows/cells
+            # cost nothing.  The unbinner holds their state; kinematics are
+            # recomputed from body poses every rebuild (the active-domain
+            # role of the reference's SetActiveDomain,
+            # /root/reference/src/chrono_fsi/sph/ChFsiProblemSPH.h)
+            keep = ~((st.kind == RIGID_BCE) & (st.pos[:, 2] > clip_z))
         pA, pB, perm, ovf = bin_to_flat_dual(
             pgrid, CA, CB, SZ, NL, st.pos[:, list(aperm)],
-            _crm_feats(st) + list(extra_feats))
+            _crm_feats(st) + list(extra_feats), keep=keep)
         nE = len(extra_feats)
         if nE:
             fA = jnp.concatenate([pA[:, :15], pA[:, -1:]], axis=1)

@@ -230,9 +230,12 @@ def _make_dual_kernel(F_in, n_out, n_acc, CA, CB, NL, SZ, Bxy, WB,
     return kernel
 
 
-def dual_auto_bxy(CA, CB, NL, budget_vregs=3000, chain_temps=40):
+def dual_auto_bxy(CA, CB, NL, budget_vregs=None, chain_temps=40):
     """Register-pressure clamp (see flatlane_kernel.flat_auto_bxy): the
     widest single chain is a CS x max(CA, CB) lattice."""
+    if budget_vregs is None:
+        from chrono_tpu.ops.pallas.flatlane_kernel import _VREG_BUDGET
+        budget_vregs = _VREG_BUDGET
     C = max(CA, CB)
     CS = min(8, C)
     per_temp = max(1, (CS * C * NL) // (8 * 128))

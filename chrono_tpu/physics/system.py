@@ -436,6 +436,19 @@ def simulate(model: Model, state: BodyState, h: float, n_steps: int,
         return _simulate_nosave(model, state, h, n_steps, settings,
                                 jnp.asarray(t0, state.x.dtype)), None
 
+    final_state, xs, qs = _simulate_traj(
+        model, state, h, n_steps, settings,
+        jnp.asarray(t0, state.x.dtype))
+    return final_state, (xs[::save_every], qs[::save_every])
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _simulate_traj(model: Model, state: BodyState, h: float, n_steps: int,
+                   settings: SolverSettings, t0):
+    # module-level jit: repeat simulate() calls with the same model/shape
+    # hit the compile cache instead of re-TRACING the n_steps-scan body in
+    # python every call (measured ~8 s of pure tracing per call on the
+    # config-#1 bench model — more than the device time of the whole run)
     def body(carry, k):
         state, t = carry
         state, info = step_euler_implicit_linearized(
@@ -443,13 +456,17 @@ def simulate(model: Model, state: BodyState, h: float, n_steps: int,
         return (state, t + h), (state.x, state.q)
 
     (final_state, tf), (xs, qs) = jax.lax.scan(
-        body, (state, jnp.asarray(t0, state.x.dtype)), jnp.arange(n_steps))
-    return final_state, (xs[::save_every], qs[::save_every])
+        body, (state, t0), jnp.arange(n_steps))
+    return final_state, xs, qs
 
 
-@partial(jax.jit, static_argnums=(2, 3), donate_argnums=(1,))
+@partial(jax.jit, static_argnums=(2, 3))
 def _simulate_nosave(model: Model, state: BodyState, h: float,
                      n_steps: int, settings: SolverSettings, t0):
+    # NOT donated: callers (benches, parameter sweeps) reuse the initial
+    # state across calls; donating it invalidates their buffer (observed:
+    # "TPU backend error (InvalidArgument)" on the second bench call).
+    # The saved copy is one small pytree — donation bought nothing.
     def body(carry, _):
         state, t = carry
         state, _info = step_euler_implicit_linearized(

@@ -154,11 +154,16 @@ def main(n_intervals=25, outer_per_interval=40, engine=None):
         # slope vs substeps separates sweep cost from per-outer fixed cost)
         rebuild_outer = int(os.environ.get("CRM_REBUILD_OUTER", "5"))
         n_sub = int(os.environ.get("CRM_SUBSTEPS", params.rebuild_every))
+        # clip_z: wheel-rim BCE above bed surface + kernel support + heave
+        # margin can't touch soil within a rebuild — drop them from the
+        # binning (flat2 layout: empties the upper z rows entirely)
+        clip_z = (depth + 2.0 * 1.2 * d0 + 2 * d0   # + support 2h + heave
+                  if layout == "flat2" else None)
         adv = make_crm_fsi_advance_persistent(
             model, params, crm, grid, n_substeps=n_sub,
             wheel_bodies=wheels, f_ext_fn=drive, pencil_capacity=cap,
             rebuild_outer=rebuild_outer, layout=layout,
-            dv_mode=os.environ.get("CRM_DV_MODE", "last"))
+            dv_mode=os.environ.get("CRM_DV_MODE", "last"), clip_z=clip_z)
     else:
         adv = make_crm_fsi_advance_fn(model, params, crm, grid,
                                       n_substeps=params.rebuild_every,
