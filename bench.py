@@ -117,9 +117,11 @@ def main():
         # sqrt(2)*1.77^3 = 7.8; the binning overflow assert enforces it),
         # and the grid z range is TRIMMED to the active bed so the packed
         # (y,z) lane dimension carries no air
-        # 1.75 measured best on v5e at N=1M: 46.8M psteps/s vs 38.6M at 1.6
-        # (worst-case crystal-pack occupancy sqrt(2)*1.75^3 = 7.6 < C=8)
-        cell = float(os.environ.get("BENCH_CELL_MULT", 1.75)) * 2.0 * radius
+        # 2.1 (lattice-commensurate, see below) measured 87.9M psteps/s on
+        # v5e at 1M vs 52.2M at the crystal-safe 1.75 (and 46.8M at 1.75
+        # without migration); BENCH_CELL_MULT=1.75 reproduces the
+        # compaction-safe configuration
+        cell = float(os.environ.get("BENCH_CELL_MULT", 2.1)) * 2.0 * radius
         capacity = int(os.environ.get("BENCH_CAPACITY", 8))
     elif engine in ("pencil", "sym"):
         # lean grid for the dense-pencil kernel: cell = 1.45 diameters keeps
@@ -131,16 +133,29 @@ def main():
         # cells = 2 lattice spacings → ~8 particles/cell, C=16
         cell = 2.0 * spacing
         capacity = 16
+    origin = (0.0, 0.0, 0.0)
     if engine == "flat":
         # z-trim: settling particles only ever descend, so the initial max
         # height (+1 cell margin) bounds the active range for the whole run
         z_hi = float(pts[:, 2].max()) + radius
-        dims = (int(np.ceil(box_w / cell)), int(np.ceil(box_w / cell)),
-                int(np.ceil(z_hi / cell)) + 1)
+        if abs(cell - 2.0 * spacing) < 1e-12:
+            # lattice-commensurate cells (BENCH_CELL_MULT=2.1): cell = TWO
+            # lattice spacings with the grid origin at (r, r, r) so cell
+            # boundaries fall mid-gap between lattice planes (0.525 d
+            # margin vs 0.0315 d jitter) — every cell holds EXACTLY 8
+            # particles (C = 8 at 100% slot fill, 1.73x fewer cells than
+            # the crystal-safe 1.75 d).  Valid while particles stay within
+            # half a gap of their lattice sites — the bench horizon moves
+            # them < 0.01 d; the binning/migration overflow asserts guard
+            # the assumption exactly like the z-trim above.
+            origin = (radius, radius, radius)
+        dims = tuple(int(np.ceil((e - o) / cell)) for e, o in
+                     zip((box_w, box_w, z_hi), origin))
+        dims = (dims[0], dims[1], dims[2] + 1)
     else:
         dims = (int(np.ceil(box_w / cell)), int(np.ceil(box_w / cell)),
                 int(np.ceil(box_h / cell)))
-    grid = GridSpec(origin=(0.0, 0.0, 0.0), cell_size=cell, dims=dims)
+    grid = GridSpec(origin=origin, cell_size=cell, dims=dims)
 
     pos = jnp.asarray(pts, jnp.float32)
     zeros = jnp.zeros_like(pos)
@@ -149,11 +164,16 @@ def main():
 
     if engine in ("pallas", "xla", "pencil", "sym", "flat"):
         blk = os.environ.get("BENCH_PALLAS_B")
+        # v6 (flat engine): in-plane migration replaces the per-cycle
+        # argsort/scatter/transpose rebuild (measured 344 ms/cycle at 1M =
+        # ~19 substeps) and fuses the whole run into one program
+        migrate = engine == "flat" and \
+            os.environ.get("BENCH_MIGRATE", "1") != "0"
         adv = make_cell_dense_advance(
             params, bcs, grid, capacity=capacity,
             backend=engine,
             pallas_block=int(blk) if blk else None,
-            pallas_interpret=False)
+            pallas_interpret=False, migrate=migrate)
         p, v, o, ovf = adv(pos, zeros, zeros, 1)     # warmup: compile+cycle
         p.block_until_ready()
         assert int(ovf) == 0, f"cell capacity overflow ({int(ovf)})"
@@ -187,6 +207,7 @@ def main():
         "n_particles": n,
         "n_steps": steps,
         "rebuild_every": rebuild_every,
+        "migrate": bool(os.environ.get("BENCH_MIGRATE", "1") != "0") if engine == "flat" else False,
         "wall_s": round(dt_wall, 3),
     }
     print(json.dumps(out))

@@ -221,6 +221,59 @@ def flat_to_particles(feat, field: CellField, grid_dims, C, SZ):
     return from_cells(field, grab(_F_PX), grab(_F_VX), grab(_F_WX))
 
 
+def flat_single(a, grid_dims, SZ, NL):
+    """One (nx, ny, nz, C) per-slot array → a (nx, 1, C, NL) flat-lane plane
+    (same packing as :func:`field_to_flat`'s mask plane)."""
+    nx, ny, nz, C = a.shape
+    a = jnp.pad(a, ((0, 0), (0, 0), (0, SZ - nz), (0, 0)))
+    a = a.reshape(nx, ny * SZ, C).transpose(0, 2, 1)[:, None]
+    return jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, NL - ny * SZ)))
+
+
+def migrate_flat(feat, extra, *, grid: GridSpec, SZ: int, C: int,
+                 mask_idx: int = 9, interpret: bool = False):
+    """Re-bin flat-lane planes IN PLACE of the sort pipeline (v6).
+
+    After a substep cycle every particle has moved less than one cell (the
+    skin bound the re-binning cadence already enforces), so re-binning is
+    pure LOCAL data movement: three axis-split passes (z, y, x), each
+    pulling every cell's next occupants from {self, axis−1, axis+1} via two
+    static rolls, ranking them with a prefix sum over the 3·C candidate
+    slots, and placing them with rank-match selects.  No argsort, no
+    scatter, no layout transpose — the whole cycle pipeline stays in
+    (nx, F, C, NL) planes and the migration costs a fraction of one pair
+    substep (the sort pipeline it replaces cost ~20 substeps at 1M).
+
+    The reference instead re-sorts spheres into subdomains every step with
+    atomics (/root/reference/src/chrono_dem/gpu/ChDemSMC.cu:527-569
+    runSphereBroadphase: count/scan/fill); the TPU design exploits the
+    skin-bounded displacement to replace the global sort with a 1-cell
+    stencil relabeling.
+
+    ``feat``: (nx, F, C, NL) with positions in planes 0..2 and the validity
+    mask in plane ``mask_idx``.  ``extra``: optional (nx, E, C, NL) planes
+    that migrate alongside (particle ids).  Returns (feat', extra', ovf)
+    where ovf counts capacity overflow PLUS any particle lost to a >1-cell
+    jump (conservation check) — both assert-worthy.
+    """
+    from chrono_tpu.ops.pallas.migrate_kernel import migrate_flat_pallas
+
+    E = 0 if extra is None else extra.shape[1]
+    A = feat if extra is None else jnp.concatenate([feat, extra], axis=1)
+    F_all = A.shape[1]
+    n_before = jnp.sum(A[:, mask_idx])
+    A, count = migrate_flat_pallas(
+        A, grid_dims=grid.dims, SZ=SZ, C=C, origin=tuple(grid.origin),
+        cell_size=float(grid.cell_size), mask_idx=mask_idx,
+        interpret=interpret)
+    ovf = (jnp.max(count) - C).astype(jnp.int32)
+    lost = (n_before - jnp.sum(A[:, mask_idx])).astype(jnp.int32)
+    ovf = jnp.maximum(ovf, jnp.abs(lost))
+    feat2 = A[:, :F_all - E] if E else A
+    extra2 = A[:, F_all - E:] if E else None
+    return feat2, extra2, ovf
+
+
 def pencils_to_field_arrays(out, grid_dims, C):
     """(NXY, 6, C, NZp) kernel output → force/torque (nx,ny,nz,C,3)."""
     nx, ny, nz = grid_dims
@@ -315,13 +368,16 @@ def pallas_cell_forces(params: DEMParams, grid: GridSpec, field: CellField,
 def make_cell_dense_advance(params: DEMParams, bcs, grid: GridSpec,
                             capacity: int = 8, backend: str = "xla",
                             pallas_block: int = None,
-                            pallas_interpret: bool = False):
+                            pallas_interpret: bool = False,
+                            migrate: bool = False):
     """Jitted advance using the cell-dense backend (frictionless/single-step).
 
     One cycle = re-bin + ``rebuild_every`` substeps (re-binning is just a sort,
     so it can afford to run every cycle with a small skin).
     ``backend``: "xla" (27-roll dense blocks) or "pallas" (explicit TPU kernel,
-    chrono_tpu.ops.pallas.dem_cell_kernel).
+    chrono_tpu.ops.pallas.dem_cell_kernel).  ``migrate=True`` (flat backend
+    only) replaces the per-cycle sort rebuild with in-plane migration
+    (:func:`migrate_flat`) and fuses the whole run into one program.
     """
     from chrono_tpu.dem.forces import wall_forces
     from chrono_tpu.dem.system import _n_walls
@@ -419,6 +475,71 @@ def make_cell_dense_advance(params: DEMParams, bcs, grid: GridSpec,
             return (p, v, o), field.overflow
 
         cycle_jit = jax.jit(lambda p, v, o: one_cycle((p, v, o), None))
+
+        if backend == "flat" and migrate:
+            # v6: the whole run is ONE program — bin once, then scan cycles
+            # of [K substeps + in-plane migration] (migrate_flat replaces
+            # the argsort/scatter/transpose rebuild, which cost ~20
+            # substeps per cycle at 1M), unbin once at the end via a
+            # carried particle-id plane.  Plane-shaped scan carries are
+            # (8,128)-tile native, so the scan relayout disease of (N,3)
+            # carries does not apply.
+            def substep_m(feat, __):
+                feat2 = substep_pallas(
+                    feat, grid_dims=grid.dims, SZ=flat_SZ, C=capacity,
+                    Bxy=pallas_block, interpret=pallas_interpret,
+                    **coefs, **fused_kw)
+                return feat2, None
+
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            def cycle_m(feat, ids, ovf):
+                feat, _ = lax.scan(substep_m, feat, None,
+                                   length=params.rebuild_every)
+                feat, ids, ov = migrate_flat(feat, ids, grid=grid,
+                                             SZ=flat_SZ, C=capacity,
+                                             interpret=pallas_interpret)
+                return feat, ids, jnp.maximum(ovf, ov)
+
+            @jax.jit
+            def bin_m(pos, vel, omega):
+                n = pos.shape[0]
+                field = to_cells(grid, capacity, pos, vel, omega)
+                feat = field_to_flat(field, flat_SZ, flat_NL)
+                nx, ny, nz = grid.dims
+                id_arr = jnp.zeros((nx * ny * nz * capacity,), jnp.float32)
+                id_arr = id_arr.at[field.perm].set(
+                    jnp.arange(n, dtype=jnp.float32))
+                ids = flat_single(
+                    id_arr.reshape(nx, ny, nz, capacity), grid.dims,
+                    flat_SZ, flat_NL)
+                return feat, ids, field.overflow
+
+            @functools.partial(jax.jit, static_argnums=2)
+            def unbin_m(feat, ids, n: int):
+                # unbin: scatter by the carried ids (invalid slots → row n)
+                valid = feat[:, _F_MASK].reshape(-1) > 0.5
+                idx = jnp.where(valid, ids[:, 0].reshape(-1), n) \
+                    .astype(jnp.int32)
+
+                def unbin(f0):
+                    vals = feat[:, f0:f0 + 3].transpose(0, 2, 3, 1) \
+                        .reshape(-1, 3)
+                    return jnp.zeros((n + 1, 3), vals.dtype) \
+                        .at[idx].set(vals)[:n]
+
+                return unbin(_F_PX), unbin(_F_VX), unbin(_F_WX)
+
+            def advance(pos, vel, omega, n_cycles: int):
+                # one compiled program per PHASE (bin / cycle / unbin), a
+                # python loop over cycles: a static n_cycles would bake the
+                # cycle count into the program and recompile per call
+                feat, ids, ovf = bin_m(pos, vel, omega)
+                for _ in range(n_cycles):
+                    feat, ids, ovf = cycle_m(feat, ids, ovf)
+                p, v, o = unbin_m(feat, ids, pos.shape[0])
+                return p, v, o, ovf
+
+            return advance
 
         def advance(pos, vel, omega, n_cycles: int):
             # python loop over cycles, ONE compiled program per cycle: a

@@ -264,3 +264,46 @@ def test_flat_advance_parity(friction_mode):
                                rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(of_), np.asarray(ox),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_flat_migrate_parity():
+    """v6 in-plane migration: the sort-free rebuild (migrate_flat — 3
+    axis-split roll/rank/place passes) must reproduce the full argsort
+    rebuild EXACTLY (both are pure data movement between identical
+    substeps).  Deep cycles so plenty of particles cross cell faces."""
+    from chrono_tpu.dem.bc import DEMBoundaries, box_boundaries
+
+    rng = np.random.default_rng(11)
+    radius = 0.05
+    grid = GridSpec(origin=(0.0, 0.0, 0.0), cell_size=0.13, dims=(5, 4, 3))
+    n = 120
+    pos = np.stack([rng.uniform(0.07, 5 * 0.13 - 0.07, n),
+                    rng.uniform(0.07, 4 * 0.13 - 0.07, n),
+                    rng.uniform(0.07, 3 * 0.13 - 0.07, n)],
+                   axis=1).astype(np.float32)
+    params = DEMParams(
+        radius=jnp.asarray(radius), mass=jnp.asarray(1.0),
+        material=DEMMaterial(), wall_material=DEMMaterial(),
+        gravity=jnp.asarray([0.0, 0.0, -9.81]), dt=jnp.asarray(2e-5),
+        friction_mode="single_step", rebuild_every=4,
+    )
+    bcs = DEMBoundaries(planes=box_boundaries(
+        (0, 0, 0), (5 * 0.13, 4 * 0.13, 3 * 0.13)))
+    adv_f = make_cell_dense_advance(params, bcs, grid, backend="flat",
+                                    capacity=16, pallas_block=2,
+                                    pallas_interpret=True)
+    adv_m = make_cell_dense_advance(params, bcs, grid, backend="flat",
+                                    capacity=16, pallas_block=2,
+                                    pallas_interpret=True, migrate=True)
+    z = jnp.zeros((n, 3))
+    pf, vf, of_, ovf = adv_f(jnp.asarray(pos), z, z, 6)
+    pm, vm, om, ovm = adv_m(jnp.asarray(pos), z, z, 6)
+    assert int(ovf) == 0 and int(ovm) == 0
+    # slot order inside a cell differs between the two rebinning schemes, so
+    # pair-sum association differs at the ulp level — otherwise identical
+    np.testing.assert_allclose(np.asarray(pm), np.asarray(pf),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(vm), np.asarray(vf),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(om), np.asarray(of_),
+                               rtol=1e-6, atol=1e-6)
