@@ -482,9 +482,23 @@ def bench_sph(n_target=None):
     #   SUITE_SPH_CELL   — cell-size multiplier on the 2h support (bigger
     #     cells raise slot occupancy toward C, cutting padded slot-evals —
     #     the DEM v5 move); worst-case wall cells stay ≤ C (overflow assert).
+    #   SUITE_SPH_C8=1 — r5 configuration: cell = 2 d0 (BELOW the 2.4 d0
+    #     support — the generalized ±2-ring flat-lane kernel serves it).
+    #     The d0 marker lattice is commensurate: every 2 d0 cell holds
+    #     EXACTLY 8 markers (boundaries mid-gap, 0.5 d0 margin vs 0.05 d0
+    #     jitter), so C = 8 runs at 100% slot fill with single-chunk
+    #     sweeps — the DEM v6 configuration class, overflow-assert-guarded.
+    #     Ring-2 coverage leaves 2·cell − support = 1.6 d0 of skin, so the
+    #     rebuild cadence stretches to 20.
+    c8 = os.environ.get("SUITE_SPH_C8", "1") != "0"
     cell = float(os.environ.get("SUITE_SPH_CELL", "1.25")) \
         * 2.0 * float(params.h)
     rot = os.environ.get("SUITE_SPH_ROT", "2")
+    if c8:
+        cell = 2.0 * float(params.d0)
+        rot = "0"
+        params = params.replace(rebuild_every=int(
+            os.environ.get("SUITE_SPH_REBUILD", 20)))
     if rot == "1":
         # lane-filling: tank length L (the longest axis) into the lanes
         perm = [1, 2, 0]                   # (L, W, H) -> (W, H, L)
@@ -504,7 +518,11 @@ def bench_sph(n_target=None):
         params = params.replace(gravity=jnp.asarray([0.0, -9.81, 0.0]))
         ext = (L + 8 * d0, 1.6 * H + 8 * d0, W + 8 * d0)
     else:
-        ext = (L + 8 * d0, W + 8 * d0, 1.6 * H + 8 * d0)
+        # C8 z-trim: markers move < 0.03 d0 over the bench window, so the
+        # 1.6 H splash headroom stays empty — trim the lane-packed height
+        # to the fluid top + margin (assert-guarded, like the DEM z-trim)
+        zt = (H + 12 * d0) if c8 else (1.6 * H + 8 * d0)
+        ext = (L + 8 * d0, W + 8 * d0, zt)
     grid = GridSpec(origin=(-4 * d0, -4 * d0, -4 * d0), cell_size=cell,
                     dims=tuple(int(np.ceil(e / cell)) for e in ext))
     state = make_sph_state(params, fluid, boundary_pts=floor)
@@ -529,9 +547,10 @@ def bench_sph(n_target=None):
             pgrid = PencilGrid.for_box(lo, hi, float(params.h))
         else:
             pgrid = grid
-        cap = int(os.environ.get("SUITE_SPH_C", 32))
+        cap = int(os.environ.get("SUITE_SPH_C", 8 if c8 else 32))
         bxy = int(os.environ.get("SUITE_SPH_BXY", 1))
-        layout = os.environ.get("SUITE_SPH_LAYOUT", "auto")
+        layout = os.environ.get("SUITE_SPH_LAYOUT",
+                                "flat" if c8 else "auto")
         adv = make_sph_advance_pencil(params, pgrid, capacity=cap, Bxy=bxy,
                                       backend=("sym" if engine == "sym"
                                                else "pencil"),

@@ -105,13 +105,13 @@ def bin_to_pencils(grid, capacity: int, nzp: int, pos, feats):
     return jnp.stack(planes + [valid], axis=1), perm, overflow
 
 
-def flat_lane_geometry(grid, n_dz: int = 1):
+def flat_lane_geometry(grid, n_dz: int = 1, n_dy: int = 1):
     """(SZ, NL) for the flat-lane layout (ops.pallas.flatlane_kernel):
     lane = y·SZ + z with SZ = nz + n_dz pad lanes; NL = 128-multiple with
-    one column of roll headroom."""
+    n_dy columns of roll headroom."""
     nx, ny, nz = grid.dims
     SZ = nz + n_dz
-    NL = ((ny * SZ + SZ + n_dz + 127) // 128) * 128
+    NL = ((ny * SZ + n_dy * SZ + n_dz + 127) // 128) * 128
     return SZ, NL
 
 
@@ -260,6 +260,7 @@ def make_sph_advance_pencil(params: SPHParams, grid: GridSpec,
     small-grid engine), or "auto" (flat when the pencil layout would use
     <60% of its lane tiles and the packed lanes fit VMEM)."""
     support = 2.0 * float(params.h)
+    n_dxy = 1
     if isinstance(grid, PencilGrid):
         if float(grid.cell_xy) < support - 1e-9:
             raise ValueError("cell_xy below kernel support")
@@ -267,10 +268,12 @@ def make_sph_advance_pencil(params: SPHParams, grid: GridSpec,
     else:
         if any(grid.periodic):
             raise ValueError("pencil SPH supports non-periodic boxes")
-        if float(grid.cell_size) < support - 1e-9:
+        n_dxy = int(np.ceil(support / float(grid.cell_size) - 1e-9))
+        n_dz = n_dxy
+        if n_dxy > 1 and backend != "sym":
             raise ValueError(
-                f"cell {grid.cell_size} < kernel support {support}")
-        n_dz = 1
+                f"cell {grid.cell_size} < kernel support {support} needs "
+                "the sym backend (n_d > 1 rings)")
     nzp = ((grid.dims[2] + n_dz + 127) // 128) * 128
     sp = sph_static_params(params)
     sub_kw = dict(sp=sp, grid_dims=grid.dims, C=capacity, Bxy=Bxy,
@@ -282,14 +285,16 @@ def make_sph_advance_pencil(params: SPHParams, grid: GridSpec,
         # small grids: flat-lane layout (rows = x, lanes = y·SZ + z) —
         # see ops.pallas.flatlane_kernel; auto-picked when the pencil
         # layout would waste >40% of its lane tiles and lanes fit VMEM
-        SZ, NL = flat_lane_geometry(grid, n_dz)
+        SZ, NL = flat_lane_geometry(grid, n_dz, n_dxy)
         lane_util = grid.dims[2] / nzp
         if layout == "auto":
             layout = "flat" if (NL <= 1024 and lane_util < 0.6) \
                 else "pencil"
+        if n_dxy > 1 and layout != "flat":
+            raise ValueError("n_d > 1 rings need layout='flat'")
         if layout == "flat":
             edge = None
-            sub_kw.update(layout="flat", SZ=SZ)
+            sub_kw.update(layout="flat", SZ=SZ, n_dy=n_dxy, n_dx=n_dxy)
 
             def binner(state):
                 return bin_to_flat(grid, capacity, SZ, NL, state.pos,
@@ -320,6 +325,23 @@ def make_sph_advance_pencil(params: SPHParams, grid: GridSpec,
             # skin estimate.
             kw["active"] = (jnp.max(feat[:, -1], axis=(1, 2)) > 0) \
                 .astype(jnp.int32)
+            # solid-proximity mask for the Adami sweep: rows owning pairs
+            # that touch a solid marker = the solid-row mask dilated
+            # through the layout's forward row offsets (a row owns pairs
+            # into rows r+delta only)
+            solid = (jnp.max(feat[:, -1] * (1.0 - feat[:, 7]),
+                             axis=(1, 2)) > 0).astype(jnp.int32)
+            ny_ = grid.dims[1]
+            if sub_kw.get("layout") == "flat":
+                deltas = tuple(range(0, sub_kw.get("n_dx", 1) + 1))
+            else:
+                deltas = (0, 1, ny_ - 1, ny_, ny_ + 1)
+            ev = jnp.zeros_like(solid)
+            for d in deltas:
+                ev = jnp.maximum(
+                    ev, jnp.concatenate([solid[d:], jnp.zeros((d,),
+                                                              solid.dtype)]))
+            kw["active_solid"] = ev
 
         def substep(f, _):
             return substep_fn(f, edge, **kw), None

@@ -15,11 +15,35 @@ from chrono_tpu.vehicle.tire import TMeasyParams
 from chrono_tpu.vehicle.powertrain import PowertrainParams, default_engine_map
 from chrono_tpu.vehicle.wheeled import build_wheeled_vehicle
 
+# Reference-exact deck values, field-validated by tests/test_polaris_deck.py
+# against /root/reference/data/vehicle/Polaris/*.json (loaded at test time).
+# Suspension rates: central-segment secants of the JSON spring/damping
+# curves, reflected to the wheel through the front double-wishbone motion
+# ratio (spring y − LCA pivot y)/(spindle y − LCA pivot y) = 0.6349206.
+POLARIS_SPEC = dict(
+    chassis_mass=1105.5,
+    chassis_inertia=(275.6945599, 853.4464526, 1200.0),
+    chassis_com=(-1.6399537, 0.0, 0.7667115704),
+    wheelbase=2.71526,          # rear spindle x offset
+    track=1.232,                # 2 x spindle y 0.616
+    wheel_mass=33.9,            # rim 18.8 + TMeasy tire 15.1
+    wheel_inertia_spin=1.453,   # rim 0.113 + tire 1.34
+    wheel_radius=0.330229,
+    wheel_width=0.2121,
+    suspension_k=21061.94,      # 52246.78 N/m secant x 0.6349206^2
+    suspension_c=5620.48,       # 13942.31 N s/m (|v|<0.13) x 0.6349206^2
+    engine_torque=397.0445784,  # EngineSimpleMap full-throttle peak
+    engine_speed_rpm=2700.0,
+    gear_ratios=(3.7453, 2.0, 1.3441, 1.0, 0.7728, 0.6341),
+    # CG above ground = chassis COM z - front axle z (0.397) + tire radius
+    cg_height=0.700,
+)
+
 
 def create_polaris(driven="AWD", suspension="reduced"):
     """Returns (WheeledVehicle, BodyState) for a Polaris-class UTV."""
-    wheel_radius = 0.34
-    mass = 790.0
+    wheel_radius = POLARIS_SPEC["wheel_radius"]
+    mass = POLARIS_SPEC["chassis_mass"]
     tire = TMeasyParams(
         radius=jnp.asarray(wheel_radius),
         width=jnp.asarray(0.24),
@@ -40,15 +64,16 @@ def create_polaris(driven="AWD", suspension="reduced"):
         sys_2=jnp.asarray(1.0),
         rolling_resistance=jnp.asarray(0.02),
     )
+    w_max = POLARIS_SPEC["engine_speed_rpm"] * 2.0 * 3.14159265 / 60.0
     speeds, torques, losses = default_engine_map(
-        max_torque=95.0,           # ~1 l twin
-        max_power_speed=700.0,     # ~6700 rpm
-        max_speed=900.0,
+        max_torque=POLARIS_SPEC["engine_torque"],
+        max_power_speed=0.963 * w_max,   # map peaks at 2600 of 2700 rpm
+        max_speed=w_max,
     )
     powertrain = PowertrainParams(
         map_speed=speeds, map_torque=torques, map_losses=losses,
-        max_speed=jnp.asarray(900.0),
-        gear_ratios=jnp.asarray([10.1, 5.9, 3.9]),   # CVT approximated
+        max_speed=jnp.asarray(w_max),
+        gear_ratios=jnp.asarray(POLARIS_SPEC["gear_ratios"][:3]),
         shift_speeds=jnp.asarray([7.0, 15.0]),
         final_drive=jnp.asarray(3.2),
         driven_wheels=jnp.asarray({
@@ -59,16 +84,16 @@ def create_polaris(driven="AWD", suspension="reduced"):
     )
     return build_wheeled_vehicle(
         chassis_mass=mass,
-        chassis_inertia=(260.0, 560.0, 620.0),
-        wheelbase=2.72,
-        track=1.62,
-        cg_height=0.62,
-        wheel_mass=14.0,
+        chassis_inertia=POLARIS_SPEC["chassis_inertia"],
+        wheelbase=POLARIS_SPEC["wheelbase"],
+        track=POLARIS_SPEC["track"],
+        cg_height=POLARIS_SPEC["cg_height"],
+        wheel_mass=POLARIS_SPEC["wheel_mass"],
         wheel_radius=wheel_radius,
-        wheel_width=0.24,
-        wheel_inertia_spin=0.6,
-        suspension_k=35000.0,
-        suspension_c=3200.0,
+        wheel_width=POLARIS_SPEC["wheel_width"],
+        wheel_inertia_spin=POLARIS_SPEC["wheel_inertia_spin"],
+        suspension_k=POLARIS_SPEC["suspension_k"],
+        suspension_c=POLARIS_SPEC["suspension_c"],
         tire=tire,
         powertrain=powertrain,
         max_steer_angle=0.61,

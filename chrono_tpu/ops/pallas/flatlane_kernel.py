@@ -52,16 +52,22 @@ _VREG_BUDGET = int(os.environ.get("CHRONO_FLAT_VREGS", "3000"))
 
 
 def _make_flat_kernel(F_in, n_out, n_acc, C, NL, SZ, Bxy, WB,
-                      pair2_fn, post_fn, n_dz, val_idx, hold_map=None):
+                      pair2_fn, post_fn, n_dz, val_idx, hold_map=None,
+                      n_dy=1, n_dx=1):
     CS = min(8, C)
     n_chunks = (C + CS - 1) // CS
     assert C % CS == 0
 
     # half-stencil lane shifts: (reaction row offset, lane shift)
-    # dx = 0 forward half (dz > 0, then dy = +1), then the full dx = +1 ring
+    # dx = 0 forward half (dz > 0, then dy > 0), then the dx > 0 rings;
+    # n_dy/n_dx > 1 serve cells SMALLER than the interaction support in
+    # the y/x axes (e.g. the C=8 SPH configuration: cell = 2 d0 against a
+    # 2.4 d0 support needs a ±2 ring)
     shifts = [(0, dz) for dz in range(1, n_dz + 1)] + \
-             [(0, SZ + dz) for dz in range(-n_dz, n_dz + 1)] + \
-             [(1, dy * SZ + dz) for dy in (-1, 0, 1)
+             [(0, dy * SZ + dz) for dy in range(1, n_dy + 1)
+              for dz in range(-n_dz, n_dz + 1)] + \
+             [(dx, dy * SZ + dz) for dx in range(1, n_dx + 1)
+              for dy in range(-n_dy, n_dy + 1)
               for dz in range(-n_dz, n_dz + 1)]
 
     def kernel(act_ref, feat_ref, out_ref, buf, accA, accB, react, acc_ref,
@@ -86,12 +92,12 @@ def _make_flat_kernel(F_in, n_out, n_acc, C, NL, SZ, Bxy, WB,
 
         def pair_work():
             # DMA + all pair sweeps — skipped wholesale for inactive row
-            # blocks (rows with no markers in [base−1, base+Bxy]): the
-            # sweeps would only accumulate zeros.  The rolling window and
-            # the ping-pong combine below still run so reaction state stays
-            # consistent across skipped blocks.
+            # blocks (rows with no markers in [base−n_dx, base+Bxy+n_dx−1]):
+            # the sweeps would only accumulate zeros.  The rolling window
+            # and the ping-pong combine below still run so reaction state
+            # stays consistent across skipped blocks.
             cp = pltpu.make_async_copy(
-                feat_ref.at[pl.ds(base, Bxy + 1)], buf, sem)
+                feat_ref.at[pl.ds(base, Bxy + n_dx)], buf, sem)
             cp.start()
             cp.wait()
             self_slab = buf[0:Bxy]
@@ -210,7 +216,7 @@ def _make_flat_kernel(F_in, n_out, n_acc, C, NL, SZ, Bxy, WB,
                 # frozen rows: outputs = the input planes per hold_map
                 # (needs the DMA even when the sweeps were skipped)
                 cp = pltpu.make_async_copy(
-                    feat_ref.at[pl.ds(base, Bxy + 1)], buf, sem)
+                    feat_ref.at[pl.ds(base, Bxy + n_dx)], buf, sem)
                 cp.start()
                 cp.wait()
                 for f in range(n_out):
@@ -237,7 +243,8 @@ def flat_auto_bxy(C, NL, budget_vregs=None, chain_temps=40):
 
 def sym_sweep_flat(feat, *, grid_dims, SZ, C, Bxy, n_out, n_acc,
                    pair2_fn, post_fn, interpret=False, flops_per_pair=60,
-                   n_dz=1, val_idx, active=None, hold_map=None):
+                   n_dz=1, val_idx, active=None, hold_map=None,
+                   n_dy=1, n_dx=1):
     """feat: (nx, F, C, NL) flat-lane planes (lane = y·SZ + z); returns
     (nx, n_out, C, NL).  ``SZ`` must be ≥ nz + n_dz and ``NL`` a 128-multiple
     with roll headroom — the binning guarantees NL ≥ ny·SZ + SZ + n_dz.
@@ -257,18 +264,27 @@ def sym_sweep_flat(feat, *, grid_dims, SZ, C, Bxy, n_out, n_acc,
         raise ValueError("NL must be a multiple of 128")
     if SZ < nz + n_dz:
         raise ValueError("SZ too small for nz + n_dz")
-    if NL < ny * SZ + SZ + n_dz:
+    if NL < ny * SZ + n_dy * SZ + n_dz:
         raise ValueError("NL leaves no roll headroom")
     Bxy = min(Bxy, flat_auto_bxy(C, NL))
     nx_pad = ((nx + Bxy - 1) // Bxy) * Bxy
-    WB = Bxy + 1
-    pad_hi = jnp.zeros((nx_pad - nx + 1, F_in, C, NL), jnp.float32)
+    WB = Bxy + n_dx
+    pad_hi = jnp.zeros((nx_pad - nx + n_dx, F_in, C, NL), jnp.float32)
     feat_p = jnp.concatenate([feat, pad_hi], axis=0)
 
     n_blocks = nx_pad // Bxy
     if active is None:
         act_b = jnp.ones((n_blocks,) if hold_map is None
                          else (n_blocks, 2), jnp.int32)
+    elif active.ndim == 2:
+        # explicit [eval, keep] per row (caller already dilated eval
+        # through the forward offsets — e.g. the SPH solid-restricted
+        # Adami sweep); block flags are the row-wise max
+        if hold_map is None:
+            raise ValueError("2-column active needs hold_map")
+        act_rows = jnp.pad(active.astype(jnp.int32),
+                           ((0, nx_pad - nx), (0, 0)))
+        act_b = jnp.max(act_rows.reshape(n_blocks, Bxy, 2), axis=1)
     else:
         act_rows = jnp.pad(active.astype(jnp.int32), (0, nx_pad - nx))
         keep_b = jnp.max(act_rows.reshape(n_blocks, Bxy), axis=1)
@@ -277,16 +293,21 @@ def sym_sweep_flat(feat, *, grid_dims, SZ, C, Bxy, n_out, n_acc,
             act_b = keep_b
         else:
             # active-domain mode: [eval, keep] per block — a block owning
-            # pairs into a kept block (the one before it) must still sweep
-            eval_b = jnp.maximum(
-                keep_b, jnp.concatenate([keep_b[1:], keep_b[:1] * 0]))
+            # pairs into a kept block (up to ceil(n_dx/Bxy) blocks before
+            # it) must still sweep
+            eval_b = keep_b
+            for d in range(1, -(-n_dx // Bxy) + 1):
+                eval_b = jnp.maximum(
+                    eval_b, jnp.concatenate(
+                        [keep_b[d:], jnp.zeros((d,), keep_b.dtype)]))
             act_b = jnp.stack([eval_b, keep_b], axis=1)
 
     n_wide = max(n_out, n_acc)
     kernel = _make_flat_kernel(F_in, n_out, n_acc, C, NL, SZ, Bxy, WB,
                                pair2_fn, post_fn, n_dz, val_idx,
-                               hold_map=hold_map)
-    n_blocks_half = 0.5 * (2 * n_dz + 1) * 9 + 0.5
+                               hold_map=hold_map, n_dy=n_dy, n_dx=n_dx)
+    n_blocks_half = 0.5 * (2 * n_dz + 1) * (2 * n_dy + 1) \
+        * (2 * n_dx + 1) + 0.5
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nx_pad, n_wide, C, NL),
@@ -299,7 +320,7 @@ def sym_sweep_flat(feat, *, grid_dims, SZ, C, Bxy, n_out, n_acc,
                                    lambda b, act: (b, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((Bxy + 1, F_in, C, NL), jnp.float32),
+                pltpu.VMEM((Bxy + n_dx, F_in, C, NL), jnp.float32),
                 pltpu.VMEM((WB, n_acc, C, NL), jnp.float32),
                 pltpu.VMEM((WB, n_acc, C, NL), jnp.float32),
                 pltpu.VMEM((WB, n_acc, C, NL), jnp.float32),

@@ -41,7 +41,8 @@ _FWD_XY = [(0, 1), (1, -1), (1, 0), (1, 1)]
 
 
 def _make_sym_sweep_kernel(F_in, n_out, n_acc, C, NZ, Bxy, ny, G, WB,
-                           pair2_fn, post_fn, n_dz, val_idx=_VAL):
+                           pair2_fn, post_fn, n_dz, val_idx=_VAL,
+                           hold_map=None):
     """Symmetric pencil sweep scaffold.
 
     pair2_fn(s, n, ok) -> (self_terms, react_terms): two tuples of n_acc
@@ -57,7 +58,16 @@ def _make_sym_sweep_kernel(F_in, n_out, n_acc, C, NZ, Bxy, ny, G, WB,
                accB, self_sem, nsem):
         b = pl.program_id(0)
         base = b * Bxy + G
-        act = act_ref[b] > 0
+        if hold_map is None:
+            act = kp = act_ref[b] > 0
+        else:
+            # eval/keep gating: ev = run the pair sweeps (rows owning pairs
+            # the sweep must evaluate), kp = write post_fn outputs; kept
+            # rows that do NOT evaluate HOLD their input planes per
+            # hold_map (valid when post(planes, acc) == those planes for
+            # such rows — reactions arriving into held rows are discarded)
+            act = act_ref[b, 0] > 0
+            kp = act_ref[b, 1] > 0
 
         @pl.when(b == 0)
         def _init():
@@ -65,6 +75,7 @@ def _make_sym_sweep_kernel(F_in, n_out, n_acc, C, NZ, Bxy, ny, G, WB,
 
         @pl.when(jnp.logical_not(act))
         def _skip():
+            # (hold-mode: kept-but-not-evaluated rows handled below)
             # inactive row block (no markers in its rows): no pairs touch
             # it, so skip the DMAs and every sweep — just advance the
             # rolling reaction window (ping-pong must stay in step) and
@@ -84,6 +95,21 @@ def _make_sym_sweep_kernel(F_in, n_out, n_acc, C, NZ, Bxy, ny, G, WB,
 
             out_ref[...] = jnp.zeros(
                 (Bxy, out_ref.shape[1], C, NZ), jnp.float32)
+
+        if hold_map is not None:
+            @pl.when(jnp.logical_not(act) & kp)
+            def _hold():
+                # frozen outputs = input planes per hold_map (needs the
+                # self DMA even though every sweep was skipped)
+                cph = pltpu.make_async_copy(
+                    feat_ref.at[pl.ds(base, Bxy)], self_buf, self_sem)
+                cph.start()
+                cph.wait()
+                for f in range(n_out):
+                    if hold_map[f] < 0:
+                        out_ref[:, f] = jnp.zeros((Bxy, C, NZ), jnp.float32)
+                    else:
+                        out_ref[:, f] = self_buf[:, hold_map[f]]
 
         def _active_body():
             cp_self = pltpu.make_async_copy(
@@ -201,7 +227,7 @@ def _make_sym_sweep_kernel(F_in, n_out, n_acc, C, NZ, Bxy, ny, G, WB,
 
 def _sym_sweep(feat, edge_fwd, *, grid_dims, C, Bxy, n_out, n_acc,
                pair2_fn, post_fn, interpret=False, flops_per_pair=60,
-               n_dz=1, val_idx=_VAL, active=None):
+               n_dz=1, val_idx=_VAL, active=None, hold_map=None):
     nx, ny, nz = grid_dims
     if ny < 2:
         raise ValueError("symmetric sweep needs ny >= 2")
@@ -221,15 +247,23 @@ def _sym_sweep(feat, edge_fwd, *, grid_dims, C, Bxy, n_out, n_acc,
         axis=1).T.reshape(nxy_pad // Bxy, Bxy, 4)
     n_blocks = nxy_pad // Bxy
     if active is None:
-        act_b = jnp.ones((n_blocks,), jnp.int32)
-    else:
+        act_b = jnp.ones((n_blocks,) if hold_map is None
+                         else (n_blocks, 2), jnp.int32)
+    elif hold_map is None:
         act_rows = jnp.pad(active.astype(jnp.int32), (0, nxy_pad - nxy))
         act_b = jnp.max(act_rows.reshape(n_blocks, Bxy), axis=1)
+    else:
+        # hold mode: ``active`` is (nxy, 2) = [eval, keep] per row; block
+        # flags are the row-wise max.  eval ⊆ keep is assumed (an
+        # eval-but-not-keep block would still write post outputs).
+        act_rows = jnp.pad(active.astype(jnp.int32),
+                           ((0, nxy_pad - nxy), (0, 0)))
+        act_b = jnp.max(act_rows.reshape(n_blocks, Bxy, 2), axis=1)
 
     n_wide = max(n_out, n_acc)
     kernel = _make_sym_sweep_kernel(F_in, n_out, n_acc, C, NZp, Bxy, ny, G,
                                     WB, pair2_fn, post_fn, n_dz,
-                                    val_idx=val_idx)
+                                    val_idx=val_idx, hold_map=hold_map)
     n_blocks_half = 0.5 * (2 * n_dz + 1) * 9 + 0.5  # ≈ evaluated fraction
     out = pl.pallas_call(
         kernel,
@@ -269,10 +303,11 @@ def _sym_sweep(feat, edge_fwd, *, grid_dims, C, Bxy, n_out, n_acc,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "sp", "grid_dims", "C", "Bxy", "interpret", "n_dz", "layout", "SZ"))
+    "sp", "grid_dims", "C", "Bxy", "interpret", "n_dz", "layout", "SZ",
+    "n_dy", "n_dx"))
 def sph_substep_sym(feat, edge_fwd, *, sp, grid_dims, C, Bxy=4,
                     interpret=False, n_dz=1, layout="pencil", SZ=0,
-                    active=None):
+                    active=None, active_solid=None, n_dy=1, n_dx=1):
     """One symplectic WCSPH substep on the symmetric half stencil.  Same
     contract as sph_pencil_kernel.sph_substep_pencil but ``edge_fwd`` is
     the 4-offset forward table (dem_sym_kernel.edge_ok_fwd).  With
@@ -287,19 +322,25 @@ def sph_substep_sym(feat, edge_fwd, *, sp, grid_dims, C, Bxy=4,
     if layout == "flat":
         from chrono_tpu.ops.pallas.flatlane_kernel import sym_sweep_flat
 
-        def _SW(ft, *, n_out, n_acc, pair2_fn, post_fn, flops_per_pair):
+        def _SW(ft, *, n_out, n_acc, pair2_fn, post_fn, flops_per_pair,
+                active_over=None, hold_map=None):
             return sym_sweep_flat(
                 ft, grid_dims=grid_dims, SZ=SZ, C=C, Bxy=Bxy, n_out=n_out,
                 n_acc=n_acc, pair2_fn=pair2_fn, post_fn=post_fn,
                 interpret=interpret, flops_per_pair=flops_per_pair,
-                n_dz=n_dz, val_idx=_VAL, active=active)
+                n_dz=n_dz, val_idx=_VAL, n_dy=n_dy, n_dx=n_dx,
+                active=active if active_over is None else active_over,
+                hold_map=hold_map)
     else:
-        def _SW(ft, *, n_out, n_acc, pair2_fn, post_fn, flops_per_pair):
+        def _SW(ft, *, n_out, n_acc, pair2_fn, post_fn, flops_per_pair,
+                active_over=None, hold_map=None):
             return _sym_sweep(
                 ft, edge_fwd, grid_dims=grid_dims, C=C, Bxy=Bxy,
                 n_out=n_out, n_acc=n_acc, pair2_fn=pair2_fn,
                 post_fn=post_fn, interpret=interpret,
-                flops_per_pair=flops_per_pair, n_dz=n_dz, active=active)
+                flops_per_pair=flops_per_pair, n_dz=n_dz,
+                active=active if active_over is None else active_over,
+                hold_map=hold_map)
 
     # Derived per-MARKER planes are computed ONCE per sweep as elementwise
     # plane passes and appended to the features, instead of per pair-slot
@@ -344,8 +385,34 @@ def sph_substep_sym(feat, edge_fwd, *, sp, grid_dims, C, Bxy=4,
                 flu * pls[_VY] + (1.0 - flu) * vby,
                 flu * pls[_VZ] + (1.0 - flu) * vbz)
 
-    outA = _SW(featA, n_out=4, n_acc=5, pair2_fn=pairA, post_fn=postA,
-               flops_per_pair=50)
+    # CHRONO_SPH_SWEEPS: measurement-only gate ("a,b,cd" default) — probe
+    # tooling reads per-sweep costs by differencing (tools/probe_sph.py);
+    # excluded sweeps are replaced by their shape-correct pass-throughs
+    import os as _os
+    _sweeps = _os.environ.get("CHRONO_SPH_SWEEPS", "a,b,cd").split(",")
+
+    if "a" in _sweeps:
+        if active_solid is not None and active is not None:
+            # Sweep A only matters for pairs with a solid marker on either
+            # side: rows owning such pairs (``active_solid`` — the
+            # forward-dilated solid-row mask) EVALUATE; other wet rows HOLD
+            # — for an all-fluid row postA is the identity on
+            # (p_own, vx, vy, vz), so holding those input planes IS postA.
+            # Reactions arriving into held rows are fluid-neighbor sums
+            # that postA discards for fluid markers.  Reference analogue:
+            # CfdAdamiBC touches only BCE markers
+            # (/root/reference/src/chrono_fsi/sph/physics/SphForceWCSPH.cu:723).
+            act2 = jnp.stack(
+                [active_solid.astype(jnp.int32) * active.astype(jnp.int32),
+                 active.astype(jnp.int32)], axis=1)
+            outA = _SW(featA, n_out=4, n_acc=5, pair2_fn=pairA,
+                       post_fn=postA, flops_per_pair=50,
+                       active_over=act2, hold_map=(_PWN, _VX, _VY, _VZ))
+        else:
+            outA = _SW(featA, n_out=4, n_acc=5, pair2_fn=pairA,
+                       post_fn=postA, flops_per_pair=50)
+    else:
+        outA = jnp.concatenate([p_own_pl, feat[:, 3:6]], axis=1)
 
     # ---- sweep B: momentum + kick ----
     _P, _VBX, _VBY, _VBZ, _RAL, _PR2 = 9, 10, 11, 12, 13, 14
@@ -410,8 +477,11 @@ def sph_substep_sym(feat, edge_fwd, *, sp, grid_dims, C, Bxy=4,
         vz = pls[_VZ] + flu * dt * (acc[2] + g[2])
         return (vx, vy, vz)
 
-    velB = _SW(featB, n_out=3, n_acc=3, pair2_fn=pairB, post_fn=postB,
-               flops_per_pair=80)
+    if "b" in _sweeps:
+        velB = _SW(featB, n_out=3, n_acc=3, pair2_fn=pairB, post_fn=postB,
+                   flops_per_pair=80)
+    else:
+        velB = feat[:, 3:6]
 
     _IRN = 9
     inv_rho_n_pl = 1.0 / jnp.maximum(feat[:, _RHO:_RHO + 1], 1e-9)
@@ -466,8 +536,11 @@ def sph_substep_sym(feat, edge_fwd, *, sp, grid_dims, C, Bxy=4,
                 pls[_PY] + flu * dt * vty,
                 pls[_PZ] + flu * dt * vtz)
 
-    outCD = _SW(featC, n_out=4, n_acc=4, pair2_fn=pairCD, post_fn=postCD,
-                flops_per_pair=70)
+    if "cd" in _sweeps:
+        outCD = _SW(featC, n_out=4, n_acc=4, pair2_fn=pairCD, post_fn=postCD,
+                    flops_per_pair=70)
+    else:
+        outCD = jnp.concatenate([feat[:, 6:7], feat[:, 0:3]], axis=1)
     rhoC = outCD[:, 0:1]
     posD = outCD[:, 1:4]
 

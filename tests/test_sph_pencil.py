@@ -164,3 +164,32 @@ def test_sym_flat_cells_parity():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(b.rho), np.asarray(a.rho),
                                rtol=1e-5, atol=2e-2)
+
+
+def test_sym_c8_ring2_parity():
+    """C = 8 sub-support cells (cell = 2 d0 < 2.4 d0 support, n_dxy = 2
+    rings) on the flat-lane layout: the d0-lattice dam packs EXACTLY 8
+    markers per 2 d0 cell (boundaries mid-gap), so the ±2-ring half
+    stencil must reproduce the gather backend."""
+    params, grid, state = _mini_dam()
+    cell = 2.0 * float(params.d0)
+    d0 = float(params.d0)
+    g8 = GridSpec(origin=grid.origin, cell_size=cell,
+                  dims=(int(np.ceil((0.24 + 8 * d0) / cell)),
+                        int(np.ceil((0.12 + 8 * d0) / cell)),
+                        int(np.ceil((0.24 + 9 * d0) / cell))))
+    ref = rebuild_sph_neighbors(params, grid, state)
+    ref = sph_substep(params, grid, ref)
+
+    adv = make_sph_advance_pencil(
+        params.replace(rebuild_every=1), g8, capacity=8,
+        backend="sym", layout="flat", interpret=True)
+    got, ovf = adv(state, 1)
+    assert int(ovf) == 0
+    np.testing.assert_allclose(np.asarray(got.rho), np.asarray(ref.rho),
+                               rtol=2e-5, atol=1e-3)
+    v_scale = max(float(jnp.abs(ref.vel).max()), 1e-6)
+    np.testing.assert_allclose(np.asarray(got.vel), np.asarray(ref.vel),
+                               rtol=1e-4, atol=2e-5 * v_scale)
+    np.testing.assert_allclose(np.asarray(got.pos), np.asarray(ref.pos),
+                               rtol=1e-6, atol=1e-7)
