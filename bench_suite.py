@@ -571,7 +571,11 @@ def bench_sph(n_target=None):
     return dict(metric="SPH dam-break particle-steps/sec (WCSPH)",
                 value=round(n * steps / dt, 1), unit="particle-steps/s",
                 n_particles=n, n_steps=steps, wall_s=round(dt, 2),
-                engine=engine, backend=jax.default_backend())
+                engine=engine, backend=jax.default_backend(),
+                cell=round(float(cell), 5), capacity=cap
+                if engine in ("pencil", "sym") else None,
+                grid_dims=list(grid.dims), c8=c8,
+                rebuild=int(params.rebuild_every))
 
 
 def bench_crm():

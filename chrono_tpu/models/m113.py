@@ -14,25 +14,52 @@ from chrono_tpu.vehicle.tracked import (
     TrackParams, TrackedVehicle, build_tracked_vehicle, tracked_step,
 )
 
+# Reference-exact deck values, field-validated by tests/test_m113_deck.py
+# against /root/reference/data/vehicle/M113/**/*.json (loaded at test
+# time).  The lumped-track formulation folds the 2 x 63 single-pin shoes
+# into the hull mass; the sprocket pitch radius is the single-pin
+# assembly radius.
+M113_SPEC = dict(
+    hull_mass=7819.24,
+    chassis_inertia=(13983.08, 27287.61, 28805.57),
+    chassis_com=(-2.006, 0.0, 0.406),
+    half_track=1.0795,
+    sprocket_radius=0.245,      # single-pin Assembly Radius
+    sprocket_teeth=10,
+    sprocket_gear_mass=27.68,
+    shoe_pitch=0.154,
+    shoe_mass=18.02,
+    shoe_height=0.06,
+    shoe_inertia=(0.22, 0.04, 0.25),
+    n_shoes=63,                 # per track assembly
+    n_road_wheels=5,
+    road_wheel_span=2.667,      # first to last suspension x
+    total_mass=7819.24 + 2 * 63 * 18.02,
+)
+
 
 def build_m113(pos=(0.0, 0.0, None)):
-    """M113 APC: ~9.9 t combat mass, 2.82 m track centers ~2.1 m apart,
-    0.38 m wide tracks, sprocket radius 0.214 m (public specifications)."""
+    """M113 APC on the lumped band-track formulation, with the reference
+    deck's single-pin parameters (M113_SPEC)."""
     track = TrackParams(
-        sprocket_radius=jnp.asarray(0.214),
-        track_length=jnp.asarray(2.82),
+        sprocket_radius=jnp.asarray(M113_SPEC["sprocket_radius"]),
+        track_length=jnp.asarray(M113_SPEC["road_wheel_span"]),
         track_width=jnp.asarray(0.38),
-        n_patches=7,
+        n_patches=M113_SPEC["n_road_wheels"],
         kz=jnp.asarray(6.0e5), cz=jnp.asarray(5.0e4),
         mu_lon=jnp.asarray(0.85), mu_lat=jnp.asarray(0.65),
         slip_v0=jnp.asarray(0.15),
         rolling_resistance=jnp.asarray(0.025),
     )
+    # the track-loop rotary inertia about the sprocket axle: gear +
+    # the shoes in the loop at the pitch radius (m r^2)
+    r = M113_SPEC["sprocket_radius"]
+    i_loop = (0.4 + M113_SPEC["n_shoes"] * M113_SPEC["shoe_mass"] * r * r)
     return build_tracked_vehicle(
-        chassis_mass=9900.0,
-        chassis_inertia=(12000.0, 32000.0, 35000.0),
-        sprocket_inertia=18.0,
-        half_track=1.05,
+        chassis_mass=M113_SPEC["total_mass"],
+        chassis_inertia=M113_SPEC["chassis_inertia"],
+        sprocket_inertia=i_loop,
+        half_track=M113_SPEC["half_track"],
         ride_height=0.5,
         track=track,
         pos=pos,

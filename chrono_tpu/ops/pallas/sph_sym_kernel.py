@@ -61,13 +61,15 @@ def _make_sym_sweep_kernel(F_in, n_out, n_acc, C, NZ, Bxy, ny, G, WB,
         if hold_map is None:
             act = kp = act_ref[b] > 0
         else:
-            # eval/keep gating: ev = run the pair sweeps (rows owning pairs
-            # the sweep must evaluate), kp = write post_fn outputs; kept
-            # rows that do NOT evaluate HOLD their input planes per
-            # hold_map (valid when post(planes, acc) == those planes for
-            # such rows — reactions arriving into held rows are discarded)
-            act = act_ref[b, 0] > 0
-            kp = act_ref[b, 1] > 0
+            # eval/keep gating, BIT-PACKED into one int per block (a 2-D
+            # scalar-prefetch array is lane-padded 2 -> 128 in SMEM and
+            # overflows the 1 MB budget at 1M-marker block counts):
+            # bit 0 = eval (run the pair sweeps), bit 1 = keep (write post
+            # outputs); kept-not-evaluated rows HOLD their input planes
+            # per hold_map (valid when post(planes, acc) == those planes
+            # for such rows — reactions into held rows are discarded)
+            act = act_ref[b] % 2 > 0
+            kp = act_ref[b] // 2 > 0
 
         @pl.when(b == 0)
         def _init():
@@ -247,20 +249,27 @@ def _sym_sweep(feat, edge_fwd, *, grid_dims, C, Bxy, n_out, n_acc,
         axis=1).T.reshape(nxy_pad // Bxy, Bxy, 4)
     n_blocks = nxy_pad // Bxy
     if active is None:
-        act_b = jnp.ones((n_blocks,) if hold_map is None
-                         else (n_blocks, 2), jnp.int32)
+        act_b = jnp.full((n_blocks,), 3 if hold_map is not None else 1,
+                         jnp.int32)
     elif hold_map is None:
         act_rows = jnp.pad(active.astype(jnp.int32), (0, nxy_pad - nxy))
         act_b = jnp.max(act_rows.reshape(n_blocks, Bxy), axis=1)
     else:
         # hold mode: ``active`` is (nxy, 2) = [eval, keep] per row; block
-        # flags are the row-wise max.  eval ⊆ keep is assumed (an
-        # eval-but-not-keep block would still write post outputs).
+        # flags are the row-wise max, bit-packed eval + 2*keep.  eval ⊆
+        # keep is assumed (an eval-but-not-keep block would still write
+        # post outputs).
         act_rows = jnp.pad(active.astype(jnp.int32),
                            ((0, nxy_pad - nxy), (0, 0)))
-        act_b = jnp.max(act_rows.reshape(n_blocks, Bxy, 2), axis=1)
+        ek = jnp.max(act_rows.reshape(n_blocks, Bxy, 2), axis=1)
+        act_b = ek[:, 0] + 2 * ek[:, 1]
 
     n_wide = max(n_out, n_acc)
+    import os as _os
+    if _os.environ.get("CHRONO_SPH_DEBUG_SHAPES"):
+        print("SYM_SWEEP act_b", act_b.shape, act_b.dtype, "edge_p",
+              edge_p.shape, "feat_p", feat_p.shape, "hold", hold_map,
+              flush=True)
     kernel = _make_sym_sweep_kernel(F_in, n_out, n_acc, C, NZp, Bxy, ny, G,
                                     WB, pair2_fn, post_fn, n_dz,
                                     val_idx=val_idx, hold_map=hold_map)
