@@ -320,7 +320,13 @@ def bench_mixer_blade(n_spheres=None):
     Ly = (4.0 * vol / aspect) ** (1 / 3)    # bed depth ≈ Ly/4
     Lz = aspect * Ly
     depth = vol / (Ly * Lz)
-    cell = 2.1 * radius
+    # cell multiplier (radii): bigger cells fill the C=8 slot tile (the
+    # DEM v5 move) — worst-case crystal-pack occupancy sqrt(2)*(c/2r)^3
+    # stays < 8 up to c = 3.54 r; the binning overflow assert enforces it
+    # 3.5 r measured best on v5e (205.7 DVI it/s vs 29.9 at 2.1 r): the
+    # 2.1 r grid ran the C=8 slot lattice at ~1.3 avg occupancy; crystal
+    # pack at 3.5 r is sqrt(2)*(1.75)^3 = 7.6 < 8
+    cell = float(os.environ.get("SUITE_CELL_MULT", 3.5)) * radius
     dims = (int(np.ceil(3.0 * depth / cell)),
             int(np.ceil(Ly / cell)) + 2,
             int(np.ceil(Lz / cell)) + 2)
@@ -366,9 +372,11 @@ def bench_mixer_blade(n_spheres=None):
     n = len(pts)
 
     engine = os.environ.get("SUITE_NSC_ENGINE", "half")
+    # P=6 partner budget: saturation is assert-guarded (partner overflow
+    # folds into ovf); at this scene max owned pairs/body is 4
     adv = make_nsc_pencil_advance(p, grid, walls, backend=engine,
                                   partners=int(os.environ.get(
-                                      "SUITE_PARTNERS", 8)),
+                                      "SUITE_PARTNERS", 6)),
                                   Bxy=int(os.environ.get("SUITE_BXY", 1)))
     pos = jnp.asarray(pts, jnp.float32)
     vel = jnp.zeros((n, 3), jnp.float32)

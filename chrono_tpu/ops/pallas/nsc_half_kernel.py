@@ -121,9 +121,9 @@ def _make_half_kernel(C, NZ, Bxy, ny, G, P, WB, phys, walls, mode,
     def kernel(beta_ref, codes_ref, gam_ref, gprev_ref,
                wgam_ref, wgprev_ref, feat_ref, *rest):
         if mode == "u":
-            out_ref, self_buf, nbuf, accA, accB, self_sem, nsem = rest
+            out_ref, bufA, bufB, accA, accB, semA, semB = rest
         else:
-            gout_ref, wout_ref, self_buf, nbuf, self_sem, nsem = rest
+            gout_ref, wout_ref, bufA, bufB, semA, semB = rest
         b = pl.program_id(0)
         base = b * Bxy + G
 
@@ -132,17 +132,40 @@ def _make_half_kernel(C, NZ, Bxy, ny, G, P, WB, phys, walls, mode,
             def _init():
                 accA[...] = jnp.zeros((WB, 6, C, NZ), jnp.float32)
 
-        cp_self = pltpu.make_async_copy(
-            feat_ref.at[pl.ds(base, Bxy)], self_buf, self_sem)
-        cp_self.start()
-
-        def nbr_dma(slot, k):
+        # two contiguous-span DMAs per block, double-buffered across grid
+        # steps (the 5 per-block slab DMAs were latency-serial: the blade
+        # tank measured ~41 µs per ROW independent of lane count):
+        #   span A rows [base, base+Bxy+1): self + the dx,dy=+0,+1 slab
+        #   span B rows [base+ny−1, base+ny+Bxy+1): the ny−1/ny/ny+1 slabs
+        def dmaA(bb, slot):
             return pltpu.make_async_copy(
-                feat_ref.at[pl.ds(base + fwd_lin[k], Bxy)],
-                nbuf.at[slot], nsem.at[slot])
+                feat_ref.at[pl.ds(bb * Bxy + G, Bxy + 1)],
+                bufA.at[slot], semA.at[slot])
 
-        nbr_dma(0, 0).start()
-        cp_self.wait()
+        def dmaB(bb, slot):
+            return pltpu.make_async_copy(
+                feat_ref.at[pl.ds(bb * Bxy + G + ny - 1, Bxy + 2)],
+                bufB.at[slot], semB.at[slot])
+
+        @pl.when(b == 0)
+        def _warm():
+            dmaA(0, 0).start()
+            dmaB(0, 0).start()
+
+        slot = b % 2
+        dmaA(b, slot).wait()
+        dmaB(b, slot).wait()
+
+        # prefetch the next block while this one computes (reads pad rows
+        # at the edge); the LAST block must not start one — a DMA left
+        # in flight at kernel exit hangs the device
+        @pl.when(b + 1 < pl.num_programs(0))
+        def _prefetch():
+            dmaA(b + 1, 1 - slot).start()
+            dmaB(b + 1, 1 - slot).start()
+        spanA = bufA[slot]
+        spanB = bufB[slot]
+        self_buf = spanA[0:Bxy]
         beta = beta_ref[0, 0]
 
         ys = []
@@ -178,18 +201,17 @@ def _make_half_kernel(C, NZ, Bxy, ny, G, P, WB, phys, walls, mode,
         nbr_iota = jax.lax.broadcasted_iota(
             jnp.int32, (1, C, C, NZ), 2).astype(jnp.float32)
 
-        # prefetch schedule: classes 0..11 use xy slabs 0..3 (3 classes
-        # each); 12/13 use the self slab
+        # classes 0..2 use the +1 slab (span A shifted by one row),
+        # 3..11 the ny−1/ny/ny+1 slabs (span B), 12/13 the self slab
         def slab_for(k):
+            if k < 3:
+                return spanA[1:Bxy + 1]
             if k < 12:
-                return nbuf[(k // 3) % 2]
-            return self_buf[...]
+                d = k // 3 - 1
+                return spanB[d:d + Bxy]
+            return self_buf
 
         for k in range(N_CLASS):
-            if k < 12 and k % 3 == 0:
-                nbr_dma((k // 3) % 2, k // 3).wait()
-                if k // 3 + 1 < 4:
-                    nbr_dma((k // 3 + 1) % 2, k // 3 + 1).start()
             dx, dy, dz = _class_offset(k)
             slab = slab_for(k)
             sl = slab if dz == 0 else pltpu.roll(slab, (-dz) % NZ, 3)
@@ -285,6 +307,10 @@ def _make_half_kernel(C, NZ, Bxy, ny, G, P, WB, phys, walls, mode,
             tz = tz + out_ref[:, 5]
 
         # ---- walls (self-only rows), identical to the partner kernel ----
+        # CHRONO_NSC_SKIP_WALLS: measurement-only gate for probing the
+        # wall-family share of the sweep cost (physics-wrong when set)
+        import os as _os
+        _skip_walls = bool(_os.environ.get("CHRONO_NSC_SKIP_WALLS"))
         px = self_buf[:, _PX]
         py = self_buf[:, _PY]
         pz = self_buf[:, _PZ]
@@ -293,7 +319,9 @@ def _make_half_kernel(C, NZ, Bxy, ny, G, P, WB, phys, walls, mode,
             v0 = tuple(self_buf[:, f] for f in (_VX, _VY, _VZ))
             w0 = tuple(self_buf[:, f] for f in (_WX, _WY, _WZ))
         rb = 0
-        for w, wall in enumerate(walls):
+        if _skip_walls and mode == "g":
+            wout_ref[...] = jnp.zeros_like(wout_ref)
+        for w, wall in enumerate(walls if not _skip_walls else ()):
             mu_w = wall[4] if wall[0] == "plane" else wall[5]
             if wall[0] == "rotbox":
                 # traced blade pose (+ angular velocity when n_cs=3) rides
@@ -361,10 +389,12 @@ def _make_half_kernel(C, NZ, Bxy, ny, G, P, WB, phys, walls, mode,
     return kernel
 
 
-def _pad_feat(feat, G, nxy, nxy_pad):
+def _pad_feat(feat, G, nxy, nxy_pad, extra=0):
     _, F, C, NZp = feat.shape
     pad_lo = jnp.zeros((G, F, C, NZp), jnp.float32)
-    pad_hi = jnp.zeros((G + nxy_pad - nxy, F, C, NZp), jnp.float32)
+    # ``extra``: room for the cross-block DMA prefetch issued by the last
+    # grid step (reads one block past the end)
+    pad_hi = jnp.zeros((G + nxy_pad - nxy + extra, F, C, NZp), jnp.float32)
     return jnp.concatenate([pad_lo, feat[:nxy], pad_hi], axis=0)
 
 
@@ -385,7 +415,7 @@ def _call_half(mode, feat, codes, gam, gprev, wgam, wgprev, beta, *,
     G = ny + 1
     nxy_pad = ((nxy + Bxy - 1) // Bxy) * Bxy
     WB = ny + 1 + Bxy
-    feat_p = _pad_feat(feat, G, nxy, nxy_pad)
+    feat_p = _pad_feat(feat, G, nxy, nxy_pad, extra=Bxy + 2)
     W3 = wgam.shape[1]
     P3 = gam.shape[1]
 
@@ -396,11 +426,11 @@ def _call_half(mode, feat, codes, gam, gprev, wgam, wgprev, beta, *,
         out_specs = pl.BlockSpec((Bxy, 6, C, NZp), lambda b: (b, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
         scratch = [
-            pltpu.VMEM((Bxy, 10, C, NZp), jnp.float32),
-            pltpu.VMEM((2, Bxy, 10, C, NZp), jnp.float32),
+            pltpu.VMEM((2, Bxy + 1, 10, C, NZp), jnp.float32),
+            pltpu.VMEM((2, Bxy + 2, 10, C, NZp), jnp.float32),
             pltpu.VMEM((WB, 6, C, NZp), jnp.float32),
             pltpu.VMEM((WB, 6, C, NZp), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ]
     else:
@@ -415,9 +445,9 @@ def _call_half(mode, feat, codes, gam, gprev, wgam, wgprev, beta, *,
                          memory_space=pltpu.VMEM),
         ]
         scratch = [
-            pltpu.VMEM((Bxy, 10, C, NZp), jnp.float32),
-            pltpu.VMEM((2, Bxy, 10, C, NZp), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, Bxy + 1, 10, C, NZp), jnp.float32),
+            pltpu.VMEM((2, Bxy + 2, 10, C, NZp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ]
     fn = pl.pallas_call(

@@ -479,6 +479,7 @@ def make_nsc_pencil_advance(p: NSCPencilParams, grid: GridSpec, walls,
             feat = field_to_pencils(field, nzp)
             codes_d, pover = detect_fn(
                 p.radius, p.envelope, grid, field.pos, field.mask, P)
+            solve.partner_overflow = pover
             codes = codes_to_pencils(codes_d, nzp)
             if codes.shape[0] != nxy_pad:
                 pad = jnp.full((nxy_pad - codes.shape[0],) + codes.shape[1:],
@@ -676,7 +677,14 @@ def make_nsc_pencil_advance(p: NSCPencilParams, grid: GridSpec, walls,
             theta2 = theta + p.dt * spins
         vel2, om2 = from_cells(field, uv_f, uw_f)
         pos2 = pos + p.dt * vel2
-        return pos2, vel2, om2, theta2, ws, field.overflow, dgam, reac
+        # partner-budget saturation is an overflow, not a silent pair drop
+        # (P=3 at the blade scene measurably changed the blade torque —
+        # the budget must be assert-guarded like cell capacity)
+        ov = field.overflow
+        pov = getattr(solve, "partner_overflow", None)
+        if pov is not None:
+            ov = jnp.maximum(ov, pov.astype(ov.dtype))
+        return pos2, vel2, om2, theta2, ws, ov, dgam, reac
 
     step_jit = jax.jit(step)
 
