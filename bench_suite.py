@@ -622,10 +622,20 @@ def main():
            "mixer_pencil": bench_mixer_pencil,
            "mixer_blade": bench_mixer_blade, "crm": bench_crm}
     names = list(fns) if which == "all" else [which]
+    # SUITE_JSON_OUT: append every config line to a driver-auditable
+    # artifact (BENCH_SUITE_r{N}.json) in addition to stdout
+    json_out = os.environ.get("SUITE_JSON_OUT", "")
     for name in names:
-        out = fns[name]()
+        try:
+            out = fns[name]()
+        except Exception as e:                      # noqa: BLE001
+            out = dict(error=f"{type(e).__name__}: {e}")
         out["config"] = name
-        print(json.dumps(out), flush=True)
+        line = json.dumps(out)
+        print(line, flush=True)
+        if json_out:
+            with open(json_out, "a") as fh:
+                fh.write(line + "\n")
 
 
 if __name__ == "__main__":

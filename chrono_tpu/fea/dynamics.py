@@ -146,7 +146,8 @@ def make_hht_step(mesh: CableMesh, n_nodes: int, h: float,
                   alpha: float = -0.2, newton_iters: int = 10,
                   tol: float = 1e-5, f_state_fn=None,
                   linear_solver: str = "dense", krylov_iters: int = 200,
-                  krylov_tol: float = 1e-7):
+                  krylov_tol: float = 1e-7, precond: str = "mass",
+                  lumped_mass: bool = False):
     """Build a jitted HHT-α step (α ∈ [-1/3, 0]; α=0 → Newmark trapezoidal).
 
     Unknown = end-of-step acceleration; exact Newton matrix by autodiff.
@@ -162,12 +163,32 @@ def make_hht_step(mesh: CableMesh, n_nodes: int, h: float,
     (nonsymmetric, e.g. friction contact loads).  The Krylov path never
     materializes J — the reference's large-FEA route (MINRES/GMRES over
     ChSystemDescriptor::SystemProduct, ChIterativeSolverLS.h:108) with the
-    SPMV replaced by an autodiff Jacobian-vector product; mass-diagonal
-    preconditioner.
+    SPMV replaced by an autodiff Jacobian-vector product.
+
+    ``precond`` (Krylov path): "mass" (inverse mass diagonal) or "block"
+    (node-block Jacobi — the 6x6 diagonal blocks of the Newton matrix,
+    estimated by 6 block-probing JVPs per Newton iteration, batch-inverted
+    on the MXU; the TPU answer to the reference's sparse-ILU/diagonal
+    preconditioner menu, ChIterativeSolverLS.h:61-66.  Probing seeds every
+    node simultaneously, so neighbor columns alias into the block — exact
+    for the mass term, approximate for the stiffness coupling — which is
+    the usual probing trade: a 2-5x iteration cut for 6 extra JVPs).
     """
     beta = (1.0 - alpha) ** 2 / 4.0
     gamma = 0.5 - alpha
-    M = mass_matrix(mesh, n_nodes)
+    if lumped_mass:
+        # diagonal (HRZ-lumped) mass: the (6Nn)² consistent matrix is never
+        # built — required at 10k+ DOF where dense M alone is ~GB-scale
+        from chrono_tpu.fea import shell as _shell
+        if not isinstance(mesh, _shell.ShellMesh):
+            raise NotImplementedError("lumped_mass: shell meshes only")
+        mdiag = _shell.mass_diag_lumped(mesh, n_nodes)
+        Mmul = lambda a: mdiag * a                       # noqa: E731
+        diagM = mdiag
+    else:
+        M = mass_matrix(mesh, n_nodes)
+        Mmul = lambda a: M @ a                           # noqa: E731
+        diagM = jnp.diag(M)
     free = ~_fixed_dof_mask(mesh, n_nodes)
     force = make_force_fn(mesh, n_nodes)
     if f_state_fn is not None:
@@ -183,14 +204,14 @@ def make_hht_step(mesh: CableMesh, n_nodes: int, h: float,
         v_new = qd + h * ((1.0 - gamma) * qdd + gamma * a_new)
         F_new = force(q_new, v_new) + fe
         F_old = force(q, qd) + fe
-        return (M @ a_new - (1.0 + alpha) * F_new + alpha * F_old,
+        return (Mmul(a_new) - (1.0 + alpha) * F_new + alpha * F_old,
                 (q_new, v_new))
 
     res_only = lambda a, *args: residual(a, *args)[0]
     jac = jax.jacfwd(res_only)
     if linear_solver != "dense":
         from chrono_tpu.solver import krylov
-        dinv_m = 1.0 / jnp.maximum(jnp.diag(M), 1e-12)
+        dinv_m = 1.0 / jnp.maximum(diagM, 1e-12)
         ksolve = {"cg": krylov.solve_cg,
                   "bicgstab": krylov.solve_bicgstab}[linear_solver]
 
@@ -211,8 +232,31 @@ def make_hht_step(mesh: CableMesh, n_nodes: int, h: float,
                     jv = jax.jvp(lambda aa: res_only(aa, qf, vf, af, fe),
                                  (a,), (vm,))[1]
                     return jnp.where(free, jv, v)
-                sol = ksolve(Av, -jnp.where(free, r, 0.0),
-                             Minv=lambda x: dinv_m * x,
+                if precond == "block":
+                    # 6x6 node-block diagonal by probing: seed e_k on every
+                    # node at once -> column k of every diagonal block
+                    cols = [Av(jnp.tile(jnp.eye(6, dtype=qf.dtype)[k],
+                                        n_nodes))
+                            for k in range(6)]
+                    B = jnp.stack([c.reshape(n_nodes, 6) for c in cols],
+                                  axis=2)                 # (Nn, 6, 6)
+                    B = 0.5 * (B + jnp.swapaxes(B, 1, 2))  # SPD-ify for CG
+                    fb = free.reshape(n_nodes, 6).astype(qf.dtype)
+                    mask2 = fb[:, :, None] * fb[:, None, :]
+                    eye = jnp.eye(6, dtype=qf.dtype)
+                    B = B * mask2 + eye * (1.0 - fb[:, :, None] * eye)
+                    B = B + 1e-8 * eye * jnp.maximum(
+                        jnp.abs(B).max(axis=(1, 2), keepdims=True), 1.0)
+                    Binv = jnp.linalg.inv(B)
+
+                    def Minv(x, Binv=Binv):
+                        return jnp.einsum(
+                            "nij,nj->ni", Binv,
+                            x.reshape(n_nodes, 6)).reshape(-1)
+                else:
+                    def Minv(x):
+                        return dinv_m * x
+                sol = ksolve(Av, -jnp.where(free, r, 0.0), Minv=Minv,
                              max_iter=krylov_iters, tol=krylov_tol)
                 da = jnp.where(free, sol.x, 0.0)
             a = a + da

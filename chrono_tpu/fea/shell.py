@@ -189,6 +189,27 @@ def mass_matrix(mesh: ShellMesh, n_nodes: int) -> Array:
     return M
 
 
+def mass_diag_lumped(mesh: ShellMesh, n_nodes: int) -> Array:
+    """HRZ-lumped diagonal mass (6Nn,) — never materializes the (6Nn)²
+    consistent matrix, which is what unlocks 10k+-DOF dynamics (the
+    reference keeps M sparse for the same reason,
+    /root/reference/src/chrono/fea/ChMesh.cpp mass assembly).  Per element:
+    take diag(Me), scale so the translational diagonal carries the exact
+    element mass (Hinton-Rock-Zienkiewicz)."""
+    p = mesh.props
+    Me = jax.vmap(lambda a, b, t, r: element_mass(a, b, t, r))(
+        p.a, p.b, p.t, p.rho)
+    d = jnp.diagonal(Me, axis1=1, axis2=2)               # (E, 24)
+    tr = jnp.tile(jnp.concatenate([jnp.ones(3), jnp.zeros(3)]), 4)
+    m_el = p.rho * p.a * p.b * p.t                        # element mass
+    s = 3.0 * m_el / jnp.maximum(jnp.sum(d * tr[None, :], axis=1), 1e-30)
+    d = d * s[:, None]
+    dofs = (6 * mesh.elems[:, :, None]
+            + jnp.arange(6)[None, None, :]).reshape(mesh.n_elems, 24)
+    out = jnp.zeros((6 * n_nodes,))
+    return out.at[dofs.reshape(-1)].add(d.reshape(-1))
+
+
 def gravity_loads(mesh: ShellMesh, n_nodes: int, g) -> Array:
     """Lumped gravity (position DOFs): each element spreads ρ·a·b·t/4 per node."""
     p = mesh.props

@@ -255,7 +255,7 @@ def make_crm_fsi_advance_persistent(
         f_ext_fn=None, pencil_capacity: int = 32, pencil_Bxy: int = 4,
         rebuild_outer: int = 5, interpret: bool = False,
         layout: str = "auto", dv_mode: str = "fresh", dual_CA=None,
-        clip_z: float = None):
+        clip_z: float = None, whole_outer: bool = False):
     """Vehicle-on-CRM advance with PERSISTENT pencil binning.
 
     The per-outer pipeline of :func:`make_crm_fsi_advance_fn` (engine
@@ -281,6 +281,11 @@ def make_crm_fsi_advance_persistent(
     state (matches the per-outer pipeline exactly); "last" reuses the last
     substep's momentum-sweep acceleration (a free kernel by-product, one
     substep staler — same explicit-coupling order, ~1 of 9 sweeps saved).
+
+    ``whole_outer`` (flat2 only, implies dv_mode "last"): run the entire
+    substep loop as ONE VMEM-resident pallas call per outer step
+    (ops.pallas.crm_outer_kernel) instead of 2 x n_substeps calls — the
+    per-call fixed cost dominated the capstone budget at demo scale.
 
     Same contract as make_crm_fsi_advance_fn: advance(state, n_outer)
     -> (state, overflow).  No active-domain support (the persistent layout
@@ -384,6 +389,9 @@ def make_crm_fsi_advance_persistent(
             return fA + fB, tA + tB
         return body_forces_planes(feat, aux, acc, bodies)
 
+    if whole_outer and not dual:
+        raise ValueError("whole_outer requires the flat2 dual layout")
+
     def outer_body(carry, _, aux):
         feat, bodies, t = carry
         if "bce" not in _skip:
@@ -392,7 +400,9 @@ def make_crm_fsi_advance_persistent(
         def inner(f, _):
             return eng["substep"](f), None
 
-        if dv_mode == "last":
+        if whole_outer:
+            feat, acc = eng["outer"](feat, n_substeps)
+        elif dv_mode == "last":
             feat, _ = lax.scan(inner, feat, None, length=n_substeps - 1)
             feat, acc = eng["substep_acc"](feat)
         else:
@@ -423,6 +433,16 @@ def make_crm_fsi_advance_persistent(
             terrain.bce_local, bodies.x, bodies.q, bodies.v, bodies.w)
         terrain = terrain.replace(pos=pos, vel=vel)
         feat, aux, perm, ov = eng["bin"](terrain, extras_of(terrain))
+        if whole_outer and eng.get("nx_act") is not None \
+                and eng["nx_act"] < feat[0].shape[0]:
+            # the whole-outer kernel only sweeps rows [0, nx_act): any
+            # valid marker binned above (splash past clip_z + support)
+            # violates the static trim — surface it through the overflow
+            # counter like the other occupancy asserts
+            na = eng["nx_act"]
+            hi = jnp.maximum(jnp.max(feat[0][na:, 15]),
+                             jnp.max(feat[1][na:, 15]))
+            ov = jnp.maximum(ov, (hi > 0).astype(jnp.int32))
         (feat, bodies, t), _ = lax.scan(
             functools.partial(outer_body, aux=aux), (feat, bodies, t),
             None, length=chunk_len)

@@ -170,8 +170,28 @@ def make_crm_dual_engine(params, crm: CRMParams, grid: GridSpec,
         return crm_substep_sym_dual(feat[0], feat[1], rowA, rowB,
                                     forces_only=True, **kw)
 
+    # whole-outer fused path (ops.pallas.crm_outer_kernel): static active-
+    # row bound from the clip_z geometry when rows are the vertical axis —
+    # granular markers can only reach clip_z + support between rebuilds
+    # (rigid markers above clip_z are dropped by the binner); the driver
+    # asserts the trim via row occupancy
+    nx_act = None
+    if clip_z is not None and aperm[0] == 2:
+        cell = float(grid.cell_size)
+        z0 = float(grid.origin[2])
+        bound = float(clip_z) + support * float(params.h)
+        nx_act = min(pdims[0], int(np.ceil((bound - z0) / cell)) + 1)
+
+    from chrono_tpu.ops.pallas.crm_outer_kernel import crm_outer_substeps
+
+    def outer(feat, n_substeps):
+        return crm_outer_substeps(
+            feat[0], feat[1], cp=cp, grid_dims=pdims, SZ=SZ, CA=CA, CB=CB,
+            n_substeps=n_substeps, nx_act=nx_act, interpret=interpret)
+
     return dict(bin=bin_all, substep=substep, substep_acc=substep_acc,
-                forces=forces, layout="flat2", aperm=aperm, dual=True)
+                forces=forces, outer=outer, nx_act=nx_act,
+                layout="flat2", aperm=aperm, dual=True)
 
 
 def make_crm_pencil_engine(params, crm: CRMParams, grid: GridSpec,

@@ -159,11 +159,17 @@ def main(n_intervals=25, outer_per_interval=40, engine=None):
         # binning (flat2 layout: empties the upper z rows entirely)
         clip_z = (depth + 2.0 * 1.2 * d0 + 2 * d0   # + support 2h + heave
                   if layout == "flat2" else None)
+        # whole-outer fused kernel (one pallas call per outer step): the
+        # default on the flat2 layout; CRM_WHOLE_OUTER=0 reproduces the
+        # r4 per-sweep engine
+        whole = (layout == "flat2"
+                 and os.environ.get("CRM_WHOLE_OUTER", "1") == "1")
         adv = make_crm_fsi_advance_persistent(
             model, params, crm, grid, n_substeps=n_sub,
             wheel_bodies=wheels, f_ext_fn=drive, pencil_capacity=cap,
             rebuild_outer=rebuild_outer, layout=layout,
-            dv_mode=os.environ.get("CRM_DV_MODE", "last"), clip_z=clip_z)
+            dv_mode=os.environ.get("CRM_DV_MODE", "last"), clip_z=clip_z,
+            whole_outer=whole)
     else:
         adv = make_crm_fsi_advance_fn(model, params, crm, grid,
                                       n_substeps=params.rebuild_every,

@@ -199,3 +199,65 @@ def test_crm_pencil_substep_parity(layout):
     dv_ref2 = crm_forces(params, crm, grid, ref.replace(nbr=nbr2))
     np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref2),
                                rtol=1e-4, atol=5e-5 * a_scale)
+
+
+def test_crm_whole_outer_parity():
+    """The whole-outer fused kernel (ops.pallas.crm_outer_kernel — the full
+    substep loop in ONE pallas call, planes VMEM-resident) matches running
+    the per-sweep dual engine substep-by-substep on the same binned planes,
+    including the dv_mode="last" acceleration planes."""
+    from chrono_tpu.fsi.sph.crm_pencil import make_crm_dual_engine
+
+    d0 = 0.01
+    width, H = 0.08, 0.08
+    params = SPHParams(
+        d0=jnp.asarray(d0), h=jnp.asarray(1.2 * d0),
+        rho0=jnp.asarray(1600.0), mu=jnp.asarray(0.0),
+        c_s=jnp.asarray(30.0), gravity=jnp.asarray([0.0, 0.0, -9.81]),
+        dt=jnp.asarray(1e-4), alpha_visc=jnp.asarray(0.1),
+        max_neighbors=96, max_per_cell=80, rebuild_every=4,
+    )
+    crm = CRMParams(youngs=jnp.asarray(2e6), poisson=jnp.asarray(0.3),
+                    friction_angle=jnp.asarray(0.7),
+                    cohesion=jnp.asarray(0.0))
+    col = grid_sample_box((0.05, 0.02, 0.0),
+                          (0.05 + width, 0.02 + width, H), d0)
+    floor = grid_sample_box((0.02, 0.0, -3 * d0), (0.2, 0.12, 0.0), d0)
+    state0 = make_sph_state(params, col, boundary_pts=floor)
+    cs = 2.5 * 1.2 * d0
+    grid = GridSpec(origin=(0.0, -0.02, -5 * d0), cell_size=cs,
+                    dims=(int(np.ceil(0.24 / cs)), int(np.ceil(0.17 / cs)),
+                          int(np.ceil((1.5 * H + 8 * d0) / cs))))
+    st = make_crm_state(state0)
+    st = lithostatic_init(st, params, crm, surface_z=H)
+    adv = make_crm_advance_fn(params, crm, grid)
+    st, ov = adv(st, 2)
+    assert int(ov) == 0
+
+    # CA=8 forces real spill so all four pair families are exercised
+    eng = make_crm_dual_engine(params, crm, grid, CA=8, CB=24, Bxy=2,
+                               interpret=True)
+    feat, aux, perm, ovf = eng["bin"](st, ())
+    assert int(ovf) == 0
+
+    n_sub = 3
+    f_ref = feat
+    for _ in range(n_sub - 1):
+        f_ref = eng["substep"](f_ref)
+    f_ref, acc_ref = eng["substep_acc"](f_ref)
+
+    f_got, acc_got = eng["outer"](feat, n_sub)
+
+    for side in range(2):
+        val = np.asarray(feat[side][:, 15:16]) > 0
+        ref = np.asarray(f_ref[side])
+        got = np.asarray(f_got[side])
+        scale = np.abs(ref).max(axis=(0, 2, 3), keepdims=True) + 1e-9
+        np.testing.assert_allclose((got * val) / scale, (ref * val) / scale,
+                                   atol=2e-5)
+        ar = np.asarray(acc_ref[side])
+        ag = np.asarray(acc_got[side])
+        a_scale = np.abs(ar).max() + 1e-9
+        val3 = val[:, 0:1]
+        np.testing.assert_allclose(ag * val3 / a_scale, ar * val3 / a_scale,
+                                   atol=2e-5)

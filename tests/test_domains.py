@@ -460,3 +460,125 @@ class TestShardedCRM:
             return a[np.lexsort((a[:, 2], a[:, 1], a[:, 0]))]
 
         np.testing.assert_allclose(canon(got), canon(ref_pos), atol=5e-4)
+
+
+class TestShardedCRMVehicle:
+    """ONE multi-chip vehicle-on-CRM program
+    (parallel.crm_shard.make_sharded_crm_vehicle_advance): the MBS rides
+    replicated inside the sharded terrain program, wheel-BCE kinematics
+    applied on the owning slab, per-body loads psum'd over the mesh —
+    D=2 slabs must match D=1 (same code, halo/psum/migration exercised).
+    Reference role: cosim/ChVehicleCosimBaseNode.h:96-196 (their MPI
+    answer), here a single SPMD program."""
+
+    def _vehicle_scene(self):
+        from chrono_tpu.collision.cell_list import GridSpec
+        from chrono_tpu.fsi.sph.state import (
+            SPHParams, FLUID, BOUNDARY, RIGID_BCE,
+        )
+        from chrono_tpu.fsi.sph.crm import CRMParams, CRMState
+        from chrono_tpu.fsi.crm_terrain import wheel_bce_markers
+        from chrono_tpu.utils.samplers import grid_sample_box
+        from chrono_tpu.physics.builder import SystemBuilder
+
+        d0 = 0.05
+        params = SPHParams(
+            d0=jnp.asarray(d0), h=jnp.asarray(1.2 * d0),
+            rho0=jnp.asarray(1700.0), mu=jnp.asarray(0.0),
+            c_s=jnp.asarray(20.0), gravity=jnp.asarray([0.0, 0.0, -9.81]),
+            dt=jnp.asarray(5e-5), max_neighbors=48, max_per_cell=32,
+            rebuild_every=2, integrator="symplectic")
+        crm = CRMParams(youngs=jnp.asarray(1.3e6), poisson=jnp.asarray(0.3),
+                        friction_angle=jnp.asarray(0.6),
+                        cohesion=jnp.asarray(0.0))
+        cell = 2.4 * d0
+        nx, ny, nz = 8, 5, 5
+        grid = GridSpec(origin=(0.0, 0.0, -4 * d0), cell_size=cell,
+                        dims=(nx, ny, nz))
+        Lx = nx * cell
+        bed = grid_sample_box((0.08, 0.08, 0.5 * d0),
+                              (Lx - 0.08, ny * cell - 0.2, 0.2), d0,
+                              jitter=0.01, seed=3)
+        floor = grid_sample_box((0.02, 0.02, -3 * d0),
+                                (Lx - 0.02, ny * cell - 0.14, -d0), d0)
+
+        # chassis + one revolute wheel resting just above the bed surface
+        r_w, w_w = 0.09, 0.08
+        x_w = (0.45, 0.25, 0.2 + r_w + 0.5 * d0)
+        bld = SystemBuilder()
+        bld.set_gravity((0, 0, -9.81))
+        chassis = bld.add_body(mass=4.0, inertia=(0.2, 0.2, 0.2),
+                               pos=(x_w[0], x_w[1], x_w[2] + 0.12))
+        wheel = bld.add_body(mass=2.0, inertia=(0.01, 0.016, 0.01),
+                             pos=x_w)
+        bld.add_joint("revolute", chassis, wheel, world_pos=x_w,
+                      world_axis=(0, 1, 0))
+        model, bodies = bld.finalize()
+        wl = wheel_bce_markers(r_w, w_w, d0)
+
+        pos = np.concatenate([bed, floor, wl + np.asarray(x_w)])
+        kind = np.concatenate([np.full(len(bed), FLUID),
+                               np.full(len(floor), BOUNDARY),
+                               np.full(len(wl), RIGID_BCE)])
+        bid = np.concatenate([np.full(len(bed) + len(floor), -1),
+                              np.full(len(wl), wheel)])
+        loc = np.concatenate([np.zeros((len(bed) + len(floor), 3)), wl])
+        n = len(pos)
+        st = CRMState(
+            pos=jnp.asarray(pos, jnp.float32),
+            vel=jnp.zeros((n, 3), jnp.float32),
+            rho=jnp.full((n,), 1700.0, jnp.float32),
+            kind=jnp.asarray(kind, jnp.int32),
+            body_id=jnp.asarray(bid, jnp.int32),
+            bce_local=jnp.asarray(loc, jnp.float32),
+            tau_d=jnp.zeros((n, 3), jnp.float32),
+            tau_o=jnp.zeros((n, 3), jnp.float32),
+            nbr=None, time=jnp.asarray(0.0))
+        return params, crm, grid, st, model, bodies, wheel, chassis
+
+    def _run(self, D, params, crm, grid, st, model, bodies, wheel):
+        from chrono_tpu.parallel.crm_shard import (
+            make_sharded_crm_vehicle_advance, crm_vehicle_slab_extra,
+        )
+
+        cell = float(grid.cell_size)
+        nxl = grid.dims[0] // D
+        spec = SlabSpec(x0=grid.origin[0], width=nxl * cell, n_slabs=D,
+                        capacity=1024, halo_capacity=256,
+                        migrate_capacity=64, cutoff=cell)
+        sp = distribute(spec, np.asarray(st.pos), np.zeros_like(st.pos))
+        extra_all = np.asarray(crm_vehicle_slab_extra(st))
+        slab = np.clip(((np.asarray(st.pos)[:, 0] - spec.x0)
+                        / spec.width).astype(int), 0, D - 1)
+        extra = np.zeros((D, spec.capacity, 12), np.float32)
+        for d in range(D):
+            idx = np.where(slab == d)[0]
+            extra[d, :len(idx)] = extra_all[idx]
+        adv = make_sharded_crm_vehicle_advance(
+            spec, make_mesh(D), params, crm, grid, model, [wheel],
+            n_substeps=2, capacity=32, Bxy=2, interpret=True)
+        p, v, x2, m, bod, t, ov = adv(sp.pos, sp.vel, jnp.asarray(extra),
+                                      sp.valid, bodies, jnp.zeros(()), 3)
+        assert int(ov) == 0
+        return np.asarray(p)[np.asarray(m)], bod
+
+    def test_sharded_vehicle_parity_d2_vs_d1(self):
+        params, crm, grid, st, model, bodies, wheel, chassis = \
+            self._vehicle_scene()
+        got2, bod2 = self._run(2, params, crm, grid, st, model, bodies,
+                               wheel)
+        got1, bod1 = self._run(1, params, crm, grid, st, model, bodies,
+                               wheel)
+        assert got1.shape[0] == st.pos.shape[0]
+        assert got2.shape[0] == st.pos.shape[0]
+        # the wheel must have sunk/settled (forces actually coupled)
+        assert float(jnp.abs(bod1.v[wheel]).max()) > 0.0
+        np.testing.assert_allclose(np.asarray(bod2.x), np.asarray(bod1.x),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(bod2.v), np.asarray(bod1.v),
+                                   rtol=1e-4, atol=1e-5)
+
+        def canon(a):
+            return a[np.lexsort((a[:, 2], a[:, 1], a[:, 0]))]
+
+        np.testing.assert_allclose(canon(got2), canon(got1), atol=5e-4)

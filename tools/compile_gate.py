@@ -51,10 +51,15 @@ os.environ["PYTHONPATH"] = (_REPO + os.pathsep
                             + os.environ.get("PYTHONPATH", ""))
 
 
-def _tpu_alive(timeout_s=240, attempts=2):
+def _tpu_alive(timeout_s=240, attempts=4):
+    """Best-effort liveness probe with backoff.  A false negative here must
+    NOT block the gate (it trains people to --skip-probe): the caller treats
+    a failed probe as a warning and runs the cases anyway — each case runs
+    in its own subprocess with its own timeout, so a truly dead tunnel
+    still fails cleanly, just slower."""
     code = ("import jax, jax.numpy as jnp;"
             "print(float((jnp.ones((128,128))@jnp.ones((128,128))).sum()))")
-    for _ in range(attempts):
+    for k in range(attempts):
         try:
             r = subprocess.run([sys.executable, "-c", code],
                                timeout=timeout_s, capture_output=True)
@@ -62,6 +67,7 @@ def _tpu_alive(timeout_s=240, attempts=2):
                 return True
         except subprocess.TimeoutExpired:
             pass
+        time.sleep(min(30, 5 * (k + 1)))
     return False
 
 
@@ -248,9 +254,12 @@ def main():
         return 2
 
     if not args.skip_probe and not _tpu_alive():
-        print(json.dumps({"gate": "compile", "ok": False,
-                          "error": "TPU tunnel down"}))
-        return 3
+        # non-fatal (the probe has false-negatived on a live chip): warn
+        # and continue — per-case subprocess timeouts catch a dead tunnel
+        print(json.dumps({"gate": "compile", "ok": None,
+                          "warning": "liveness probe failed; running cases "
+                                     "anyway (per-case timeouts apply)"}),
+              flush=True)
 
     import jax
     plat = jax.devices()[0].platform
